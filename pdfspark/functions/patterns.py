@@ -1,0 +1,106 @@
+"""The reference's regex vocabulary, reproduced byte-for-byte
+(SURVEY.md §2.7 X1-X10). Python `re` forms drive the parity UDF;
+the JAVA_* strings are the same patterns for Spark rlike /
+regexp_extract (verified equivalent by tests/test_patterns.py, which
+runs both engines over an adversarial corpus).
+"""
+
+import re
+
+# X1/X2 — numbered section headings.
+# Ref: src/processors/element_processors.py:212-213,243-244
+SECTION = r"^(?:\d+\.{0,1})(?:\d+)*(?:\.\d+)*\s+[A-Za-z][\w\s\-\,]+"
+SECTION_GROUPS = r"^((?:\d+\.{0,1})(?:\d+)*(?:\.\d+)*)(\s+[A-Za-z][\w\s\-\,]+)"
+
+# X4 — appendix / annex. Ref: element_processors.py:274,297 (IGNORECASE)
+APPENDIX = r"^(Appendix|Annex)\s+[A-Z]\.*"
+
+# X5 — figure captions; NOTE the second alternative is *unanchored*
+# (reference quirk). Ref: element_processors.py:320 (IGNORECASE)
+FIGURE = r"^Figure\s\d+|Fig\.\s\d+"
+
+# X6 — table titles, re.match. Ref: src/utilities/parse_util.py:129-134
+TABLE_TITLE = r"^(Table\s+\d+[\s\S]*)"
+
+# X7 — "continued" test; the tabular-json path uses re.search
+# (table_extractor.py:52), the extract_table_content path uses
+# re.match i.e. prefix-only (table_extractor.py:214).
+CONTINUED = r"(continued|cont\.{1}?)"
+
+# X8 — page numbers, re.match (prefix). Ref: parse_util.py:407-415
+PAGE_NUMBER = r"(?:Page|page|pg)\s(?:\d+|[ivx])+"
+
+# X10 — table collation label. Ref: src/pdf_test_parse.py:247,281
+TABLE_LABEL = r"^\bTable\s\d+\b"
+
+# X18 — matcher terms (src/matcher_patterns.py:81-91). With the
+# intended semantics these must prefix the first line, token-wise and
+# lowercase; with the reference's all-optional-token quirk the matcher
+# fires on ANY non-empty first line.
+MATCHER_TERMS = (
+    ("executive", "summary"),
+    ("foreword",),
+    ("introduction",),
+    ("summary",),
+    ("bibliography",),
+    ("references",),
+)
+MATCHER_PREFIX = r"(?i)^(executive\s+summary|foreword|introduction|summary|bibliography|references)\b"
+
+RE_SECTION = re.compile(SECTION)
+RE_SECTION_GROUPS = re.compile(SECTION_GROUPS)
+RE_APPENDIX = re.compile(APPENDIX, re.IGNORECASE)
+RE_FIGURE = re.compile(FIGURE, re.IGNORECASE)
+RE_TABLE_TITLE = re.compile(TABLE_TITLE, re.IGNORECASE)
+RE_CONTINUED = re.compile(CONTINUED, re.IGNORECASE)
+RE_PAGE_NUMBER = re.compile(PAGE_NUMBER, re.IGNORECASE)
+RE_TABLE_LABEL = re.compile(TABLE_LABEL)
+RE_EXTRA_SPACE = re.compile(r"\s{2,}")  # F7, parse_util.py:136-143
+RE_NON_ALNUM = re.compile(r"[^a-zA-Z0-9]")  # F5, parse_util.py:117-127
+RE_TRAILING_PUNCT = re.compile(r"[\W_]+$")  # F6, parse_util.py:161-168
+
+# Java-regex equivalents for Spark SQL expressions. Java supports the
+# same constructs here; (?i) replaces re.IGNORECASE. Anchors added
+# where the Python call site used re.match (prefix semantics).
+JAVA_SECTION = SECTION
+JAVA_SECTION_GROUPS = SECTION_GROUPS
+JAVA_APPENDIX = "(?i)" + APPENDIX
+JAVA_FIGURE = "(?i)" + FIGURE
+JAVA_TABLE_TITLE = "(?i)" + TABLE_TITLE
+JAVA_CONTINUED_SEARCH = "(?i)" + CONTINUED
+JAVA_CONTINUED_MATCH = "(?i)^" + CONTINUED
+JAVA_PAGE_NUMBER_MATCH = "(?i)^" + PAGE_NUMBER
+JAVA_TABLE_LABEL = TABLE_LABEL
+
+
+def matcher_fires(first_line: str, always: bool = True) -> bool:
+    """X18. `always=True` reproduces the reference quirk: the spaCy
+    Matcher built from all-optional tokens (matcher_patterns.py:56-65)
+    matches any tokenizable (non-blank) first line. `always=False` is
+    the intended prefix-match semantics."""
+    if not first_line or not first_line.strip():
+        return False
+    if always:
+        return True
+    low = first_line.lower()
+    toks = low.split()
+    for terms in MATCHER_TERMS:
+        if tuple(toks[: len(terms)]) == terms:
+            return True
+    return False
+
+
+def find_section_by_heading(heading: str, section_headings, flags=re.IGNORECASE):
+    """J1/X9 — the reference's unescaped whole-word lookup
+    (src/document.py:99-112). Returns the index of the first section
+    whose heading contains `\\b{clean}\\b`, else None. Regex
+    metacharacters in `heading` are deliberately NOT escaped; a
+    malformed pattern raises re.error exactly like the reference."""
+    if heading is None:
+        return None
+    clean = RE_TRAILING_PUNCT.sub("", heading)
+    pattern = re.compile(rf"\b{clean}\b", flags)  # may raise re.error
+    for i, h in enumerate(section_headings):
+        if pattern.search(h):
+            return i
+    return None

@@ -1,0 +1,374 @@
+"""Deterministic synthetic fixture generator (FIXTURES.md).
+
+Generates the canonical input tables for every fixture family and
+writes them as parquet (pyarrow, single file each — readable by both
+Spark and the DuckDB oracle):
+
+    fixtures/<sf>/documents_in.parquet   (doc_id, spans[])
+    fixtures/<sf>/spans_geom.parquet     (exploded layout + geometry)
+
+Seed fixed at 42; same (sf) input always produces byte-identical
+tables. Page geometry is US Letter (612x792 pt). Span `offset` is the
+storage order per document (monotone, 0-based); within table pages the
+storage order is shuffled relative to visual order to exercise the
+(-y1, x1) reading-order sort (ref src/utilities/parse_util.py:454).
+"""
+
+from __future__ import annotations
+
+import os
+import random
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+from pdfspark.config import PAGE_H, PAGE_W
+
+WORDS = (
+    "risk management governance framework model data system process control "
+    "measure impact trust safety analysis design evaluation deployment "
+    "monitor lifecycle context actor harm benefit metric policy standard"
+).split()
+
+FAMILIES = [
+    "plain-sections",
+    "named-sections",
+    "appendices",
+    "figures-media",
+    "header-footer",
+    "page-numbers",
+    "simple-table",
+    "continued-table",
+    "multi-column",
+    "hostile-regex",
+]
+
+NAMED_HEADINGS = [
+    "Executive Summary",
+    "Foreword",
+    "Introduction",
+    "Summary",
+    "Bibliography",
+    "References",
+]
+
+
+class DocBuilder:
+    """Accumulates spans for one document with a simple layout cursor."""
+
+    def __init__(self, doc_id: str):
+        self.doc_id = doc_id
+        self.spans: list[dict] = []  # geometry rows incl. PageStart
+        self.page_id = 0
+        self.y = 0.0
+        self._page_buf: list[dict] = []
+
+    def _flush_page(self, shuffle_rng=None):
+        if shuffle_rng is not None and len(self._page_buf) > 2:
+            # shuffle storage order within the page but keep the
+            # PageStart marker first (page boundaries stay monotone)
+            tail = self._page_buf[1:]
+            shuffle_rng.shuffle(tail)
+            self._page_buf = self._page_buf[:1] + tail
+        self.spans.extend(self._page_buf)
+        self._page_buf = []
+
+    def new_page(self, shuffle_rng=None):
+        self._flush_page(shuffle_rng)
+        self.page_id += 1
+        self.y = PAGE_H - 72.0
+        self._page_buf.append(
+            dict(
+                page_id=self.page_id,
+                kind="PageStart",
+                text=f"pageid:{self.page_id}|bbox:0,0,{PAGE_W:g},{PAGE_H:g}",
+                media_ref=None,
+                x0=0.0, y0=0.0, x1=PAGE_W, y1=PAGE_H,
+            )
+        )
+
+    def add(self, kind, text, media_ref=None, x0=72.0, w=450.0, h=12.0, y1=None):
+        if y1 is None:
+            y1 = self.y
+        y0 = y1 - h
+        self._page_buf.append(
+            dict(page_id=self.page_id, kind=kind, text=text, media_ref=media_ref,
+                 x0=x0, y0=y0, x1=x0 + w, y1=y1)
+        )
+        if y1 == self.y:
+            self.y = y0 - 10.0
+        return y0
+
+    def toc(self, lines):
+        for ln in lines:
+            self._page_buf.append(
+                dict(page_id=0, kind="TOC", text=ln, media_ref=None,
+                     x0=0.0, y0=0.0, x1=0.0, y1=0.0)
+            )
+
+    def header(self, text):
+        # header iff page_y1 - y0 <= 50 (TOP_MARGIN at call site,
+        # ref src/pdf_extractor.py:363): y0 = 752 -> 792-752 = 40.
+        self.add("TextBox", text, y1=764.0, h=12.0)
+
+    def footer(self, text):
+        # footer iff y0 <= 20 (ref parse_util.py:438): y0 = 10.
+        self.add("TextBox", text, y1=22.0, h=12.0)
+
+    def finish(self, shuffle_rng=None):
+        self._flush_page(shuffle_rng)
+        for i, s in enumerate(self.spans):
+            s["offset"] = i
+        return self
+
+
+def _para(rng, n=8):
+    return " ".join(rng.choice(WORDS) for _ in range(n))
+
+
+def _body(rng, lines=2):
+    return "\n".join(_para(rng) for _ in range(lines))
+
+
+# --- fixture families ------------------------------------------------------
+
+def gen_plain_sections(b: DocBuilder, rng):
+    heads = ["Introduction", "Risk management", "Framework design", "Evaluation"]
+    b.toc(heads)
+    b.new_page()
+    for i, h in enumerate(heads):
+        if b.y < 150:
+            b.new_page()
+        b.add("TextBox", f"{i + 1}. {h}\n{_body(rng, 2)}", h=36.0)
+        b.add("TextBox", _body(rng, 2), h=24.0)
+
+
+def gen_named_sections(b: DocBuilder, rng):
+    heads = rng.sample(NAMED_HEADINGS, 3) + ["Unlisted heading zone"]
+    b.toc(heads[:3])
+    b.new_page()
+    for h in heads:
+        if b.y < 150:
+            b.new_page()
+        b.add("TextBox", f"{h}\n{_body(rng, 2)}", h=36.0)
+
+
+def gen_appendices(b: DocBuilder, rng):
+    b.toc(["Appendix A. Data tables", "Annex B Methods"])
+    b.new_page()
+    b.add("TextBox", f"Appendix A. Data tables\n{_body(rng, 2)}", h=36.0)
+    b.add("TextBox", f"Annex B Methods\n{_body(rng, 1)}", h=24.0)
+    b.add("TextBox", f"Appendix C: Legacy colon form\n{_body(rng, 1)}", h=24.0)
+
+
+def gen_figures_media(b: DocBuilder, rng):
+    b.toc(["Introduction"])
+    b.new_page()
+    b.add("TextBox", f"1. Introduction\n{_body(rng, 2)}", h=36.0)
+    n = rng.randint(1, 3)
+    for i in range(1, n + 1):
+        b.add("Image", "", media_ref=f"img://{b.doc_id}/{i}", h=80.0)
+        cap = "Figure" if i % 2 else "Fig."
+        b.add("TextBox", f"{cap} {i} {_para(rng, 4)}", h=12.0)
+
+
+def gen_header_footer(b: DocBuilder, rng):
+    b.toc(["Introduction"])
+    for _ in range(3):
+        b.new_page()
+        b.header("ACME Corp Annual")
+        b.header("ACME Corp")  # substring-dedup trap (parse_util.py:436)
+        b.add("TextBox", f"1. Introduction\n{_body(rng, 2)}", h=36.0)
+        b.footer("Confidential draft")
+
+
+def gen_page_numbers(b: DocBuilder, rng):
+    b.toc(["Introduction"])
+    strip = ["Page 4", "pg iv", "page 12"]
+    keep = ["Pages 4-5", "Paged content note"]
+    b.new_page()
+    b.add("TextBox", f"1. Introduction\n{_body(rng, 2)}", h=36.0)
+    for t in strip + keep:
+        b.add("TextBox", t, h=12.0)
+
+
+def _table_grid(b, rng, title, n_rows, n_cols, prefix, y_jitter=3.0):
+    b.add("TextBox", title, h=14.0)
+    xs = [72.0 + 150.0 * j for j in range(n_cols)]
+    y = b.y
+    for i in range(n_rows):
+        for j in range(n_cols):
+            jit = rng.uniform(-y_jitter, y_jitter)
+            b.add("TextBox", f"{prefix}r{i + 1}c{j + 1}",
+                  x0=xs[j], w=100.0, h=12.0, y1=y + jit)
+        y -= 24.0
+    b.y = y - 10.0
+
+
+def gen_simple_table(b: DocBuilder, rng):
+    b.toc(["Introduction"])
+    b.new_page()
+    b.add("TextBox", f"1. Introduction\n{_body(rng, 1)}", h=24.0)
+    _table_grid(b, rng, f"Table 1: {_para(rng, 3)}", rng.randint(2, 4), 3, "a")
+
+
+def gen_continued_table(b: DocBuilder, rng):
+    b.toc(["Introduction"])
+    b.new_page()
+    _table_grid(b, rng, "Table 2: Throughput", 2, 3, "t2a")
+    b.new_page()
+    _table_grid(b, rng, "Table 2: Throughput (continued)", 2, 3, "t2b")
+    b.new_page()
+    _table_grid(b, rng, "Table 4: Mixed", 2, 3, "t4a")
+    b.new_page()
+    _table_grid(b, rng, "Table 4: Mixed (continued)", 2, 2, "t4b")
+
+
+def gen_multi_column(b: DocBuilder, rng):
+    b.toc(["Introduction"])
+    b.new_page()
+    y = b.y
+    for i in range(4):
+        b.add("TextBox", f"left col {_para(rng, 3)}", x0=72.0, w=200.0, h=12.0,
+              y1=y - 24.0 * i)
+        b.add("TextBox", f"right col {_para(rng, 3)}", x0=320.0, w=200.0, h=12.0,
+              y1=y - 24.0 * i)
+    b.y = y - 24.0 * 4 - 10.0
+
+
+def gen_hostile_regex(b: DocBuilder, rng):
+    b.toc(["C++ (v2)", "Normal section"])
+    b.new_page()
+    # Unescaped heading with regex metachars -> re.error in the
+    # reference's find_section_by_heading (src/document.py:103-108).
+    b.add("TextBox", f"C++ (v2)\n{_body(rng, 1)}", h=24.0)
+    b.add("TextBox", f"1. Normal section\n{_body(rng, 1)}", h=24.0)
+    _table_grid(b, rng, "Table 3 cont.", 2, 2, "h")  # X7 match-vs-search
+
+
+def gen_skew(b: DocBuilder, rng, n_spans: int):
+    b.toc(["Introduction"])
+    b.new_page()
+    b.add("TextBox", f"1. Introduction\n{_body(rng, 2)}", h=36.0)
+    while len(b.spans) + len(b._page_buf) < n_spans:
+        if b.y < 100:
+            b.new_page()
+        b.add("TextBox", _body(rng, 1), h=12.0)
+
+
+GENERATORS = {
+    "plain-sections": gen_plain_sections,
+    "named-sections": gen_named_sections,
+    "appendices": gen_appendices,
+    "figures-media": gen_figures_media,
+    "header-footer": gen_header_footer,
+    "page-numbers": gen_page_numbers,
+    "simple-table": gen_simple_table,
+    "continued-table": gen_continued_table,
+    "multi-column": gen_multi_column,
+    "hostile-regex": gen_hostile_regex,
+}
+
+SF_DOCS = {"sf0.001": 60, "sf0.01": 600, "sf0.1": 6000}
+SF_SKEW_SPANS = {"sf0.001": 2000, "sf0.01": 10000, "sf0.1": 20000}
+
+
+def generate_docs(sf_name: str):
+    n_docs = SF_DOCS.get(sf_name, 600)
+    docs = []
+    for i in range(n_docs):
+        fam = FAMILIES[i % len(FAMILIES)]
+        doc_id = f"{fam}-{i:05d}"
+        rng = random.Random((42, sf_name, doc_id).__hash__() & 0x7FFFFFFF)
+        # hash() is salted per-process; use a stable seed instead:
+        rng = random.Random(f"42|{sf_name}|{doc_id}")
+        b = DocBuilder(doc_id)
+        shuffle_rng = rng if "table" in fam else None
+        GENERATORS[fam](b, rng)
+        b.finish(shuffle_rng)
+        docs.append(b)
+    # family 10: skew doc
+    rng = random.Random(f"42|{sf_name}|skew")
+    b = DocBuilder("skew-00000")
+    gen_skew(b, rng, SF_SKEW_SPANS.get(sf_name, 10000))
+    docs.append(b.finish())
+    # family 12: empty + decode_error
+    docs.append(DocBuilder("empty-00000").finish())
+    b = DocBuilder("decode-error-00000")
+    b.spans.append(dict(page_id=0, kind="DecodeError", text="encrypted",
+                        media_ref=None, x0=0.0, y0=0.0, x1=0.0, y1=0.0))
+    docs.append(b.finish())
+    return docs
+
+
+SPAN_PA = pa.struct(
+    [("kind", pa.string()), ("text", pa.string()),
+     ("media_ref", pa.string()), ("offset", pa.int32())]
+)
+
+
+def write_fixtures(sf_name: str, out_dir: str) -> None:
+    os.makedirs(out_dir, exist_ok=True)
+    docs = generate_docs(sf_name)
+
+    doc_ids, span_arrays = [], []
+    g = {k: [] for k in
+         ("doc_id", "page_id", "page_number", "kind", "text", "media_ref",
+          "x0", "y0", "x1", "y1", "offset")}
+    for d in docs:
+        doc_ids.append(d.doc_id)
+        span_arrays.append(
+            [dict(kind=s["kind"], text=s["text"], media_ref=s["media_ref"],
+                  offset=s["offset"]) for s in d.spans]
+        )
+        for s in d.spans:
+            g["doc_id"].append(d.doc_id)
+            g["page_id"].append(s["page_id"])
+            g["page_number"].append(max(0, s["page_id"] - 1))
+            g["kind"].append(s["kind"])
+            g["text"].append(s["text"])
+            g["media_ref"].append(s["media_ref"])
+            g["x0"].append(s["x0"])
+            g["y0"].append(s["y0"])
+            g["x1"].append(s["x1"])
+            g["y1"].append(s["y1"])
+            g["offset"].append(s["offset"])
+
+    docs_tbl = pa.table(
+        {"doc_id": pa.array(doc_ids, pa.string()),
+         "spans": pa.array(span_arrays, pa.list_(SPAN_PA))}
+    )
+    pq.write_table(docs_tbl, os.path.join(out_dir, "documents_in.parquet"))
+
+    geom_tbl = pa.table(
+        {"doc_id": pa.array(g["doc_id"], pa.string()),
+         "page_id": pa.array(g["page_id"], pa.int32()),
+         "page_number": pa.array(g["page_number"], pa.int32()),
+         "kind": pa.array(g["kind"], pa.string()),
+         "text": pa.array(g["text"], pa.string()),
+         "media_ref": pa.array(g["media_ref"], pa.string()),
+         "x0": pa.array(g["x0"], pa.float64()),
+         "y0": pa.array(g["y0"], pa.float64()),
+         "x1": pa.array(g["x1"], pa.float64()),
+         "y1": pa.array(g["y1"], pa.float64()),
+         "offset": pa.array(g["offset"], pa.int32())}
+    )
+    pq.write_table(geom_tbl, os.path.join(out_dir, "spans_geom.parquet"))
+
+
+FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
+
+
+def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
+    """Idempotently materialize fixtures for one scale factor;
+    returns the directory."""
+    out = os.path.join(root, sf_name)
+    marker = os.path.join(out, "spans_geom.parquet")
+    if not os.path.exists(marker):
+        write_fixtures(sf_name, out)
+    return out
+
+
+if __name__ == "__main__":
+    for sf in ("sf0.001", "sf0.01", "sf0.1"):
+        print(sf, "->", ensure_fixtures(sf))

@@ -1,38 +1,500 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship extraction pipeline on the sf0.001
+testdata + layout fixtures. ``queries()`` exposes one entry per
+implemented operator from SURVEY.md §2; ``oracle_sql()`` provides the
+DuckDB twin for every SQL-expressible one (fixture parquet referenced
+by absolute path; the driver's pre-registered views cover the
+testdata tables).
 """
 
 from __future__ import annotations
 
+import os
+import sys
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
 
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from pdfspark.synth import ensure_fixtures
+
+# fixture parquet paths for the DuckDB oracle (driver runs at sf0.01)
+FIX01 = os.path.join(REPO, "fixtures", "sf0.01")
+GEOM01 = f"read_parquet('{FIX01}/spans_geom.parquet')"
+DOCS01 = f"read_parquet('{FIX01}/documents_in.parquet')"
+
+
+def _fixture_dir(sf_dir: str) -> str:
+    name = os.path.basename(os.path.normpath(sf_dir))
+    if not name.startswith("sf"):
+        name = "sf0.01"
+    return ensure_fixtures(name)
+
+
+def _geom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(
+        os.path.join(_fixture_dir(sf_dir), "spans_geom.parquet")
+    )
+
+
+def _docs_in(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(
+        os.path.join(_fixture_dir(sf_dir), "documents_in.parquet")
+    )
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: span-ize the sf0.001 documents table, union with the
+    layout fixtures, run boilerplate-strip -> classify -> section
+    fill-down -> section assembly; returns the sections table."""
+    from pdfspark.operators.boilerplate import all_doc_headers_footers
+    from pdfspark.operators.classify import (
+        classify_spans,
+        explode_documents,
+        sections_assembled,
+        strip_boilerplate,
+        with_current_section,
+    )
+    from pdfspark.sources.spanize import spanize_documents
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    spanized = spanize_documents(docs)
+    fixture_docs = _docs_in(spark, sf_dir)
+    all_docs = spanized.unionByName(fixture_docs)
+
+    geom = _geom(spark, sf_dir)
+    hf = all_doc_headers_footers(geom)
+
+    spans = explode_documents(all_docs)
+    spans = strip_boilerplate(spans, hf)
+    classified = with_current_section(classify_spans(spans))
+    return sections_assembled(classified).select(
+        "doc_id",
+        "heading",
+        "first_offset",
+        F.array_join("paragraphs", " | ").alias("paragraphs"),
+        F.array_join("figures", " | ").alias("figures"),
+        F.array_join("tables", " | ").alias("tables"),
+        "section_text",
+    )
+
+
+# ---------------------------------------------------------------------------
+# queries
+# ---------------------------------------------------------------------------
+
+def _q_reading_order(spark, sf_dir):
+    from pdfspark.operators.reading_order import with_reading_order
+
+    return with_reading_order(_geom(spark, sf_dir)).select(
+        "doc_id", "page_id", "offset", "rord"
+    )
+
+
+def _q_header_footer(spark, sf_dir):
+    from pdfspark.operators.boilerplate import all_doc_headers_footers
+
+    return all_doc_headers_footers(_geom(spark, sf_dir))
+
+
+def _q_margin_candidates(spark, sf_dir):
+    from pdfspark.operators.boilerplate import margin_candidates
+
+    return margin_candidates(_geom(spark, sf_dir)).select(
+        "doc_id", "offset", "txt", "is_header", "is_footer"
+    )
+
+
+def _q_page_number_strip(spark, sf_dir):
+    from pdfspark.functions import patterns as P
+
+    g = _geom(spark, sf_dir).filter(F.col("kind") == "TextBox")
+    content = F.trim("text")
+    return g.filter(~content.rlike(P.JAVA_PAGE_NUMBER_MATCH)).select(
+        "doc_id", "offset", content.alias("content")
+    )
+
+
+def _tables_sql(spark, sf_dir):
+    from pdfspark.operators.boilerplate import all_doc_headers_footers
+    from pdfspark.operators.tables import extract_tables_sql
+
+    geom = _geom(spark, sf_dir)
+    hf = all_doc_headers_footers(geom)
+    return extract_tables_sql(geom, hf)
+
+
+def _q_tables_sql(spark, sf_dir):
+    t = _tables_sql(spark, sf_dir)
+    return t.select(
+        "doc_id",
+        "page_id",
+        F.col("table_id").cast("int").alias("table_id"),
+        "title",
+        F.col("row_id").cast("int").alias("row_id"),
+        F.array_join("cells", "|").alias("cells"),
+    )
+
+
+def _q_tables_merged(spark, sf_dir):
+    from pdfspark.operators.tables import merge_continued_tables
+
+    m = merge_continued_tables(_tables_sql(spark, sf_dir))
+    return m.select(
+        "doc_id",
+        F.col("table_id").cast("int").alias("table_id"),
+        "title",
+        F.col("row_id").cast("int").alias("row_id"),
+        F.array_join("cells", "|").alias("cells"),
+    )
+
+
+def _q_tables_exact(spark, sf_dir):
+    """Exact-parity fold (applyInPandas) — no SQL oracle; checked by
+    pytest against the pure-Python oracle instead (rows-only here)."""
+    from pdfspark.operators.boilerplate import all_doc_headers_footers
+    from pdfspark.operators.tables import extract_tables_exact
+
+    geom = _geom(spark, sf_dir)
+    hf = all_doc_headers_footers(geom)
+    t = extract_tables_exact(geom, hf)
+    return t.select(
+        "doc_id", "page_id", "table_id", "title", "row_id",
+        F.array_join("cells", "|").alias("cells"),
+    )
+
+
+def _q_toc_skeleton(spark, sf_dir):
+    from pdfspark.operators.classify import explode_documents, toc_skeleton
+
+    return toc_skeleton(explode_documents(_docs_in(spark, sf_dir)))
+
+
+def _classified(spark, sf_dir):
+    from pdfspark.operators.boilerplate import all_doc_headers_footers
+    from pdfspark.operators.classify import (
+        classify_spans,
+        explode_documents,
+        strip_boilerplate,
+        with_current_section,
+    )
+
+    geom = _geom(spark, sf_dir)
+    hf = all_doc_headers_footers(geom)
+    spans = explode_documents(_docs_in(spark, sf_dir))
+    spans = strip_boilerplate(spans, hf)
+    return with_current_section(classify_spans(spans))
+
+
+def _q_classify_flags(spark, sf_dir):
+    c = _classified(spark, sf_dir)
+    return c.filter(F.col("kind") == "TextBox").select(
+        "doc_id",
+        "offset",
+        "first_line",
+        "line_count",
+        "is_section",
+        "is_named",
+        "is_appendix",
+        "is_figure",
+        "is_table_title",
+        "is_heading",
+    )
+
+
+def _q_current_section(spark, sf_dir):
+    c = _classified(spark, sf_dir)
+    return c.filter(F.col("kind") == "TextBox").select(
+        "doc_id", "offset", "current_section"
+    )
+
+
+def _q_sections(spark, sf_dir):
+    from pdfspark.operators.classify import sections_assembled
+
+    s = sections_assembled(_classified(spark, sf_dir))
+    return s.select(
+        "doc_id",
+        "heading",
+        "first_offset",
+        F.array_join("paragraphs", "|").alias("paragraphs"),
+        F.array_join("figures", "|").alias("figures"),
+        F.array_join("tables", "|").alias("tables"),
+        "section_text",
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        "w1_reading_order": _q_reading_order,
+        "a1_header_footer": _q_header_footer,
+        "f10_margin_candidates": _q_margin_candidates,
+        "f3_page_number_strip": _q_page_number_strip,
+        "ep3_tables_sql": _q_tables_sql,
+        "j3_tables_merged": _q_tables_merged,
+        "ep3_tables_exact": _q_tables_exact,
+        "j4_toc_skeleton": _q_toc_skeleton,
+        "x1_classify_flags": _q_classify_flags,
+        "w3_current_section": _q_current_section,
+        "a8_sections": _q_sections,
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+
+# ---------------------------------------------------------------------------
+# oracle SQL (DuckDB dialect; fixture parquet by absolute path)
+# ---------------------------------------------------------------------------
+
+_PAGENO = r"(?i)^(?:Page|page|pg)\s(?:\d+|[ivx])+"
+_TABLE_TITLE = r"(?i)^(Table\s+\d+[\s\S]*)"
+_CONTINUED = r"(?i)(continued|cont\.{1}?)"
+_SECTION_GROUPS = r"^((?:\d+\.{0,1})(?:\d+)*(?:\.\d+)*)(\s+[A-Za-z][\w\s\-\,]+)"
+_NAMED = r"(?i)^(executive\s+summary|foreword|introduction|summary|bibliography|references)\b"
+_APPENDIX = r"(?i)^(Appendix|Annex)\s+[A-Z]\.*"
+_FIGURE = r"(?i)^Figure\s\d+|Fig\.\s\d+"
+
+_HF_CTE = f"""
+sg AS (SELECT * FROM {GEOM01}),
+withy AS (
+  SELECT *, coalesce(
+    max(CASE WHEN kind='PageStart' THEN y1 END)
+      OVER (PARTITION BY doc_id, page_id), 792.0) AS page_y1
+  FROM sg),
+cand AS (
+  SELECT doc_id, "offset" AS o, replace(text, chr(10), '') AS txt,
+         ((page_y1 - y0) <= 50.0) AS is_header,
+         (NOT ((page_y1 - y0) <= 50.0) AND y0 <= 20.0) AS is_footer
+  FROM withy WHERE kind = 'TextBox'),
+agg AS (
+  SELECT doc_id,
+    coalesce(list(txt ORDER BY o) FILTER (WHERE is_header), []) AS h,
+    coalesce(list(txt ORDER BY o) FILTER (WHERE is_footer), []) AS f
+  FROM cand WHERE is_header OR is_footer GROUP BY doc_id),
+folded AS (
+  SELECT doc_id,
+    list_reduce(list_prepend('', h),
+      (acc, x) -> CASE WHEN contains(acc, x) THEN acc ELSE acc || x || ' ' END) AS header,
+    list_reduce(list_prepend('', f),
+      (acc, x) -> CASE WHEN contains(acc, x) THEN acc ELSE acc || x || ' ' END) AS footer
+  FROM agg),
+hf AS (
+  SELECT d.doc_id, coalesce(header, '') AS header, coalesce(footer, '') AS footer
+  FROM (SELECT DISTINCT doc_id FROM sg) d LEFT JOIN folded USING (doc_id))
+"""
+
+_TABLES_CTE = f"""
+{_HF_CTE},
+tb AS (
+  SELECT doc_id, page_id, text, x0, y1, "offset" AS o,
+         row_number() OVER (PARTITION BY doc_id, page_id
+                            ORDER BY y1 DESC, x1 ASC, "offset" ASC) AS rord
+  FROM sg WHERE kind = 'TextBox'),
+j AS (SELECT tb.*, hf.header, hf.footer FROM tb LEFT JOIN hf USING (doc_id)),
+cl AS (SELECT *, trim(replace(text, chr(10), '')) AS clean FROM j),
+flt AS (
+  SELECT * FROM cl
+  WHERE NOT contains(header, clean) AND NOT contains(footer, clean)
+        AND NOT regexp_matches(clean, '{_PAGENO}')),
+flags AS (
+  SELECT *, regexp_matches(clean, '{_TABLE_TITLE}') AS is_title FROM flt),
+run AS (
+  SELECT *, sum(CASE WHEN is_title THEN 1 ELSE 0 END)
+              OVER (PARTITION BY doc_id, page_id ORDER BY rord
+                    ROWS UNBOUNDED PRECEDING) AS table_id
+  FROM flags),
+filt2 AS (SELECT * FROM run WHERE table_id >= 1),
+titles AS (
+  SELECT doc_id, page_id, table_id,
+         trim(regexp_extract(clean, '{_TABLE_TITLE}', 1)) AS title
+  FROM filt2 WHERE is_title),
+drows AS (
+  SELECT *, CASE WHEN lag(y1) OVER w IS NULL
+                      OR abs(y1 - lag(y1) OVER w) > 10.0
+                 THEN 1 ELSE 0 END AS new_row
+  FROM filt2 WHERE NOT is_title
+  WINDOW w AS (PARTITION BY doc_id, page_id, table_id ORDER BY rord)),
+rid AS (
+  SELECT *, sum(new_row) OVER (PARTITION BY doc_id, page_id, table_id
+                               ORDER BY rord ROWS UNBOUNDED PRECEDING) AS row_id0
+  FROM drows),
+cells AS (
+  SELECT doc_id, page_id, table_id, row_id0,
+         list(text ORDER BY x0, rord) AS cells
+  FROM rid GROUP BY doc_id, page_id, table_id, row_id0),
+tbls AS (
+  SELECT r.doc_id, r.page_id, CAST(r.table_id AS INT) AS table_id, t.title,
+         CAST(row_number() OVER (PARTITION BY r.doc_id, r.page_id, r.table_id
+                                 ORDER BY r.row_id0) AS INT) AS row_id,
+         r.cells
+  FROM cells r JOIN titles t USING (doc_id, page_id, table_id))
+"""
+
+_CLASSIFY_CTE = f"""
+{_HF_CTE},
+spans AS (SELECT doc_id, kind, text, media_ref, "offset" AS o FROM sg),
+strip0 AS (SELECT s.*, hf.header, hf.footer FROM spans s LEFT JOIN hf USING (doc_id)),
+stripped AS (
+  SELECT * FROM strip0
+  WHERE kind <> 'TextBox' OR (
+    NOT ((length(header) > 0 AND contains(header, replace(trim(text), chr(10), '')))
+         OR (length(footer) > 0 AND contains(footer, replace(trim(text), chr(10), ''))))
+    AND NOT regexp_matches(trim(text), '{_PAGENO}'))),
+cls AS (
+  SELECT doc_id, kind, text, media_ref, o,
+         trim(text) AS content,
+         regexp_replace(split_part(trim(text), chr(10), 1), '\\s{{2,}}', ' ', 'g') AS first_line,
+         CASE WHEN trim(text) = '' THEN 0
+              ELSE len(string_split(trim(text), chr(10))) END AS line_count
+  FROM stripped),
+flagged AS (
+  SELECT *,
+    (kind = 'TextBox' AND regexp_matches(first_line, '{_SECTION_GROUPS}')) AS is_section,
+    CASE WHEN kind = 'TextBox' AND regexp_matches(first_line, '{_SECTION_GROUPS}')
+         THEN trim(regexp_extract(first_line, '{_SECTION_GROUPS}', 1)) END AS section_num,
+    CASE WHEN kind = 'TextBox' AND regexp_matches(first_line, '{_SECTION_GROUPS}')
+         THEN trim(regexp_extract(first_line, '{_SECTION_GROUPS}', 2)) END AS section_title,
+    (kind = 'TextBox' AND regexp_matches(first_line, '{_NAMED}')) AS is_named,
+    (kind = 'TextBox' AND regexp_matches(first_line, '{_APPENDIX}')) AS is_appendix,
+    (kind = 'TextBox' AND regexp_matches(first_line, '{_FIGURE}')) AS is_figure,
+    (kind = 'TextBox' AND regexp_matches(content, '{_TABLE_TITLE}')) AS is_table_title
+  FROM cls),
+headed AS (
+  SELECT *,
+    ((is_section OR is_named OR is_appendix)
+     AND NOT is_figure AND NOT is_table_title) AS is_heading
+  FROM flagged),
+cursec AS (
+  SELECT *,
+    last_value(CASE WHEN is_heading THEN
+        CASE WHEN is_section THEN concat_ws(' ', section_num, section_title)
+             ELSE first_line END END IGNORE NULLS)
+      OVER (PARTITION BY doc_id ORDER BY o ROWS UNBOUNDED PRECEDING) AS current_section
+  FROM headed)
+"""
+
+_SECTIONS_SQL = f"""
+WITH {_CLASSIFY_CTE},
+roled AS (
+  SELECT *,
+    CASE WHEN is_heading AND line_count > 1 THEN 'paragraph'
+         WHEN is_heading THEN 'heading_only'
+         WHEN is_figure THEN 'figure'
+         WHEN is_table_title THEN 'table'
+         ELSE 'paragraph' END AS role
+  FROM cursec
+  WHERE kind = 'TextBox' AND current_section IS NOT NULL),
+secagg AS (
+  SELECT doc_id, current_section AS heading,
+         CAST(min(o) AS INT) AS first_offset,
+         coalesce(list(content ORDER BY o) FILTER (WHERE role = 'paragraph'), []) AS paragraphs,
+         coalesce(list(content ORDER BY o) FILTER (WHERE role = 'figure'), []) AS figures,
+         coalesce(list(content ORDER BY o) FILTER (WHERE role = 'table'), []) AS tables
+  FROM roled GROUP BY doc_id, current_section)
+SELECT doc_id, heading, first_offset,
+       coalesce(array_to_string(paragraphs, '|'), '') AS paragraphs,
+       coalesce(array_to_string(figures, '|'), '') AS figures,
+       coalesce(array_to_string(tables, '|'), '') AS tables,
+       heading || chr(10) || coalesce(array_to_string(paragraphs, ' '), '')
+               || chr(10) || coalesce(array_to_string(figures, ' '), '') AS section_text
+FROM secagg
+"""
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "w1_reading_order": f"""
+            SELECT doc_id, page_id, "offset" AS offset,
+                   CAST(row_number() OVER (PARTITION BY doc_id, page_id
+                        ORDER BY y1 DESC, x1 ASC, "offset" ASC) AS INT) AS rord
+            FROM {GEOM01} WHERE kind = 'TextBox'
+        """,
+        "a1_header_footer": f"WITH {_HF_CTE} SELECT * FROM hf",
+        "f10_margin_candidates": f"""
+            WITH {_HF_CTE}
+            SELECT doc_id, CAST(o AS INT) AS offset, txt, is_header, is_footer
+            FROM cand WHERE is_header OR is_footer
+        """,
+        "f3_page_number_strip": f"""
+            SELECT doc_id, "offset" AS offset, trim(text) AS content
+            FROM {GEOM01}
+            WHERE kind = 'TextBox' AND NOT regexp_matches(trim(text), '{_PAGENO}')
+        """,
+        "ep3_tables_sql": f"""
+            WITH {_TABLES_CTE}
+            SELECT doc_id, page_id, table_id, title, row_id,
+                   array_to_string(cells, '|') AS cells
+            FROM tbls
+        """,
+        "j3_tables_merged": f"""
+            WITH {_TABLES_CTE},
+            marked AS (
+              SELECT *,
+                contains(lower(title), 'continued') AS is_cont,
+                CASE WHEN contains(lower(title), 'continued')
+                     THEN trim(split_part(title, '(', 1)) ELSE title END AS base_title,
+                max(CASE WHEN row_id = 1 THEN len(cells) END)
+                  OVER (PARTITION BY doc_id, page_id, table_id) AS n_cols
+              FROM tbls),
+            tbllvl AS (
+              SELECT doc_id, page_id, table_id, title, base_title, is_cont, n_cols,
+                     row_number() OVER (PARTITION BY doc_id
+                                        ORDER BY page_id, table_id) AS tord
+              FROM (SELECT DISTINCT doc_id, page_id, table_id, title, base_title,
+                           is_cont, n_cols FROM marked)),
+            mergecalc AS (
+              SELECT *,
+                (is_cont AND lag(title) OVER w IS NOT NULL
+                 AND lower(lag(title) OVER w) = lower(base_title)
+                 AND lag(n_cols) OVER w = n_cols) AS mergeable
+              FROM tbllvl WINDOW w AS (PARTITION BY doc_id ORDER BY tord)),
+            mids AS (
+              SELECT *, sum(CASE WHEN mergeable THEN 0 ELSE 1 END)
+                          OVER (PARTITION BY doc_id ORDER BY tord
+                                ROWS UNBOUNDED PRECEDING) AS merged_id
+              FROM mergecalc),
+            keyed AS (
+              SELECT m.doc_id, i.merged_id, m.page_id, m.table_id, m.row_id,
+                     m.title, m.cells
+              FROM marked m JOIN mids i
+                   USING (doc_id, page_id, table_id))
+            SELECT doc_id, CAST(merged_id AS INT) AS table_id,
+                   first_value(title) OVER wm AS title,
+                   CAST(row_number() OVER wm AS INT) AS row_id,
+                   array_to_string(cells, '|') AS cells
+            FROM keyed
+            WINDOW wm AS (PARTITION BY doc_id, merged_id
+                          ORDER BY page_id, table_id, row_id)
+        """,
+        "j4_toc_skeleton": f"""
+            SELECT doc_id,
+                   trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                       text, '\\\\u20ac', ' ', 'g'), '\\\\n', ' ', 'g'), '€', ' ', 'g'),
+                       '\\s{{2,}}', ' ', 'g')) AS heading,
+                   CAST(row_number() OVER (PARTITION BY doc_id ORDER BY "offset")
+                        AS INT) AS line_no
+            FROM {GEOM01} WHERE kind = 'TOC'
+        """,
+        "x1_classify_flags": f"""
+            WITH {_CLASSIFY_CTE}
+            SELECT doc_id, CAST(o AS INT) AS offset, first_line,
+                   CAST(line_count AS INT) AS line_count,
+                   is_section, is_named, is_appendix, is_figure,
+                   is_table_title, is_heading
+            FROM cursec WHERE kind = 'TextBox'
+        """,
+        "w3_current_section": f"""
+            WITH {_CLASSIFY_CTE}
+            SELECT doc_id, CAST(o AS INT) AS offset, current_section
+            FROM cursec WHERE kind = 'TextBox'
+        """,
+        "a8_sections": _SECTIONS_SQL,
+    }

@@ -1,0 +1,105 @@
+"""A1/F2/F3/F10/F11 — header/footer boilerplate (SURVEY.md §2.2, §2.4).
+
+Reproduces ``get_header_footer_text`` (ref src/utilities/parse_util.py:
+417-442) exactly, but as one aggregation instead of a second full pass
+over every document:
+
+  * header candidate iff ``page_y1 - y0 <= top_margin``
+  * footer candidate iff not header and ``y0 <= bottom_margin``
+  * per doc, in (page, offset) order, concatenate candidate texts
+    (newlines removed) into one string, skipping a text if it is
+    already a *substring* of the accumulated string — the reference's
+    quirky dedup (parse_util.py:436,439).
+
+The order-sensitive substring fold is expressed with
+``aggregate(sort_array(collect_list(...)))`` — all JVM-side.
+"""
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+from pdfspark.config import BOTTOM_MARGIN, PAGE_H, TOP_MARGIN
+
+
+def with_page_y1(spans_geom: DataFrame) -> DataFrame:
+    """Page top edge from the PageStart marker rows (fallback PAGE_H)."""
+    w = Window.partitionBy("doc_id", "page_id")
+    return spans_geom.withColumn(
+        "page_y1",
+        F.coalesce(
+            F.max(F.when(F.col("kind") == "PageStart", F.col("y1"))).over(w),
+            F.lit(PAGE_H),
+        ),
+    )
+
+
+def margin_candidates(
+    spans_geom: DataFrame,
+    top_margin: float = TOP_MARGIN,
+    bottom_margin: float = BOTTOM_MARGIN,
+) -> DataFrame:
+    """F10/F11 — TextBox spans in the header/footer bands, with the
+    newline-stripped comparison text."""
+    df = with_page_y1(spans_geom).filter(F.col("kind") == "TextBox")
+    df = df.withColumn("txt", F.regexp_replace("text", "\n", ""))
+    is_hdr = (F.col("page_y1") - F.col("y0")) <= F.lit(top_margin)
+    is_ftr = (~is_hdr) & (F.col("y0") <= F.lit(bottom_margin))
+    return (
+        df.withColumn("is_header", is_hdr)
+        .withColumn("is_footer", is_ftr)
+        .filter(is_hdr | is_ftr)
+        .select("doc_id", "page_id", "offset", "txt", "is_header", "is_footer")
+    )
+
+
+def _dedup_concat(col):
+    """Ordered fold with substring dedup: acc + 'txt ' unless txt in acc."""
+    return F.aggregate(
+        col,
+        F.lit(""),
+        lambda acc, x: F.when(acc.contains(x["txt"]), acc).otherwise(
+            F.concat(acc, x["txt"], F.lit(" "))
+        ),
+    )
+
+
+def header_footer(
+    spans_geom: DataFrame,
+    top_margin: float = TOP_MARGIN,
+    bottom_margin: float = BOTTOM_MARGIN,
+) -> DataFrame:
+    """Per-doc boilerplate strings: (doc_id, header, footer)."""
+    cands = margin_candidates(spans_geom, top_margin, bottom_margin)
+    agg = cands.groupBy("doc_id").agg(
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("is_header"), F.struct("offset", "txt"))
+            )
+        ).alias("hdr_items"),
+        F.sort_array(
+            F.collect_list(
+                F.when(F.col("is_footer"), F.struct("offset", "txt"))
+            )
+        ).alias("ftr_items"),
+    )
+    return agg.select(
+        "doc_id",
+        _dedup_concat(F.col("hdr_items")).alias("header"),
+        _dedup_concat(F.col("ftr_items")).alias("footer"),
+    )
+
+
+def all_doc_headers_footers(spans_geom: DataFrame, docs: DataFrame | None = None,
+                            **kw) -> DataFrame:
+    """header_footer() left-joined back onto the full doc list so docs
+    with no margin spans get empty strings (reference initializes
+    header/footer to '', parse_util.py:421-425)."""
+    hf = header_footer(spans_geom, **kw)
+    base = (docs if docs is not None else spans_geom.select("doc_id").distinct())
+    return (
+        base.select("doc_id")
+        .distinct()
+        .join(hf, "doc_id", "left")
+        .fillna({"header": "", "footer": ""})
+    )

@@ -1,0 +1,252 @@
+"""Phase-2 classification + section assembly, pure SQL
+(SURVEY.md §2.2 F2/F3, §2.5 W3, §2.4 A2/A7/A8, §2.3 J4).
+
+This is the *intended-semantics* fast path: a span's first line is a
+section-heading candidate iff it actually matches a heading pattern
+(numbered section X1/X2, named section X18 prefix, appendix X4). The
+reference's always-firing matcher quirk is reproduced only by the
+exact-parity fold in operators/extract.py.
+
+Everything here is JVM-side: regex columns, one fill-down window per
+doc, one groupBy for assembly.
+"""
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pdfspark.functions import patterns as P
+from pdfspark.functions.text import first_line, line_count, replace_extra_space
+
+
+def explode_documents(documents_in: DataFrame) -> DataFrame:
+    """documents_in(doc_id, spans[]) -> one row per span."""
+    return documents_in.select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select("doc_id", "s.kind", "s.text", "s.media_ref", "s.offset")
+
+
+def strip_boilerplate(
+    spans: DataFrame, header_footer_df: DataFrame | None = None
+) -> DataFrame:
+    """F2 + F3 on an exploded span table (text spans only).
+
+    F2 drops a span whose newline-stripped text is a substring of the
+    doc's header/footer string (ref element_processors.py:68-70); F3
+    drops page-number prefixes (ref :73-74, parse_util.py:407-415).
+    """
+    df = spans
+    if header_footer_df is not None:
+        df = df.join(header_footer_df, "doc_id", "left").fillna(
+            {"header": "", "footer": ""}
+        )
+    else:
+        df = df.withColumn("header", F.lit("")).withColumn("footer", F.lit(""))
+    content = F.trim(F.col("text"))
+    nl_stripped = F.regexp_replace(content, "\n", "")
+    keep = (
+        ~(
+            (F.length("header") > 0) & F.col("header").contains(nl_stripped)
+            | (F.length("footer") > 0) & F.col("footer").contains(nl_stripped)
+        )
+    ) & ~content.rlike(P.JAVA_PAGE_NUMBER_MATCH)
+    return df.filter((F.col("kind") != "TextBox") | keep).drop("header", "footer")
+
+
+def classify_spans(spans: DataFrame) -> DataFrame:
+    """Adds classification flag columns to an exploded span table.
+
+    Columns: first_line, line_count, is_section, section_num,
+    section_title, is_named, is_appendix, is_figure, is_table_title,
+    is_heading.
+    """
+    content = F.trim(F.col("text"))
+    fl = replace_extra_space(first_line(content))
+    df = (
+        spans.withColumn("content", content)
+        .withColumn("first_line", fl)
+        .withColumn("line_count", F.when(content == "", 0).otherwise(line_count(content)))
+    )
+    is_tb = F.col("kind") == "TextBox"
+    df = (
+        df.withColumn(
+            "is_section", is_tb & F.col("first_line").rlike(P.JAVA_SECTION_GROUPS)
+        )
+        .withColumn(
+            "section_num",
+            F.when(
+                F.col("is_section"),
+                F.trim(F.regexp_extract("first_line", P.JAVA_SECTION_GROUPS, 1)),
+            ),
+        )
+        .withColumn(
+            "section_title",
+            F.when(
+                F.col("is_section"),
+                F.trim(F.regexp_extract("first_line", P.JAVA_SECTION_GROUPS, 2)),
+            ),
+        )
+        .withColumn("is_named", is_tb & F.col("first_line").rlike(P.MATCHER_PREFIX))
+        .withColumn("is_appendix", is_tb & F.col("first_line").rlike(P.JAVA_APPENDIX))
+        .withColumn("is_figure", is_tb & F.col("first_line").rlike(P.JAVA_FIGURE))
+        .withColumn(
+            "is_table_title", is_tb & F.col("content").rlike(P.JAVA_TABLE_TITLE)
+        )
+    )
+    return df.withColumn(
+        "is_heading",
+        (F.col("is_section") | F.col("is_named") | F.col("is_appendix"))
+        & ~F.col("is_figure")
+        & ~F.col("is_table_title"),
+    )
+
+
+def with_current_section(classified: DataFrame) -> DataFrame:
+    """W3 — fill-down of the current section header in document order.
+
+    current_header = last heading first-line at or before this span
+    (ref: the `current_section_header` thread through
+    src/pdf_extractor.py:178,206 / element_processors.py:114-179).
+    Canonical heading text: 'num title' for numbered sections
+    (element_processors.py:130), first_line otherwise.
+    """
+    heading_text = F.when(
+        F.col("is_section"),
+        F.concat_ws(" ", "section_num", "section_title"),
+    ).otherwise(F.col("first_line"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return classified.withColumn(
+        "current_section",
+        F.last(F.when(F.col("is_heading"), heading_text), ignorenulls=True).over(w),
+    )
+
+
+def toc_skeleton(spans: DataFrame, patterns_to_strip=None) -> DataFrame:
+    """J4/A7 — TOC lines become the section skeleton, in order.
+
+    Ref: src/pdf_extractor.py:174-177 (cleanup: strip_characters +
+    replace_extra_space + strip) and :135-156 (1-based line numbers).
+    """
+    from pdfspark.config import PATTERNS_TO_STRIP
+    from pdfspark.functions.text import strip_characters
+
+    pats = patterns_to_strip or PATTERNS_TO_STRIP
+    toc = spans.filter(F.col("kind") == "TOC")
+    cleaned = F.trim(replace_extra_space(strip_characters(F.col("text"), pats)))
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    return toc.select(
+        "doc_id",
+        cleaned.alias("heading"),
+        F.row_number().over(w).alias("line_no"),
+    )
+
+
+def sections_assembled(classified_with_section: DataFrame) -> DataFrame:
+    """A2/A8 — assemble per-(doc, section) arrays then the section text.
+
+    paragraphs: multi-line heading boxes contribute their full content
+    (ref element_processors.py:137-140), non-heading multi-content
+    boxes attach to the current section (ref :168-174).
+    figures: caption boxes (X5) attach to the current section (:160-167).
+    tables: table titles (X6).
+    Output: one row per (doc_id, section) with paragraphs/figures/
+    tables arrays and the A8 concatenated section_text
+    (ref pdf_extractor.py:249-256).
+    """
+    df = classified_with_section.filter(
+        (F.col("kind") == "TextBox") & F.col("current_section").isNotNull()
+    )
+    role = (
+        F.when(F.col("is_heading") & (F.col("line_count") > 1), "paragraph")
+        .when(F.col("is_heading"), "heading_only")
+        .when(F.col("is_figure"), "figure")
+        .when(F.col("is_table_title"), "table")
+        .otherwise("paragraph")
+    )
+    df = df.withColumn("role", role)
+    # paragraphs attach only when a section is current; heading-only
+    # boxes contribute nothing but the heading itself.
+    agg = df.groupBy("doc_id", "current_section").agg(
+        F.min("offset").alias("first_offset"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(
+                        F.col("role") == "paragraph", F.struct("offset", "content")
+                    )
+                )
+            ),
+            lambda s: s["content"],
+        ).alias("paragraphs"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("role") == "figure", F.struct("offset", "content"))
+                )
+            ),
+            lambda s: s["content"],
+        ).alias("figures"),
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.when(F.col("role") == "table", F.struct("offset", "content"))
+                )
+            ),
+            lambda s: s["content"],
+        ).alias("tables"),
+    )
+    # A8 — heading + "\n" + " ".join(paragraphs) + "\n" + " ".join(figures)
+    return agg.select(
+        "doc_id",
+        F.col("current_section").alias("heading"),
+        "first_offset",
+        "paragraphs",
+        "figures",
+        "tables",
+        F.concat_ws(
+            "\n",
+            F.col("current_section"),
+            F.array_join("paragraphs", " "),
+            F.array_join("figures", " "),
+        ).alias("section_text"),
+    )
+
+
+def headings_to_toc(classified: DataFrame, toc: DataFrame) -> DataFrame:
+    """J1 — whole-word heading lookup as a broadcast theta join.
+
+    For each heading candidate, find the first TOC skeleton line that
+    contains it as a whole word (IGNORECASE), reproducing
+    Document.find_section_by_heading (ref src/document.py:99-112)
+    including first-match-wins (min line_no). The reference does NOT
+    regex-escape the heading; headings whose text is not a valid
+    pattern raise there — here the rlike simply fails to match (the
+    divergence is quarantined to the exact-parity fold).
+    """
+    cand = classified.filter(F.col("is_heading")).select(
+        "doc_id",
+        "offset",
+        F.coalesce(F.col("section_title"), F.col("first_line")).alias("lookup"),
+    )
+    clean = F.regexp_replace("lookup", r"[\W_]+$", "")
+    cand = cand.withColumn(
+        "pat", F.concat(F.lit("(?i)\\b"), clean, F.lit("\\b"))
+    )
+    joined = cand.join(
+        F.broadcast(toc),
+        (cand.doc_id == toc.doc_id) & F.expr("heading rlike pat"),
+        "left",
+    ).select(cand.doc_id, "offset", "lookup", "heading", "line_no")
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("doc_id", "offset").orderBy(
+        F.col("line_no").asc_nulls_last()
+    )
+    return (
+        joined.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

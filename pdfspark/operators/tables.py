@@ -1,0 +1,329 @@
+"""EP3 — table reconstruction (SURVEY.md §3 EP3, §2.3 J2/J3/J7,
+§2.4 A3/A4, §2.5 W2/W4).
+
+Two implementations:
+
+* ``extract_tables_exact`` — ``applyInPandas`` per (doc_id, page_id)
+  reproducing the reference fold *verbatim*, including its quirks
+  (stale row anchor after titles, pre-title row leaking into the first
+  table, empty-row emission): ref src/table_extractor.py:185-222
+  (extract_table_content) then :9-117 (textboxes_to_tabular_json).
+  This is the parity path, checked span-for-span by pytest against the
+  pure-Python oracle.
+
+* ``extract_tables_sql`` — pure DataFrame fast path with the
+  *intended* semantics (titles open tables, lag-based row islands,
+  no leaks). 100% Catalyst: window + groupBy, zero Python. This is
+  the path the DuckDB oracle checks and the one benchmarked at scale.
+
+Shuffle story: both paths shuffle once on (doc_id) — the window /
+applyInPandas grouping key prefix — then aggregate map-side.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pdfspark.config import Y_TOLERANCE
+from pdfspark.functions import patterns as P
+from pdfspark.operators.reading_order import with_reading_order
+
+TABLE_ROWS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("page_id", T.IntegerType()),
+        T.StructField("table_id", T.IntegerType()),
+        T.StructField("title", T.StringType()),
+        T.StructField("row_id", T.IntegerType()),
+        T.StructField("cells", T.ArrayType(T.StringType())),
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# exact-parity path
+# ---------------------------------------------------------------------------
+
+def fold_tables_page(textboxes: list[dict], header: str, footer: str,
+                     y_tolerance: float = Y_TOLERANCE) -> list[dict]:
+    """Verbatim port of the two-stage reference fold for ONE page.
+
+    ``textboxes``: dicts with text/x0/y0/x1/y1, already in reading
+    order (-y1, x1). Returns flat rows
+    (table_id, title, row_id, cells).
+    Ref: src/table_extractor.py:185-222 then :9-117.
+    """
+    # stage 1 — extract_table_content: before the first table title the
+    # header/footer/page-number strips are inactive; continued-prefix
+    # guard uses re.match (dead in practice, titles start with 'Table').
+    found_table = False
+    stage1 = []
+    for tb in textboxes:
+        text = tb["text"]
+        if found_table:
+            if text in header or text in footer:
+                continue
+            if P.RE_PAGE_NUMBER.match(text):
+                continue
+        m = P.RE_TABLE_TITLE.match(text)
+        if m:
+            title = m.group(0).strip()
+            if not re.match(P.CONTINUED, title, re.IGNORECASE):
+                stage1.append(tb)
+                found_table = True
+        else:
+            stage1.append(tb)
+
+    # stage 2 — textboxes_to_tabular_json (all quirks preserved).
+    tables: list[dict] = []
+    current_row: list[dict] = []
+    current_y = None
+    current_table = None
+
+    def flush_row(table):
+        srt = sorted(current_row, key=lambda t: t["x0"])
+        table["rows"].append([t["text"] for t in srt])
+
+    for tb in stage1:
+        content = tb["text"].replace("\n", "").strip()
+        if content in header or content in footer:
+            continue
+        if P.RE_PAGE_NUMBER.match(content):
+            continue
+        m = P.RE_TABLE_TITLE.match(content)
+        if m:
+            title = m.group(0).strip()
+            if not P.RE_CONTINUED.search(title.lower()):
+                if current_table is not None:
+                    if current_row:
+                        flush_row(current_table)
+                    current_row = []  # NOT cleared when no table yet (ref :56-65)
+                current_table = {"title": title, "rows": []}
+                tables.append(current_table)
+            else:
+                if current_table is not None and current_row:
+                    flush_row(current_table)
+                    current_row = []
+        elif current_y is None:
+            current_y = tb["y1"]
+            current_row.append(tb)
+        elif abs(tb["y1"] - current_y) <= y_tolerance:
+            current_row.append(tb)
+        else:
+            if current_table is not None:
+                flush_row(current_table)  # may emit an EMPTY row (quirk)
+                current_row = [tb]
+                current_y = tb["y1"]
+            else:
+                current_row = [tb]
+                current_y = tb["y1"]
+
+    if current_table is not None and current_row:
+        flush_row(current_table)
+
+    out = []
+    for ti, t in enumerate(tables):
+        for ri, cells in enumerate(t["rows"]):
+            out.append(dict(table_id=ti, title=t["title"], row_id=ri, cells=cells))
+        if not t["rows"]:
+            out.append(dict(table_id=ti, title=t["title"], row_id=-1, cells=None))
+    return out
+
+
+def extract_tables_exact(
+    spans_geom: DataFrame,
+    header_footer_df: DataFrame,
+    y_tolerance: float = Y_TOLERANCE,
+) -> DataFrame:
+    """Parity path: applyInPandas fold per (doc_id, page_id)."""
+    tb = with_reading_order(spans_geom).select(
+        "doc_id", "page_id", "text", "x0", "y0", "x1", "y1", "rord"
+    )
+    joined = tb.join(header_footer_df, "doc_id", "left").fillna(
+        {"header": "", "footer": ""}
+    )
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("rord")
+        header = pdf["header"].iloc[0] or ""
+        footer = pdf["footer"].iloc[0] or ""
+        boxes = pdf[["text", "x0", "y0", "x1", "y1"]].to_dict("records")
+        rows = fold_tables_page(boxes, header, footer, y_tolerance)
+        return pd.DataFrame(
+            [
+                dict(
+                    doc_id=pdf["doc_id"].iloc[0],
+                    page_id=int(pdf["page_id"].iloc[0]),
+                    **r,
+                )
+                for r in rows
+            ],
+            columns=[f.name for f in TABLE_ROWS_SCHEMA.fields],
+        )
+
+    return joined.groupBy("doc_id", "page_id").applyInPandas(run, TABLE_ROWS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# relational fast path (intended semantics)
+# ---------------------------------------------------------------------------
+
+def extract_tables_sql(
+    spans_geom: DataFrame,
+    header_footer_df: DataFrame,
+    y_tolerance: float = Y_TOLERANCE,
+    scope: str = "page",
+) -> DataFrame:
+    """Pure-DataFrame table reconstruction.
+
+    Intended semantics: a 'Table N' title opens a table; subsequent
+    non-title boxes cluster into rows via lag-based y1 islands (W4
+    running flag + A4 gaps-and-islands + A3 assembly); boxes before the
+    first title are discarded; header/footer/page-number boilerplate is
+    stripped everywhere.
+
+    scope="page": each page processed independently (reference main
+    path, ref src/pdf_extractor.py:392-414 loops pages); continued
+    titles open their own page-local table, to be merged later by
+    merge_continued_tables (the guarded J3).
+    scope="doc": the whole doc is one reading-order stream; continued
+    titles do NOT open a table, their rows continue the current one
+    (textboxes_to_tabular_json fed multi-page input).
+    """
+    per_doc = scope == "doc"
+    tb = with_reading_order(spans_geom)
+    df = tb.join(header_footer_df, "doc_id", "left").fillna(
+        {"header": "", "footer": ""}
+    )
+    clean = F.trim(F.regexp_replace("text", "\n", ""))
+    df = df.withColumn("clean", clean).filter(
+        (~F.col("header").contains(F.col("clean")))
+        & (~F.col("footer").contains(F.col("clean")))
+        & (~F.col("clean").rlike(P.JAVA_PAGE_NUMBER_MATCH))
+    )
+    is_title = F.col("clean").rlike(P.JAVA_TABLE_TITLE)
+    opens = (
+        (is_title & ~F.col("clean").rlike(P.JAVA_CONTINUED_SEARCH))
+        if per_doc
+        else is_title
+    )
+    df = df.withColumn("is_title", is_title).withColumn("opens", opens)
+
+    part = ["doc_id"] if per_doc else ["doc_id", "page_id"]
+    order = ["page_id", "rord"] if per_doc else ["rord"]
+    w_run = (
+        Window.partitionBy(*part)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    df = (
+        df.withColumn("table_id", F.sum(F.col("opens").cast("int")).over(w_run))
+        .withColumn("grp", F.sum(F.col("is_title").cast("int")).over(w_run))
+        .filter(F.col("table_id") >= 1)
+    )
+
+    titles = df.filter("opens").select(
+        *part, "table_id",
+        F.trim(F.regexp_extract("clean", P.JAVA_TABLE_TITLE, 1)).alias("title"),
+    )
+
+    data = df.filter(~F.col("is_title"))
+    w_grp = Window.partitionBy(*part, "grp").orderBy(*order)
+    prev_y1 = F.lag("y1").over(w_grp)
+    new_row = prev_y1.isNull() | (F.abs(F.col("y1") - prev_y1) > F.lit(y_tolerance))
+    if per_doc:
+        new_row = new_row | (F.lag("page_id").over(w_grp) != F.col("page_id"))
+    data = data.withColumn(
+        "row_id",
+        F.sum(new_row.cast("int")).over(
+            w_grp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    rows = data.groupBy(*part, "table_id", "grp", "row_id").agg(
+        F.min("page_id").alias("row_page_id") if per_doc
+        else F.first("page_id").alias("row_page_id"),
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("x0", "rord", "text"))),
+            lambda s: s["text"],
+        ).alias("cells"),
+    )
+    # within a table, rows from a later (continued-title) group follow
+    # earlier groups; renumber by (grp, row_id).
+    w_tbl = Window.partitionBy(*part, "table_id").orderBy("grp", "row_id")
+    rows = rows.withColumn("row_id", F.row_number().over(w_tbl))
+    out = rows.join(titles, [*part, "table_id"], "inner")
+    if per_doc:
+        out = out.withColumn("page_id", F.col("row_page_id"))
+    return out.select("doc_id", "page_id", "table_id", "title", "row_id", "cells")
+
+
+def merge_continued_tables(tables: DataFrame) -> DataFrame:
+    """J3 v2 — merge '(continued)' tables into their base table iff the
+    column count matches (ref src/utilities/parse_util.py:327-345:
+    base = title.split('(')[0].strip(); previous title must equal base,
+    case-insensitive; column lists must be equal).
+
+    Input/out: TABLE_ROWS_SCHEMA-shaped flat rows. Cross-page merge:
+    tables ordered by (page_id, table_id) per doc.
+    """
+    is_cont = F.lower(F.col("title")).contains("continued")
+    base = F.when(
+        is_cont, F.trim(F.element_at(F.split(F.col("title"), r"\("), 1))
+    ).otherwise(F.col("title"))
+    t = tables.withColumn("is_cont", is_cont).withColumn("base_title", base)
+
+    # per source table, the column arity of its first row (header row)
+    w_tbl = Window.partitionBy("doc_id", "page_id", "table_id")
+    t = t.withColumn("n_cols", F.max(F.when(F.col("row_id") == 1, F.size("cells"))).over(w_tbl))
+
+    # table-level frame ordered within doc
+    tbl = (
+        t.groupBy("doc_id", "page_id", "table_id", "title", "base_title",
+                  "is_cont", "n_cols")
+        .agg(F.count("*").alias("nr"))
+        .withColumn(
+            "tord",
+            F.row_number().over(
+                Window.partitionBy("doc_id").orderBy("page_id", "table_id")
+            ),
+        )
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("tord")
+    prev_title = F.lag("title").over(w_doc)
+    prev_cols = F.lag("n_cols").over(w_doc)
+    mergeable = (
+        F.col("is_cont")
+        & prev_title.isNotNull()
+        & (F.lower(prev_title) == F.lower(F.col("base_title")))
+        & (prev_cols == F.col("n_cols"))
+    )
+    tbl = tbl.withColumn(
+        "merged_id",
+        F.sum((~mergeable).cast("int")).over(
+            Window.partitionBy("doc_id").orderBy("tord")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    keyed = t.join(
+        tbl.select("doc_id", "page_id", "table_id", "merged_id"),
+        ["doc_id", "page_id", "table_id"],
+    )
+    w_merged = Window.partitionBy("doc_id", "merged_id").orderBy(
+        "page_id", "table_id", "row_id"
+    )
+    out = keyed.withColumn("row_id", F.row_number().over(w_merged))
+    first_title = F.first("title").over(
+        w_merged.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return out.withColumn("title", first_title).select(
+        "doc_id",
+        F.col("merged_id").alias("table_id"),
+        "title",
+        "row_id",
+        "cells",
+    )

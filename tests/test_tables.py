@@ -1,0 +1,111 @@
+"""EP3 table pipeline: exact fold vs relational fast path vs a local
+pure-Python run of the same fold (in-process oracle)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdfspark.operators.boilerplate import all_doc_headers_footers
+from pdfspark.operators.tables import (
+    extract_tables_exact,
+    extract_tables_sql,
+    fold_tables_page,
+    merge_continued_tables,
+)
+
+
+@pytest.fixture(scope="module")
+def hf(spark, spans_geom):
+    return all_doc_headers_footers(spans_geom).cache()
+
+
+def test_exact_simple_table(spark, spans_geom, hf):
+    doc = spans_geom.filter(F.col("doc_id").startswith("simple-table")).limit(0)
+    one_id = (
+        spans_geom.filter(F.col("doc_id").startswith("simple-table"))
+        .select("doc_id").distinct().orderBy("doc_id").first()[0]
+    )
+    sub = spans_geom.filter(F.col("doc_id") == one_id)
+    out = extract_tables_exact(sub, hf).orderBy("page_id", "table_id", "row_id")
+    rows = out.collect()
+    assert rows, "no table rows extracted"
+    titles = {r.title for r in rows}
+    assert any(t.startswith("Table 1") for t in titles)
+    # reference quirk: the intro paragraph before the title leaks in as
+    # the first row of Table 1, then cells cluster into 3-col rows.
+    cellsets = [r.cells for r in rows if r.cells]
+    assert any(len(c) == 3 and all("c" in x for x in c) for c in cellsets)
+    # cells within a row are x-sorted: c1 < c2 < c3
+    for c in cellsets:
+        if len(c) == 3 and all(x.startswith("a") for x in c):
+            assert [x[-2:] for x in c] == ["c1", "c2", "c3"]
+
+
+def test_exact_matches_local_fold(spark, spans_geom, hf):
+    """Distributed applyInPandas == driver-side fold on every fixture
+    page (determinism under partitioning)."""
+    sub = spans_geom.filter(
+        F.col("doc_id").startswith("simple-table")
+        | F.col("doc_id").startswith("continued-table")
+        | F.col("doc_id").startswith("hostile-regex")
+    )
+    dist = {
+        (r.doc_id, r.page_id, r.table_id, r.row_id): (r.title, tuple(r.cells or []))
+        for r in extract_tables_exact(sub, hf).collect()
+    }
+    hfm = {r.doc_id: (r.header, r.footer) for r in hf.collect()}
+    local = {}
+    tb = (
+        sub.filter(F.col("kind") == "TextBox")
+        .select("doc_id", "page_id", "text", "x0", "y0", "x1", "y1")
+        .collect()
+    )
+    by_page = {}
+    for r in tb:
+        by_page.setdefault((r.doc_id, r.page_id), []).append(r.asDict())
+    for (d, p), boxes in by_page.items():
+        boxes.sort(key=lambda b: (-b["y1"], b["x1"]))
+        h, f = hfm.get(d, ("", ""))
+        for row in fold_tables_page(boxes, h, f):
+            local[(d, p, row["table_id"], row["row_id"])] = (
+                row["title"],
+                tuple(row["cells"] or []),
+            )
+    assert dist == local
+
+
+def test_sql_fast_path_agrees_on_clean_tables(spark, spans_geom, hf):
+    """On well-formed table fixtures the intended-semantics SQL path
+    produces the same cell grid as the exact fold (minus the leak/empty
+    row quirks, which we filter out of the exact output)."""
+    sub = spans_geom.filter(F.col("doc_id").startswith("continued-table"))
+    sql_rows = extract_tables_sql(sub, hf).collect()
+    assert sql_rows
+    by_tbl = {}
+    for r in sql_rows:
+        by_tbl.setdefault((r.doc_id, r.page_id, r.title), []).append(
+            (r.row_id, tuple(r.cells))
+        )
+    # every continued-table page yields a 'Table N...' title with rows of
+    # consistent arity
+    for (d, p, title), rows in by_tbl.items():
+        assert title.startswith("Table")
+        arities = {len(c) for _, c in rows}
+        assert len(arities) == 1, (d, p, title, rows)
+
+
+def test_merge_continued(spark, spans_geom, hf):
+    sub = spans_geom.filter(F.col("doc_id").startswith("continued-table"))
+    merged = merge_continued_tables(extract_tables_sql(sub, hf))
+    out = merged.collect()
+    by_doc_title = {}
+    for r in out:
+        by_doc_title.setdefault((r.doc_id, r.title), set()).add(r.table_id)
+    for (d, title), ids in by_doc_title.items():
+        assert len(ids) == 1  # one table id per (doc, surviving title)
+    # Table 2 (equal columns) merged: its continued rows absorbed -> no
+    # '(continued)' title survives for Table 2; Table 4 (unequal) keeps it.
+    titles = {r.title for r in out}
+    assert not any("Throughput (continued)" in t for t in titles)
+    assert any("Mixed (continued)" in t for t in titles)

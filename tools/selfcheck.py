@@ -1,0 +1,79 @@
+"""Driver-mimic: run entry(), then every queries() entry at sf0.01 and
+compare with oracle_sql() via DuckDB (row count + schema + order-
+insensitive value hash). Usage: python tools/selfcheck.py [sf_dir]
+"""
+
+import hashlib
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb
+import pandas as pd
+
+import __spark_entry__ as E
+from pdfspark.session import build_session
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
+    cols = sorted(df.columns)
+    d = df[cols].copy()
+    for c in cols:
+        d[c] = d[c].map(lambda v: "NULL" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v))
+    rows = sorted("\x1f".join(r) for r in d.itertuples(index=False, name=None))
+    h = hashlib.md5("\x1e".join(rows).encode()).hexdigest()
+    return len(df), cols, h
+
+
+def main():
+    spark = build_session(master="local[8]", shuffle_partitions=8)
+    con = duckdb.connect()
+    for name in ("region nation customer supplier part orders lineitem "
+                 "events documents embeddings").split():
+        p = os.path.join(SF_DIR, f"{name}.parquet")
+        if os.path.exists(p):
+            con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
+
+    t0 = time.time()
+    edf = E.entry(spark)
+    n = edf.count()
+    print(f"entry: OK rows={n} cols={edf.columns} ({time.time()-t0:.1f}s)")
+
+    qs, os_ = E.queries(), E.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as ex:
+            failures.append(name)
+            print(f"{name}: SPARK ERROR {type(ex).__name__}: {str(ex)[:200]}")
+            continue
+        if name not in os_:
+            print(f"{name}: rows-only rows={len(sdf)} ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            odf = con.execute(os_[name]).df()
+        except Exception as ex:
+            failures.append(name)
+            print(f"{name}: ORACLE ERROR {type(ex).__name__}: {str(ex)[:200]}")
+            continue
+        sn, sc, sh = canon(sdf)
+        on, oc, oh = canon(odf)
+        ok = (sn, sc, sh) == (on, oc, oh)
+        if not ok:
+            failures.append(name)
+        print(f"{name}: {'MATCH' if ok else 'MISMATCH'} rows={sn}/{on} "
+              f"cols={'=' if sc == oc else f'{sc} vs {oc}'} "
+              f"hash={'=' if sh == oh else 'DIFF'} ({time.time()-t0:.1f}s)")
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} OK; failures: {failures}")
+    spark.stop()
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -234,8 +234,61 @@ def _q_sections(spark, sf_dir):
     )
 
 
+def _q_extract_spans(spark, sf_dir):
+    """North-rule flagship: exact extraction fold (mapInPandas) with the
+    skew splitter engaged, exploded to one row per output span. The
+    DuckDB oracle replicates the quirk-mode semantics relationally
+    (labels are state-free, see pdfspark/fold.py)."""
+    from pdfspark.operators.boilerplate import all_doc_headers_footers
+    from pdfspark.operators.extract import extract_spans_split
+
+    geom = _geom(spark, sf_dir)
+    hf = all_doc_headers_footers(geom)
+    out = extract_spans_split(_docs_in(spark, sf_dir), hf,
+                              skew_threshold=2000, spans_per_chunk=512)
+    return out.select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+
+
+def _q_extract_sections(spark, sf_dir):
+    """Sections side output of the exact fold (rows-only; parity vs the
+    reference transliteration is pytest-gated, tests/test_extract_parity)."""
+    from pdfspark.operators.boilerplate import all_doc_headers_footers
+    from pdfspark.operators.extract import extract_documents
+
+    geom = _geom(spark, sf_dir)
+    hf = all_doc_headers_footers(geom)
+    out = extract_documents(_docs_in(spark, sf_dir), hf)
+    return out.select(
+        "doc_id", "status", F.posexplode("sections").alias("section_id", "sec")
+    ).select(
+        "doc_id",
+        "section_id",
+        F.col("sec.heading").alias("heading"),
+        F.array_join("sec.paragraphs", "|").alias("paragraphs"),
+        F.array_join("sec.figures", "|").alias("figures"),
+    )
+
+
+def _q_lineage(spark, sf_dir):
+    from pdfspark.operators.boilerplate import all_doc_headers_footers
+    from pdfspark.operators.extract import extract_documents, lineage_table
+
+    geom = _geom(spark, sf_dir)
+    hf = all_doc_headers_footers(geom)
+    return lineage_table(extract_documents(_docs_in(spark, sf_dir), hf))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "ep1_extract_spans": _q_extract_spans,
+        "ep1_extract_sections": _q_extract_sections,
+        "lineage_metrics": _q_lineage,
         "w1_reading_order": _q_reading_order,
         "a1_header_footer": _q_header_footer,
         "f10_margin_candidates": _q_margin_candidates,
@@ -258,6 +311,7 @@ _PAGENO = r"(?i)^(?:Page|page|pg)\s(?:\d+|[ivx])+"
 _TABLE_TITLE = r"(?i)^(Table\s+\d+[\s\S]*)"
 _CONTINUED = r"(?i)(continued|cont\.{1}?)"
 _SECTION_GROUPS = r"^((?:\d+\.{0,1})(?:\d+)*(?:\.\d+)*)(\s+[A-Za-z][\w\s\-\,]+)"
+_SECTION_NOGRP = r"^(?:\d+\.{0,1})(?:\d+)*(?:\.\d+)*\s+[A-Za-z][\w\s\-\,]+"
 _NAMED = r"(?i)^(executive\s+summary|foreword|introduction|summary|bibliography|references)\b"
 _APPENDIX = r"(?i)^(Appendix|Annex)\s+[A-Z]\.*"
 _FIGURE = r"(?i)^Figure\s\d+|Fig\.\s\d+"
@@ -409,8 +463,45 @@ FROM secagg
 """
 
 
+_EXTRACT_SPANS_SQL = f"""
+WITH sg AS (SELECT * FROM {GEOM01}),
+bad AS (SELECT DISTINCT doc_id FROM sg WHERE kind = 'DecodeError'),
+tbx AS (
+  SELECT doc_id, kind, media_ref, "offset" AS o,
+         trim(text) AS content,
+         regexp_replace(split_part(trim(text), chr(10), 1), '\\s{{2,}}', ' ', 'g')
+           AS first_line
+  FROM sg WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+surv AS (
+  SELECT doc_id, o,
+    CASE
+      WHEN kind IN ('TextLine', 'Line', 'Rectangle') THEN kind
+      WHEN kind IN ('Figure', 'Image') THEN 'media'
+      WHEN trim(first_line) <> ''
+           OR regexp_matches(first_line, '{_SECTION_NOGRP}')
+        THEN 'heading'
+      WHEN regexp_matches(first_line, '{_APPENDIX}') THEN 'appendix'
+      WHEN regexp_matches(first_line, '{_FIGURE}') THEN 'figure_caption'
+      ELSE 'paragraph'
+    END AS kind_out,
+    CASE WHEN kind = 'TextBox' THEN content ELSE '' END AS text,
+    CASE WHEN kind IN ('Figure', 'Image') THEN media_ref END AS media_ref
+  FROM tbx
+  WHERE (kind = 'TextBox'
+         AND NOT (replace(content, chr(10), '') IN ('header', 'footer'))
+         AND NOT regexp_matches(content, '{_PAGENO}'))
+        OR kind IN ('TextLine', 'Line', 'Rectangle', 'Figure', 'Image'))
+SELECT doc_id,
+       CAST(row_number() OVER (PARTITION BY doc_id ORDER BY o) - 1 AS INT)
+         AS offset,
+       kind_out AS kind, text, media_ref
+FROM surv
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     return {
+        "ep1_extract_spans": _EXTRACT_SPANS_SQL,
         "w1_reading_order": f"""
             SELECT doc_id, page_id, "offset" AS offset,
                    CAST(row_number() OVER (PARTITION BY doc_id, page_id

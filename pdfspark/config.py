@@ -48,6 +48,12 @@ class ExtractConfig:
 
     start_page: int = 0
     matcher_always_fires: bool = True
+    # True reproduces the reference main-path quirk where the
+    # header/footer strip tests dict-key membership (only literal
+    # 'header'/'footer' texts stripped, src/processors/
+    # element_processors.py:69 with the dict from pdf_extractor.py:363);
+    # False applies the intended substring strip.
+    broken_hf_strip: bool = True
     top_margin: float = TOP_MARGIN
     bottom_margin: float = BOTTOM_MARGIN
     y_tolerance: float = Y_TOLERANCE

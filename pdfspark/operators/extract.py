@@ -1,0 +1,261 @@
+"""Exact-parity extraction over documents_in (SURVEY.md §7 Phase 3/4).
+
+``extract_documents``  — mapInPandas fold per document (Arrow batches)
+with explicit salted repartition on xxhash64(doc_id); emits spans +
+sections + per-doc lineage columns.
+
+``extract_spans_split`` — the skew path: documents whose span count
+exceeds a threshold are split into page chunks, folded in parallel,
+and reassembled in order. Correct because the output *span labels*
+depend only on each span's own text (branch selection is pure regex
+on the first line, see fold.py) — only the sections side-output is
+order-stateful, and that is kept on the sequential path.
+
+``lineage_table``      — per-partition metrics rows (partition_id,
+doc_count, bytes_in, spans_out, wall_ms) per the north rule.
+
+``resume_filter``      — anti-join against already-committed doc_ids
+(resume from the last committed snapshot).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from pdfspark.config import SKEW_SPAN_THRESHOLD, ExtractConfig
+from pdfspark.fold import fold_document
+from pdfspark.schema import SPAN
+
+SECTION_STRUCT = T.StructType(
+    [
+        T.StructField("heading", T.StringType()),
+        T.StructField("paragraphs", T.ArrayType(T.StringType())),
+        T.StructField("figures", T.ArrayType(T.StringType())),
+        T.StructField("tables", T.ArrayType(T.StringType())),
+    ]
+)
+
+EXTRACT_FULL = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("spans", T.ArrayType(SPAN)),
+        T.StructField("sections", T.ArrayType(SECTION_STRUCT)),
+        T.StructField("spans_in", T.LongType()),
+        T.StructField("spans_out", T.LongType()),
+        T.StructField("bytes_in", T.LongType()),
+        T.StructField("partition_id", T.IntegerType()),
+        T.StructField("wall_ms", T.DoubleType()),
+    ]
+)
+
+
+def _with_hf(documents_in: DataFrame, header_footer_df: DataFrame | None):
+    if header_footer_df is None:
+        return documents_in.withColumn("header", F.lit("")).withColumn(
+            "footer", F.lit("")
+        )
+    return documents_in.join(header_footer_df, "doc_id", "left").fillna(
+        {"header": "", "footer": ""}
+    )
+
+
+def _fold_batches(cfg: ExtractConfig):
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pyspark import TaskContext
+
+        pid = TaskContext.get().partitionId() if TaskContext.get() else -1
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                t0 = time.perf_counter()
+                spans = [
+                    dict(kind=s["kind"], text=s["text"],
+                         media_ref=s["media_ref"], offset=s["offset"])
+                    for s in (r.spans if r.spans is not None else [])
+                ]
+                res = fold_document(spans, r.header or "", r.footer or "", cfg)
+                wall = (time.perf_counter() - t0) * 1000.0
+                rows.append(
+                    dict(
+                        doc_id=r.doc_id,
+                        status=res["status"],
+                        spans=res["out_spans"],
+                        sections=res["sections"],
+                        spans_in=res["spans_in"],
+                        spans_out=res["spans_out"],
+                        bytes_in=sum(len(s["text"] or "") for s in spans),
+                        partition_id=pid,
+                        wall_ms=wall,
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in EXTRACT_FULL.fields]
+            )
+
+    return run
+
+
+def extract_documents(
+    documents_in: DataFrame,
+    header_footer_df: DataFrame | None = None,
+    cfg: ExtractConfig = ExtractConfig(),
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Sequential-per-doc exact fold; salted repartition first."""
+    df = _with_hf(documents_in, header_footer_df)
+    n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
+    # hash-repartition on doc_id: uniform unless one doc is huge (that
+    # case goes through extract_spans_split)
+    df = df.repartition(n, F.xxhash64("doc_id"))
+    return df.mapInPandas(_fold_batches(cfg), EXTRACT_FULL)
+
+
+CHUNKED_SPANS = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("chunk", T.IntegerType()),
+        T.StructField("spans", T.ArrayType(SPAN)),
+    ]
+)
+
+
+def extract_spans_split(
+    documents_in: DataFrame,
+    header_footer_df: DataFrame | None = None,
+    cfg: ExtractConfig = ExtractConfig(),
+    skew_threshold: int = SKEW_SPAN_THRESHOLD,
+    spans_per_chunk: int = 1024,
+) -> DataFrame:
+    """Span-sequence output (doc_id, spans) with skew splitting.
+
+    Big docs: explode spans, assign page-aligned chunks (a chunk
+    boundary never splits a page: chunk = page-group index), fold each
+    chunk independently, reassemble ordered and renumber offsets.
+    """
+    df = _with_hf(documents_in, header_footer_df)
+    is_big = F.size("spans") > F.lit(skew_threshold)
+    small = df.filter(~is_big)
+    big = df.filter(is_big)
+
+    small_out = (
+        small.repartition(F.xxhash64("doc_id"))
+        .mapInPandas(_fold_batches(cfg), EXTRACT_FULL)
+        .select("doc_id", "spans")
+    )
+
+    # --- skew path -------------------------------------------------------
+    # page_index per span = running count of PageStart markers; front-
+    # matter skip applied globally, then chunk id = floor(rank/chunk).
+    exploded = big.select(
+        "doc_id", "header", "footer", F.posexplode("spans").alias("pos", "s")
+    )
+    from pyspark.sql import Window
+
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    exploded = exploded.withColumn(
+        "page_index",
+        F.sum((F.col("s.kind") == "PageStart").cast("int")).over(w) - 1,
+    )
+    if cfg.start_page > 0:
+        exploded = exploded.filter(
+            (F.col("s.kind") == "TOC") | (F.col("page_index") >= cfg.start_page)
+        )
+    exploded = exploded.withColumn(
+        "chunk", (F.col("pos") / F.lit(spans_per_chunk)).cast("int")
+    )
+    # keep page alignment: a page's spans share the chunk of its PageStart
+    exploded = exploded.withColumn(
+        "chunk",
+        F.max(F.when(F.col("s.kind") == "PageStart", F.col("chunk"))).over(w),
+    ).withColumn("chunk", F.coalesce("chunk", F.lit(0)))
+
+    import dataclasses
+
+    chunk_cfg = dataclasses.replace(cfg, start_page=0)  # skip already applied
+    chunks = exploded.groupBy("doc_id", "chunk", "header", "footer").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "s"))).alias("ps")
+    ).select(
+        "doc_id", "chunk", "header", "footer",
+        F.transform(
+            "ps",
+            lambda x: F.struct(
+                x["s"]["kind"].alias("kind"),
+                x["s"]["text"].alias("text"),
+                x["s"]["media_ref"].alias("media_ref"),
+                x["pos"].cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+
+    def run_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                spans = [dict(kind=s["kind"], text=s["text"],
+                              media_ref=s["media_ref"], offset=s["offset"])
+                         for s in r.spans]
+                res = fold_document(spans, r.header or "", r.footer or "",
+                                    chunk_cfg)
+                rows.append(dict(doc_id=r.doc_id, chunk=r.chunk,
+                                 spans=res["out_spans"]))
+            yield pd.DataFrame(rows, columns=["doc_id", "chunk", "spans"])
+
+    folded = chunks.repartition(F.xxhash64("doc_id", "chunk")).mapInPandas(
+        run_chunks, CHUNKED_SPANS
+    )
+    big_out = (
+        folded.groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("chunk", "spans"))
+                    ),
+                    lambda x: x["spans"],
+                )
+            ).alias("raw")
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                "raw",
+                lambda s, i: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    i.cast("int").alias("offset"),
+                ),
+            ).alias("spans"),
+        )
+    )
+    return small_out.unionByName(big_out)
+
+
+def lineage_table(extracted_full: DataFrame) -> DataFrame:
+    """North-rule metrics: one row per executor partition."""
+    return extracted_full.groupBy("partition_id").agg(
+        F.count("*").alias("doc_count"),
+        F.sum("bytes_in").alias("bytes_in"),
+        F.sum("spans_out").alias("spans_out"),
+        F.sum("wall_ms").alias("wall_ms"),
+    )
+
+
+def resume_filter(documents_in: DataFrame, committed: DataFrame) -> DataFrame:
+    """Skip documents already present in the committed output snapshot
+    (exactly-once resume; ref analogue: the file-existence recompute
+    guards at src/pdf_extractor.py:343-349,377-383)."""
+    return documents_in.join(
+        committed.select("doc_id").distinct(), "doc_id", "left_anti"
+    )

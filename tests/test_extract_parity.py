@@ -1,0 +1,114 @@
+"""Span-sequence equality: engine fold vs reference-transliteration
+oracle (pure Python), then Spark plumbing vs the fold, then the skew
+splitter vs the unsplit path."""
+
+import itertools
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdfspark.config import ExtractConfig
+from pdfspark.fold import fold_document
+from pdfspark.operators.boilerplate import all_doc_headers_footers
+from pdfspark.operators.extract import (
+    extract_documents,
+    extract_spans_split,
+    lineage_table,
+    resume_filter,
+)
+from pdfspark.oracle import oracle_extract
+from pdfspark.synth import generate_docs
+
+
+def _docs():
+    return {d.doc_id: d.spans for d in generate_docs("sf0.001")}
+
+
+def _hf_strings(spark, spans_geom):
+    return {
+        r.doc_id: (r.header, r.footer)
+        for r in all_doc_headers_footers(spans_geom).collect()
+    }
+
+
+CONFIGS = [
+    ExtractConfig(),
+    ExtractConfig(matcher_always_fires=False),
+    ExtractConfig(broken_hf_strip=False),
+    ExtractConfig(start_page=3),
+    ExtractConfig(matcher_always_fires=False, broken_hf_strip=False,
+                  start_page=3),
+]
+
+
+@pytest.mark.parametrize("cfg", CONFIGS, ids=lambda c: (
+    f"quirk={c.matcher_always_fires},hf={c.broken_hf_strip},sp={c.start_page}"))
+def test_fold_matches_oracle_all_fixture_docs(spark, spans_geom, cfg):
+    hf = _hf_strings(spark, spans_geom)
+    n_checked = 0
+    for doc_id, spans in _docs().items():
+        sp = [dict(kind=s["kind"], text=s["text"], media_ref=s["media_ref"],
+                   offset=s["offset"]) for s in spans]
+        h, f = hf.get(doc_id, ("", ""))
+        got = fold_document(sp, h, f, cfg)
+        want = oracle_extract(sp, h, f, cfg)
+        assert got["status"] == want["status"], doc_id
+        assert got["out_spans"] == want["out_spans"], (
+            doc_id,
+            [a for a, b in itertools.zip_longest(
+                got["out_spans"], want["out_spans"]) if a != b][:3],
+        )
+        assert got["sections"] == want["sections"], doc_id
+        n_checked += 1
+    assert n_checked >= 60
+
+
+def test_spark_extract_matches_fold(spark, documents_in, spans_geom):
+    cfg = ExtractConfig()
+    hf_df = all_doc_headers_footers(spans_geom)
+    out = extract_documents(documents_in, hf_df, cfg)
+    got = {r.doc_id: (r.status, [t.asDict() for t in r.spans])
+           for r in out.collect()}
+    hf = _hf_strings(spark, spans_geom)
+    for doc_id, spans in _docs().items():
+        sp = [dict(kind=s["kind"], text=s["text"], media_ref=s["media_ref"],
+                   offset=s["offset"]) for s in spans]
+        h, f = hf.get(doc_id, ("", ""))
+        want = fold_document(sp, h, f, cfg)
+        assert got[doc_id][0] == want["status"]
+        assert got[doc_id][1] == want["out_spans"], doc_id
+
+
+def test_partitioning_determinism(spark, documents_in, spans_geom):
+    hf_df = all_doc_headers_footers(spans_geom)
+    a = extract_documents(documents_in, hf_df, num_partitions=2)
+    b = extract_documents(documents_in, hf_df, num_partitions=16)
+    ka = {(r.doc_id): [t.asDict() for t in r.spans] for r in a.collect()}
+    kb = {(r.doc_id): [t.asDict() for t in r.spans] for r in b.collect()}
+    assert ka == kb
+
+
+def test_skew_splitter_equality(spark, documents_in, spans_geom):
+    hf_df = all_doc_headers_footers(spans_geom)
+    # force the skew path for the 2000-span skew doc
+    split = extract_spans_split(documents_in, hf_df, skew_threshold=500,
+                                spans_per_chunk=200)
+    unsplit = extract_documents(documents_in, hf_df).select("doc_id", "spans")
+    ks = {r.doc_id: [t.asDict() for t in r.spans] for r in split.collect()}
+    ku = {r.doc_id: [t.asDict() for t in r.spans] for r in unsplit.collect()}
+    assert set(ks) == set(ku)
+    assert ks["skew-00000"], "skew doc produced no spans"
+    for d in ku:
+        assert ks[d] == ku[d], d
+
+
+def test_lineage_and_resume(spark, documents_in, spans_geom):
+    hf_df = all_doc_headers_footers(spans_geom)
+    full = extract_documents(documents_in, hf_df, num_partitions=4)
+    lin = lineage_table(full).collect()
+    assert sum(r.doc_count for r in lin) == documents_in.count()
+    assert all(r.wall_ms >= 0 for r in lin)
+    # resume: after committing half the docs, only the rest remain
+    committed = documents_in.limit(30).select("doc_id")
+    rest = resume_filter(documents_in, committed)
+    assert rest.count() == documents_in.count() - 30

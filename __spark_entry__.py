@@ -284,8 +284,217 @@ def _q_lineage(spark, sf_dir):
     return lineage_table(extract_documents(_docs_in(spark, sf_dir), hf))
 
 
+# ---------------------------------------------------------------------------
+# training-data pipeline queries (dedup / similarity / textstats / media)
+# ---------------------------------------------------------------------------
+
+def _docs_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = spark.read.parquet(os.path.join(sf_dir, "documents.parquet"))
+    aug = spark.read.parquet(
+        os.path.join(_fixture_dir(sf_dir), "documents_aug.parquet")
+    )
+    return td.select("doc_id", "text").unionByName(aug.select("doc_id", "text"))
+
+
+def _emb_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    td = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    aug = spark.read.parquet(
+        os.path.join(_fixture_dir(sf_dir), "embeddings_aug.parquet")
+    )
+    return td.select("vec_id", "embedding").unionByName(
+        aug.select("vec_id", "embedding")
+    )
+
+
+def _ann_queries(emb: DataFrame) -> DataFrame:
+    return emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 1000000))
+
+
+def _q_exact_dups(spark, sf_dir):
+    from pdfspark.operators.dedup import exact_duplicates
+
+    return exact_duplicates(_docs_all(spark, sf_dir))
+
+
+def _q_minhash_pairs(spark, sf_dir):
+    from pdfspark.operators.dedup import minhash_candidates
+
+    return minhash_candidates(_docs_all(spark, sf_dir))
+
+
+def _q_minhash_verified(spark, sf_dir):
+    from pdfspark.operators.dedup import minhash_verified
+
+    return minhash_verified(_docs_all(spark, sf_dir))
+
+
+def _q_simhash(spark, sf_dir):
+    from pdfspark.operators.dedup import simhash_signatures
+
+    return simhash_signatures(_docs_all(spark, sf_dir))
+
+
+def _q_simhash_pairs(spark, sf_dir):
+    from pdfspark.operators.dedup import simhash_candidates
+
+    return simhash_candidates(_docs_all(spark, sf_dir))
+
+
+def _q_langid(spark, sf_dir):
+    from pdfspark.operators.textstats import language_id
+
+    return language_id(_docs_all(spark, sf_dir))
+
+
+def _q_quality(spark, sf_dir):
+    from pdfspark.operators.textstats import quality_scores
+
+    return quality_scores(_docs_all(spark, sf_dir))
+
+
+def _q_tokens(spark, sf_dir):
+    from pdfspark.operators.textstats import token_counts
+
+    return token_counts(_docs_all(spark, sf_dir))
+
+
+def _q_fingerprints(spark, sf_dir):
+    from pdfspark.operators.textstats import fingerprints
+
+    return fingerprints(_docs_all(spark, sf_dir))
+
+
+def _q_ann_topk(spark, sf_dir):
+    from pdfspark.operators.similarity import cosine_topk
+
+    emb = _emb_all(spark, sf_dir)
+    return cosine_topk(emb, _ann_queries(emb))
+
+
+def _q_euclidean_topk(spark, sf_dir):
+    from pdfspark.operators.similarity import euclidean_topk
+
+    emb = _emb_all(spark, sf_dir)
+    return euclidean_topk(emb, _ann_queries(emb))
+
+
+def _q_neardup_lsh(spark, sf_dir):
+    from pdfspark.operators.similarity import neardup_lsh
+
+    return neardup_lsh(_emb_all(spark, sf_dir))
+
+
+def _q_max_score(spark, sf_dir):
+    from pdfspark.operators.retrieval import max_score_per_query
+    from pdfspark.operators.similarity import cosine_topk
+
+    emb = _emb_all(spark, sf_dir)
+    return max_score_per_query(cosine_topk(emb, _ann_queries(emb)))
+
+
+def _q_keyword_hits(spark, sf_dir):
+    from pdfspark.operators.retrieval import keyword_hits
+
+    kw = spark.read.parquet(
+        os.path.join(_fixture_dir(sf_dir), "keywords.parquet")
+    )
+    return keyword_hits(_docs_all(spark, sf_dir), kw)
+
+
+def _q_fill_down(spark, sf_dir):
+    from pdfspark.operators.retrieval import fill_down_events
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return fill_down_events(ev)
+
+
+def _q_tabular_pairs(spark, sf_dir):
+    from pdfspark.operators.retrieval import tabular_pairs
+
+    return tabular_pairs(_geom(spark, sf_dir))
+
+
+def _q_sessionize(spark, sf_dir):
+    from pdfspark.operators.retrieval import sessionize_events
+
+    ev = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    return sessionize_events(ev)
+
+
+def _q_stream_windowed(spark, sf_dir):
+    from pdfspark.streaming.windowed import windowed_counts_stream
+
+    return windowed_counts_stream(
+        spark, os.path.join(sf_dir, "events.parquet")
+    )
+
+
+def _q_media_features(spark, sf_dir):
+    from pdfspark.operators.media import media_features, media_table
+
+    return media_features(media_table(_docs_all(spark, sf_dir)))
+
+
+def _q_text_cleanup(spark, sf_dir):
+    """X11/F5-F8: the reference's scalar cleanup vocabulary
+    (parse_util.py:117-168) as parallel columns."""
+    g = _geom(spark, sf_dir).filter(F.col("kind") == "TextBox")
+    t = F.col("text")
+    stripped = F.regexp_replace(
+        F.regexp_replace(t, "€", " "), "\n", " "
+    )
+    return g.select(
+        "doc_id",
+        "offset",
+        F.regexp_replace(t, "[^a-zA-Z0-9]", "").alias("alnum_only"),
+        F.regexp_replace(t, r"[\W_]+$", "").alias("no_trailing_punct"),
+        F.regexp_replace(t, r"\s{2,}", " ").alias("collapsed"),
+        F.trim(F.regexp_replace(stripped, r"\s{2,}", " ")).alias("stripped"),
+    )
+
+
+def _q_lines_source(spark, sf_dir):
+    """S6: lines-file source (ref file_util.py:20-44) — read, trim,
+    drop empties (order-insensitive compare)."""
+    p = os.path.join(_fixture_dir(sf_dir), "lines.txt")
+    df = spark.read.text(p)
+    return (
+        df.select(F.trim("value").alias("line"))
+        .filter(F.col("line") != "")
+    )
+
+
+def _q_json_source(spark, sf_dir):
+    """S7: JSON source (ref file_util.py:177-194) with explicit schema."""
+    p = os.path.join(_fixture_dir(sf_dir), "meta.jsonl")
+    df = spark.read.schema("id long, name string, note string").json(p)
+    return df.select("id", "name", "note")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
+        "dd_exact_dups": _q_exact_dups,
+        "dd_minhash_pairs": _q_minhash_pairs,
+        "dd_minhash_verified": _q_minhash_verified,
+        "dd_simhash": _q_simhash,
+        "dd_simhash_pairs": _q_simhash_pairs,
+        "ts_langid": _q_langid,
+        "ts_quality": _q_quality,
+        "ts_tokens": _q_tokens,
+        "ts_fingerprints": _q_fingerprints,
+        "sim_ann_topk": _q_ann_topk,
+        "j5_topk_euclidean": _q_euclidean_topk,
+        "sim_neardup_lsh": _q_neardup_lsh,
+        "a6_max_score": _q_max_score,
+        "j6_keyword_hits": _q_keyword_hits,
+        "s11_fill_down": _q_fill_down,
+        "j7_tabular_pairs": _q_tabular_pairs,
+        "a9_sessionize": _q_sessionize,
+        "s8_stream_windowed": _q_stream_windowed,
+        "m1_media_features": _q_media_features,
+        "x11_text_cleanup": _q_text_cleanup,
+        "s6_lines_source": _q_lines_source,
+        "s7_json_source": _q_json_source,
         "ep1_extract_spans": _q_extract_spans,
         "ep1_extract_sections": _q_extract_sections,
         "lineage_metrics": _q_lineage,
@@ -500,7 +709,53 @@ FROM surv
 
 
 def oracle_sql() -> dict[str, str]:
-    return {
+    from pdfspark import oracle_pipeline as OP
+
+    pipeline = {
+        "dd_exact_dups": OP.exact_dups_sql(FIX01),
+        "dd_minhash_pairs": OP.minhash_pairs_sql(FIX01),
+        "dd_minhash_verified": OP.minhash_verified_sql(FIX01),
+        "dd_simhash": OP.simhash_sql(FIX01),
+        "dd_simhash_pairs": OP.simhash_pairs_sql(FIX01),
+        "ts_langid": OP.langid_sql(FIX01),
+        "ts_quality": OP.quality_sql(FIX01),
+        "ts_tokens": OP.tokens_sql(FIX01),
+        "ts_fingerprints": OP.fingerprints_sql(FIX01),
+        "sim_ann_topk": OP.ann_cosine_sql(FIX01),
+        "j5_topk_euclidean": OP.euclidean_topk_sql(FIX01),
+        "sim_neardup_lsh": OP.neardup_lsh_sql(FIX01),
+        "a6_max_score": OP.max_score_sql(FIX01),
+        "j6_keyword_hits": OP.keyword_hits_sql(FIX01),
+        "s11_fill_down": OP.fill_down_sql(),
+        "j7_tabular_pairs": OP.tabular_pairs_sql(GEOM01),
+        "a9_sessionize": OP.sessionize_sql(),
+        "s8_stream_windowed": OP.stream_windowed_sql(),
+        "m1_media_features": OP.media_features_sql(FIX01),
+        "x11_text_cleanup": f"""
+            SELECT doc_id, "offset" AS offset,
+                   regexp_replace(text, '[^a-zA-Z0-9]', '', 'g') AS alnum_only,
+                   regexp_replace(text, '[\\W_]+$', '') AS no_trailing_punct,
+                   regexp_replace(text, '\\s{{2,}}', ' ', 'g') AS collapsed,
+                   trim(regexp_replace(
+                     regexp_replace(regexp_replace(text, '€', ' ', 'g'),
+                                    chr(10), ' ', 'g'),
+                     '\\s{{2,}}', ' ', 'g')) AS stripped
+            FROM {GEOM01} WHERE kind = 'TextBox'
+        """,
+        "s6_lines_source": f"""
+            SELECT trim(column0) AS line
+            FROM read_csv('{FIX01}/lines.txt', header=false, sep=chr(1),
+                          quote='', columns={{'column0': 'VARCHAR'}})
+            WHERE trim(column0) <> ''
+        """,
+        "s7_json_source": f"""
+            SELECT id, name, note
+            FROM read_json('{FIX01}/meta.jsonl',
+                           columns={{'id': 'BIGINT', 'name': 'VARCHAR',
+                                     'note': 'VARCHAR'}})
+        """,
+    }
+    return pipeline | {
         "ep1_extract_spans": _EXTRACT_SPANS_SQL,
         "w1_reading_order": f"""
             SELECT doc_id, page_id, "offset" AS offset,

@@ -1,0 +1,245 @@
+"""Deduplication operators for the training-data pipeline.
+
+Exact dedup, MinHash+LSH near-dup, SimHash near-dup, and n-gram
+Jaccard verification over a `documents(doc_id bigint, text string)`
+table. Everything is pure DataFrame/SQL — no Python UDFs — so the
+plans stay inside whole-stage codegen and every step has a DuckDB
+oracle twin (__spark_entry__.oracle_sql).
+
+Engine-parity design note: MinHash permutations are realized as
+``min(md5(i || ':' || shingle))`` (lexicographic min over a keyed
+cryptographic hash), which is a valid minwise family and — unlike
+murmur/xxhash — produces bit-identical values in Spark and DuckDB.
+SimHash bits come from the md5 hex digits of each token (digit >= 8
+=> +1 else -1), again engine-portable.
+
+At 100 TB the shapes hold: shingling is a narrow explode; signatures
+are one hash-partitioned groupBy(doc_id); LSH banding turns the
+quadratic near-dup search into an equi-join on (band, band_key);
+Jaccard verification only touches LSH candidate pairs (semi-joined
+shingle sets), never all pairs.
+
+Reference basis: the reference deduplicates only boilerplate lines by
+substring containment (src/utilities/parse_util.py:436-440); corpus-
+level dedup is the standard extension a training-data pipeline needs
+(MinHash/LSH per Broder '97, SimHash per Charikar '02).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+NUM_PERM = 16
+NUM_BANDS = 4
+ROWS_PER_BAND = NUM_PERM // NUM_BANDS
+SHINGLE_WORDS = 3
+SIMHASH_HEX = 32  # md5 hex digits -> 32-bit signature
+SIMHASH_BANDS = 4
+
+
+def normalized_text(col):
+    """lower -> non-alnum runs to single space -> trim (engine-portable)."""
+    return F.trim(F.regexp_replace(F.lower(col), "[^a-z0-9]+", " "))
+
+
+def word_shingles(docs: DataFrame, n: int = SHINGLE_WORDS) -> DataFrame:
+    """(doc_id, shingle) — distinct word n-grams of the normalized text."""
+    toks = F.split(normalized_text(F.col("text")), " ")
+    sh = F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(0), F.size(toks) - n),
+                lambda i: F.concat_ws(
+                    " ", *[F.element_at(toks, i + j + 1) for j in range(n)]
+                ),
+            )
+        ),
+    ).otherwise(F.array())
+    return docs.select("doc_id", F.explode(sh).alias("shingle"))
+
+
+def exact_duplicates(docs: DataFrame) -> DataFrame:
+    """Hash-groupBy exact dedup on normalized text.
+
+    Returns one row per content group: the keeper (min doc_id), the
+    group size, and the sorted member list. One shuffle on the content
+    hash; at scale this is the cheapest pass and runs first.
+    """
+    h = F.md5(normalized_text(F.col("text")))
+    return (
+        docs.select(F.col("doc_id"), h.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count("*").cast("int").alias("n_copies"),
+            F.concat_ws(
+                ",", F.transform(F.array_sort(F.collect_list("doc_id")),
+                                 lambda d: d.cast("string"))
+            ).alias("doc_ids"),
+        )
+    )
+
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """doc_id + NUM_PERM minhash columns sig0..sigN.
+
+    One explode + one groupBy(doc_id); the 16 mins are computed as 16
+    aggregate expressions over the same shingle rows (single shuffle,
+    map-side partial aggregation applies).
+    """
+    sh = word_shingles(docs)
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig{i}")
+        for i in range(NUM_PERM)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def lsh_bands(sigs: DataFrame) -> DataFrame:
+    """Long-form (doc_id, band, band_key): band_key = md5 of its
+    ROWS_PER_BAND concatenated signature mins."""
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat(
+                    *[F.col(f"sig{b * ROWS_PER_BAND + r}")
+                      for r in range(ROWS_PER_BAND)]
+                )
+            )
+            for b in range(NUM_BANDS)
+        ]
+    )
+    return sigs.select(
+        "doc_id", F.posexplode(bands).alias("band", "band_key")
+    )
+
+
+def minhash_candidates(docs: DataFrame) -> DataFrame:
+    """Candidate near-dup pairs: docs sharing >= 1 LSH band.
+
+    The self-join is an equi-join on (band, band_key) — Catalyst picks
+    sort-merge/shuffled-hash with AQE skew splitting; no quadratic
+    compare ever happens.
+    """
+    bands = lsh_bands(minhash_signatures(docs))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count("*").cast("int").alias("n_shared_bands"))
+    )
+
+
+def minhash_verified(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
+    """LSH candidates verified with exact shingle Jaccard >= threshold.
+
+    Shingle sets are joined only for candidate pairs (the scale path:
+    |candidates| << |docs|^2).
+    """
+    sh = word_shingles(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    cands = minhash_candidates(docs)
+    sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
+    sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
+    inter = (
+        cands.select("doc_a", "doc_b")
+        .join(sh_a, "doc_a")
+        .join(sh_b, ["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    return (
+        inter.join(sizes.withColumnRenamed("doc_id", "doc_a")
+                   .withColumnRenamed("n_sh", "n_a"), "doc_a")
+        .join(sizes.withColumnRenamed("doc_id", "doc_b")
+              .withColumnRenamed("n_sh", "n_b"), "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(
+                F.col("n_inter")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _hexdig(c):
+    """hex char -> 0..15, identical in Spark and DuckDB (strpos)."""
+    return F.instr(F.lit("0123456789abcdef"), c) - 1
+
+
+def simhash_signatures(docs: DataFrame) -> DataFrame:
+    """32-bit SimHash as a bit-string column.
+
+    Features are distinct word bigrams (richer than unigrams, which
+    collapse under a small vocabulary). For each feature f and hex
+    position p, digit_p(md5(f)) contributes (digit - 7.5) to bit p;
+    the bit is 1 iff the sum is positive.
+    """
+    toks = word_shingles(docs, n=2).withColumnRenamed("shingle", "tok")
+    h = F.md5(F.col("tok"))
+    aggs = [
+        F.sum(_hexdig(F.substring(h, p + 1, 1)) - F.lit(7.5)).alias(f"s{p}")
+        for p in range(SIMHASH_HEX)
+    ]
+    sums = toks.groupBy("doc_id").agg(*aggs)
+    bits = F.concat(
+        *[F.when(F.col(f"s{p}") > 0, "1").otherwise("0")
+          for p in range(SIMHASH_HEX)]
+    )
+    return sums.select("doc_id", bits.alias("simhash"))
+
+
+def simhash_candidates(docs: DataFrame) -> DataFrame:
+    """Near-dup candidate pairs: equal in >= 1 of SIMHASH_BANDS
+    8-bit bands (standard Hamming-blocking), with the exact Hamming
+    distance computed only for candidates."""
+    w = SIMHASH_HEX // SIMHASH_BANDS
+    sigs = simhash_signatures(docs)
+    bands = sigs.select(
+        "doc_id",
+        "simhash",
+        F.posexplode(
+            F.array(*[F.substring("simhash", b * w + 1, w)
+                      for b in range(SIMHASH_BANDS)])
+        ).alias("band", "band_bits"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    # positional compare (engine-portable; avoids split-on-empty quirks)
+    ham = sum(
+        F.when(
+            F.substring("sh_a", p + 1, 1) != F.substring("sh_b", p + 1, 1), 1
+        ).otherwise(0)
+        for p in range(SIMHASH_HEX)
+    )
+    return pairs.select(
+        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+    )

@@ -1,0 +1,150 @@
+"""Retrieval tail + misc relational operators (SURVEY §2 phase 5).
+
+J6 keyword->prompt broadcast join, A6 max-score argmax, S11 CSV
+fill-down, J7 spatial tabular band-join, and events sessionization
+(the gaps-and-islands analogue of A4/A9 on a timestamped table).
+Pure DataFrame/SQL throughout.
+
+Reference basis cited per function.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def keyword_hits(docs: DataFrame, keywords: DataFrame) -> DataFrame:
+    """J6: keyword dimension joined against document text.
+
+    Reference: Neo4j `MATCH (k:Keyword) RETURN k.name, k.llm_prompt`
+    (src/data/graph_db.py:52-77) then per-keyword retrieval
+    (src/pdf_extractor.py:450-478). The dimension is tiny ->
+    broadcast; the contains() predicate runs map-side, no shuffle on
+    the fact table until the final small groupBy.
+    """
+    j = docs.join(
+        F.broadcast(keywords),
+        F.col("text").contains(F.col("keyword")),
+    )
+    return j.groupBy("keyword", "llm_prompt").agg(
+        F.count("*").cast("int").alias("n_docs"),
+        F.min("doc_id").alias("first_doc_id"),
+    )
+
+
+def max_score_per_query(topk: DataFrame) -> DataFrame:
+    """A6: per query keep the best hit, guarded by score*100 <= 100
+    (reference argmax loop,
+    src/generators/vector_db_query-results_to_csv_generator.py:33-44).
+    Input is cosine_topk output (query_id, rank, vec_id, sim)."""
+    guarded = topk.filter(F.col("sim") * 100 <= 100)
+    w = Window.partitionBy("query_id").orderBy("rank")
+    return (
+        guarded.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("query_id", F.col("vec_id").alias("best_vec_id"),
+                F.col("sim").alias("best_sim"))
+    )
+
+
+def fill_down_events(events: DataFrame) -> DataFrame:
+    """S11 fill-down semantics (carry forward last valid value) on the
+    events table: 'error' events have no trustworthy value; inherit
+    the user's previous non-error value.
+
+    Reference: category fill-down in the CSV generator
+    (src/generators/table_to_csv_generator.py:34-42) == last(...,
+    ignorenulls) over an ordered per-key window.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    v = F.when(F.col("event_type") != "error", F.col("value"))
+    return events.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.round(F.last(v, ignorenulls=True).over(w), 2).alias("filled_value"),
+    )
+
+
+def tabular_pairs(geom: DataFrame) -> DataFrame:
+    """J7: the reference's are_textboxes_tabular test
+    (src/utilities/parse_util.py:364-405) as a self-join.
+
+    Semantics reproduced exactly, including the quirky guards: a pair
+    is 'row' iff same-row AND NOT same-col AND NOT y-overlap; 'col'
+    iff same-col AND NOT same-row AND NOT x-overlap. Tolerances 10pt
+    (y) / 20pt (x) on box centers.
+
+    Scale shape: the join key is (doc_id, page_id) — element counts
+    per page are bounded, so the quadratic compare is partition-local;
+    no global cross join exists. AQE splits any skewed page.
+    """
+    tb = geom.filter(F.col("kind") == "TextBox").select(
+        "doc_id", "page_id", F.col("offset").alias("o"),
+        "x0", "y0", "x1", "y1",
+        ((F.col("y0") + F.col("y1")) / 2).alias("yc"),
+        ((F.col("x0") + F.col("x1")) / 2).alias("xc"),
+    )
+    a, b = tb.alias("a"), tb.alias("b")
+    same_row = F.abs(F.col("a.yc") - F.col("b.yc")) <= 10.0
+    same_col = F.abs(F.col("a.xc") - F.col("b.xc")) <= 20.0
+    x_overlap = ~((F.col("a.x1") < F.col("b.x0")) | (F.col("b.x1") < F.col("a.x0")))
+    y_overlap = ~((F.col("a.y1") < F.col("b.y0")) | (F.col("b.y1") < F.col("a.y0")))
+    rel = (
+        F.when(same_row & ~same_col & ~y_overlap, "row")
+        .when(same_col & ~same_row & ~x_overlap, "col")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.page_id") == F.col("b.page_id"))
+            & (F.col("a.o") < F.col("b.o")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.page_id").alias("page_id"),
+            F.col("a.o").alias("o_a"),
+            F.col("b.o").alias("o_b"),
+            rel.alias("relation"),
+        )
+        .filter(F.col("relation").isNotNull())
+    )
+
+
+def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Per-user sessionization: a new session starts when the gap to
+    the previous event exceeds gap_minutes (gaps-and-islands — the
+    same shape as the reference's row clustering A4,
+    src/table_extractor.py:80-101, and collation A9,
+    src/pdf_test_parse.py:238-303, applied to timestamps).
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # parquet gives TIMESTAMP_NTZ; session TZ is UTC so the cast is exact
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = us - F.lag(us).over(w)
+    marked = events.withColumn(
+        "new_sess",
+        F.when(gap.isNull() | (gap > gap_minutes * 60 * 1_000_000), 1)
+        .otherwise(0),
+    )
+    sess = marked.withColumn(
+        "session_id",
+        F.sum("new_sess").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"  # fixed-width: oracle strftime %f
+    tts = F.col("ts").cast("timestamp")
+    sess = sess.withColumn("session_id", F.col("session_id").cast("int"))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count("*").cast("int").alias("n_events"),
+        F.min(F.date_format(tts, fmt)).alias("start_ts"),
+        F.max(F.date_format(tts, fmt)).alias("end_ts"),
+        F.round(F.sum("value"), 2).alias("total_value"),
+    )

@@ -1,0 +1,182 @@
+"""Similarity search over embedding columns.
+
+Brute-force cosine/euclidean top-k as the correctness baseline and a
+random-hyperplane-LSH bucketed variant as the scale path, over an
+`embeddings(vec_id bigint, embedding array<float>, label int)` table
+(the driver testdata shape; dim=64).
+
+Engine parity: the LSH hyperplanes are deterministic constants
+derived from md5 at import time and inlined as literals into both the
+Spark plan and the DuckDB oracle SQL, so bucket signatures agree
+bit-for-bit. Similarities are computed on doubles and rounded to 4
+decimals before ranking, making ranks engine-stable.
+
+Scale shapes: the brute-force path broadcasts the (small) query side
+— a BroadcastNestedLoopJoin whose cost is |queries| x |corpus|, the
+right baseline but quadratic; the LSH path turns candidate generation
+into an equi-join on (band, band_bits), which shuffles by bucket and
+never compares across buckets. At 100 TB only the LSH path runs;
+brute force stays as the verification oracle on samples.
+
+Reference basis: Pinecone serverless top_k=5 euclidean queries
+(src/data/pinecone_vector_db.py:74,123-148,250-267) re-expressed as
+DataFrame joins; the index is the table itself.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+EMB_DIM = 64
+NUM_PLANES = 16
+PLANE_BANDS = 4  # 4 bands x 4 bits
+
+
+def _plane(p: int, dim: int = EMB_DIM) -> list[float]:
+    """Deterministic pseudo-random hyperplane in [-1, 1)^dim from md5."""
+    out = []
+    for d in range(dim):
+        h = hashlib.md5(f"plane|{p}|{d}".encode()).hexdigest()[:8]
+        out.append(int(h, 16) / 2**32 * 2.0 - 1.0)
+    return out
+
+
+PLANES: list[list[float]] = [_plane(p) for p in range(NUM_PLANES)]
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda s, v: s + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(_dot(a, a))
+
+
+def cosine_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Brute-force cosine top-k: broadcast the query side, rank by
+    rounded similarity (desc) with vec_id tie-break, keep k."""
+    e = emb.select(
+        F.col("vec_id"), _as_double(F.col("embedding")).alias("v"),
+        _norm(_as_double(F.col("embedding"))).alias("nv"),
+    )
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("qv"),
+        _norm(_as_double(F.col("embedding"))).alias("nq"),
+    )
+    sim = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 4)
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                "vec_id", "sim")
+    )
+
+
+def euclidean_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Reference Pinecone semantics (J5): top_k by euclidean distance."""
+    e = emb.select(F.col("vec_id"), _as_double(F.col("embedding")).alias("v"))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+        ),
+        4,
+    )
+    scored = (
+        e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", dist.alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                "vec_id", "dist")
+    )
+
+
+def hyperplane_signature(emb: DataFrame) -> DataFrame:
+    """(vec_id, sig) — NUM_PLANES sign bits of v . plane_p as a
+    bit-string (random-hyperplane LSH for angular distance)."""
+    v = _as_double(F.col("embedding"))
+    bits = F.concat(
+        *[
+            F.when(
+                _dot(v, F.array(*[F.lit(x) for x in PLANES[p]])) > 0, "1"
+            ).otherwise("0")
+            for p in range(NUM_PLANES)
+        ]
+    )
+    return emb.select("vec_id", bits.alias("sig"))
+
+
+def neardup_lsh(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
+    """Embedding near-dup pairs via banded hyperplane LSH + exact
+    cosine verification of candidates only."""
+    w = NUM_PLANES // PLANE_BANDS
+    sigs = hyperplane_signature(emb)
+    bands = sigs.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.substring("sig", b * w + 1, w)
+                      for b in range(PLANE_BANDS)])
+        ).alias("band", "band_bits"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_bits") == F.col("b.band_bits"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    e = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v"),
+        _norm(_as_double(F.col("embedding"))).alias("nv"),
+    )
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
+                  F.col("nv").alias("na"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
+                  F.col("nv").alias("nb"))
+    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
+    return (
+        cands.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .select("vec_a", "vec_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+    )
+
+
+def plane_sql_literal(p: int) -> str:
+    """The plane as a DuckDB list literal (for the oracle twin)."""
+    return "[" + ", ".join(repr(x) for x in PLANES[p]) + "]"

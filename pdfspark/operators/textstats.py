@@ -1,0 +1,176 @@
+"""Text-analysis operators for the training-data pipeline.
+
+Language-ID (marker-token heuristic), quality scoring, token
+counting (whitespace + BPE-ish regex), and document fingerprinting
+(winnowing over char k-gram hashes) on a `documents(doc_id, text)`
+table. All pure DataFrame/SQL (whole-stage codegen, no UDFs); every
+op has a DuckDB oracle twin.
+
+Scale shapes: quality/lang-id/token ops are narrow per-row
+projections (no shuffle at all); fingerprinting explodes char
+k-grams but aggregates back per doc_id in one shuffle, and the
+winnowing window is per-doc (partition-local after the shuffle).
+
+Reference basis: the reference's text cleanup vocabulary
+(src/utilities/parse_util.py:117-168 strips, whitespace collapse) is
+reused as the normalization front; corpus-level quality/lang-id/
+fingerprinting are the standard training-pipeline extensions
+(winnowing per Schleimer et al., SIGMOD '03).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from pdfspark.operators.dedup import normalized_text
+
+# marker stopwords per language; deterministic tie-break = list order.
+LANG_MARKERS: dict[str, list[str]] = {
+    "en": ["the", "a", "of", "and", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "das", "und", "ist"],
+    "fr": ["le", "la", "les", "des", "est"],
+    "zh": ["de", "shi", "zai", "he", "le"],
+}
+
+# BPE-ish pre-tokenizer: letter runs | digit runs | punct runs.
+# Kept lookahead-free so the Java-regex (Spark) and RE2 (DuckDB)
+# dialects agree byte-for-byte.
+BPE_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]+"
+
+FP_K = 8  # char k-gram size
+FP_W = 4  # winnowing window (positions)
+
+
+def _tok_count(toks, words: list[str]):
+    arr = F.array(*[F.lit(w) for w in words])
+    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+
+
+def language_id(docs: DataFrame) -> DataFrame:
+    """Predict language by marker-token counts; argmax with a
+    deterministic tie-break (first language in LANG_MARKERS order)."""
+    toks = F.split(normalized_text(F.col("text")), " ")
+    scored = docs.select(
+        "doc_id",
+        *[_tok_count(toks, ws).alias(f"score_{lang}")
+          for lang, ws in LANG_MARKERS.items()],
+    )
+    langs = list(LANG_MARKERS)
+    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    pred = F.lit(None).cast("string")
+    for lg in reversed(langs):
+        pred = F.when(F.col(f"score_{lg}") == best, lg).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        pred.alias("pred_lang"),
+        *[F.col(f"score_{lg}").cast("int").alias(f"score_{lg}") for lg in langs],
+    )
+
+
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword / digit ratio features and a
+    composite quality score (pure arithmetic — engine-portable)."""
+    text = F.col("text")
+    n_chars = F.length(text)
+    toks = F.split(normalized_text(text), " ")
+    n_words = F.size(F.filter(toks, lambda t: t != ""))
+    n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^a-zA-Z0-9\s]"), 0))
+    n_digit = F.size(F.regexp_extract_all(text, F.lit("[0-9]"), 0))
+    n_stop = _tok_count(toks, LANG_MARKERS["en"])
+    safe_w = F.greatest(n_words, F.lit(1))
+    safe_c = F.greatest(n_chars, F.lit(1))
+    mean_wl = F.round(
+        F.length(F.regexp_replace(normalized_text(text), " ", "")) / safe_w, 4
+    )
+    stop_ratio = F.round(n_stop / safe_w, 4)
+    punct_ratio = F.round(n_punct / safe_c, 4)
+    digit_ratio = F.round(n_digit / safe_c, 4)
+    score = F.round(
+        F.least(
+            F.lit(1.0),
+            F.greatest(
+                F.lit(0.0),
+                # 0.6 (not 0.5): products of 4-decimal ratios with 0.6
+                # never land on the .00005 rounding boundary, keeping
+                # round(.,4) engine-stable
+                F.lit(0.25)
+                + n_chars / F.lit(2000.0)
+                + stop_ratio * F.lit(0.6)
+                - punct_ratio * F.lit(2.0)
+                - digit_ratio * F.lit(1.0),
+            ),
+        ),
+        4,
+    )
+    return docs.select(
+        "doc_id",
+        n_chars.cast("int").alias("n_chars"),
+        n_words.cast("int").alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        stop_ratio.alias("stopword_ratio"),
+        punct_ratio.alias("punct_ratio"),
+        digit_ratio.alias("digit_ratio"),
+        score.alias("quality_score"),
+    )
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count + chars per
+    BPE token (the usual tokens-per-doc budget metric)."""
+    text = F.col("text")
+    ws = F.size(F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != ""))
+    bpe = F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
+    return docs.select(
+        "doc_id",
+        ws.cast("int").alias("n_ws_tokens"),
+        bpe.cast("int").alias("n_bpe_tokens"),
+        F.round(F.length(text) / F.greatest(bpe, F.lit(1)), 4).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+def fingerprints(docs: DataFrame) -> DataFrame:
+    """Winnowing fingerprint summary per doc.
+
+    Char FP_K-grams of the normalized text -> md5 -> per-position
+    window min over FP_W consecutive positions -> distinct selected
+    hashes. Emits (doc_id, n_fingerprints, fp_digest) where fp_digest
+    is the md5 of the sorted concatenation — a stable whole-doc
+    signature for copy detection.
+    """
+    norm = normalized_text(F.col("text"))
+    exploded = (
+        docs.select("doc_id", norm.alias("norm"))
+        .filter(F.length("norm") >= FP_K)
+        .select(
+            "doc_id",
+            F.posexplode(
+                F.expr(
+                    f"transform(sequence(1, length(norm) - {FP_K - 1}),"
+                    f" i -> md5(substring(norm, i, {FP_K})))"
+                )
+            ).alias("pos", "gh"),
+        )
+    )
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.currentRow, FP_W - 1)
+    )
+    n_pos = Window.partitionBy("doc_id")
+    selected = (
+        exploded.withColumn("win_min", F.min("gh").over(w))
+        .withColumn("max_pos", F.max("pos").over(n_pos))
+        .filter(F.col("pos") <= F.col("max_pos") - (FP_W - 1))
+        .select("doc_id", F.col("win_min").alias("fp"))
+        .distinct()
+    )
+    return selected.groupBy("doc_id").agg(
+        F.count("*").cast("int").alias("n_fingerprints"),
+        F.md5(F.concat_ws("", F.array_sort(F.collect_list("fp")))).alias(
+            "fp_digest"
+        ),
+    )

@@ -1,0 +1,466 @@
+"""DuckDB oracle twins for the training-data-pipeline operators.
+
+Every SQL string mirrors its Spark operator expression-for-expression
+(same normalization, same hash keys, same fold order, same rounding),
+with constants imported from the operator modules so the two sides
+cannot drift. `documents`, `embeddings`, `events` are the driver's
+pre-registered testdata views; augmented fixture tables are read by
+absolute path.
+"""
+
+from __future__ import annotations
+
+from pdfspark.operators.dedup import (
+    NUM_BANDS,
+    NUM_PERM,
+    ROWS_PER_BAND,
+    SHINGLE_WORDS,
+    SIMHASH_BANDS,
+    SIMHASH_HEX,
+)
+from pdfspark.operators.similarity import (
+    NUM_PLANES,
+    PLANE_BANDS,
+    plane_sql_literal,
+)
+from pdfspark.operators.textstats import (
+    BPE_TOKEN_RE,
+    FP_K,
+    FP_W,
+    LANG_MARKERS,
+)
+
+NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
+
+
+def _docs_all(fix: str) -> str:
+    return f"""
+docs_all AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id, text FROM read_parquet('{fix}/documents_aug.parquet')),
+normed AS (SELECT doc_id, text, {NORM} AS norm FROM docs_all),
+tokend AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS toks
+           FROM normed)
+"""
+
+
+def _shingles(n: int, name: str = "shingles") -> str:
+    parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
+    return f"""
+{name} AS (
+  SELECT DISTINCT doc_id,
+    unnest(list_transform(generate_series(1, greatest(len(toks)-{n - 1}, 0)),
+                          i -> {parts})) AS shingle
+  FROM tokend)
+"""
+
+
+def _minhash_cte() -> str:
+    sig_cols = ", ".join(
+        f"min(md5('{i}:' || shingle)) AS sig{i}" for i in range(NUM_PERM)
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        "SELECT doc_id, {b} AS band, md5({k}) AS band_key FROM sigs".format(
+            b=b,
+            k=" || ".join(
+                f"sig{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+            ),
+        )
+        for b in range(NUM_BANDS)
+    )
+    return f"""
+sigs AS (SELECT doc_id, {sig_cols} FROM shingles GROUP BY doc_id),
+bands AS (
+  {band_rows}),
+pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         CAST(count(*) AS INT) AS n_shared_bands
+  FROM bands a JOIN bands b
+       ON a.band = b.band AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id
+  GROUP BY 1, 2)
+"""
+
+
+def exact_dups_sql(fix: str) -> str:
+    return f"""
+WITH {_docs_all(fix)}
+SELECT md5(norm) AS content_hash,
+       min(doc_id) AS keeper_doc_id,
+       CAST(count(*) AS INT) AS n_copies,
+       array_to_string(list_transform(list_sort(list(doc_id)),
+                                      d -> CAST(d AS VARCHAR)), ',') AS doc_ids
+FROM normed GROUP BY 1
+"""
+
+
+def minhash_pairs_sql(fix: str) -> str:
+    return f"""
+WITH {_docs_all(fix)}, {_shingles(SHINGLE_WORDS)}, {_minhash_cte()}
+SELECT doc_a, doc_b, n_shared_bands FROM pairs
+"""
+
+
+def minhash_verified_sql(fix: str, threshold: float = 0.5) -> str:
+    return f"""
+WITH {_docs_all(fix)}, {_shingles(SHINGLE_WORDS)}, {_minhash_cte()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM pairs c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2)
+SELECT i.doc_a, i.doc_b,
+       round(i.n_inter / (na.n_sh + nb.n_sh - i.n_inter), 4) AS jaccard
+FROM inter i
+JOIN sizes na ON na.doc_id = i.doc_a
+JOIN sizes nb ON nb.doc_id = i.doc_b
+WHERE round(i.n_inter / (na.n_sh + nb.n_sh - i.n_inter), 4) >= {threshold}
+"""
+
+
+def _simhash_cte() -> str:
+    hexdig = (
+        "(strpos('0123456789abcdef', substr(md5(shingle), {p}, 1)) - 1 - 7.5)"
+    )
+    sums = ", ".join(
+        f"sum({hexdig.format(p=p + 1)}) AS s{p}" for p in range(SIMHASH_HEX)
+    )
+    bits = " || ".join(
+        f"CASE WHEN s{p} > 0 THEN '1' ELSE '0' END" for p in range(SIMHASH_HEX)
+    )
+    return f"""
+ssum AS (SELECT doc_id, {sums} FROM shingles2 GROUP BY doc_id),
+ssig AS (SELECT doc_id, {bits} AS simhash FROM ssum)
+"""
+
+
+def simhash_sql(fix: str) -> str:
+    return f"""
+WITH {_docs_all(fix)}, {_shingles(2, "shingles2")}, {_simhash_cte()}
+SELECT doc_id, simhash FROM ssig
+"""
+
+
+def simhash_pairs_sql(fix: str) -> str:
+    w = SIMHASH_HEX // SIMHASH_BANDS
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT doc_id, simhash, {b} AS band,"
+        f" substr(simhash, {b * w + 1}, {w}) AS band_bits FROM ssig"
+        for b in range(SIMHASH_BANDS)
+    )
+    ham = " + ".join(
+        f"CASE WHEN substr(sh_a, {p + 1}, 1) <> substr(sh_b, {p + 1}, 1)"
+        f" THEN 1 ELSE 0 END"
+        for p in range(SIMHASH_HEX)
+    )
+    return f"""
+WITH {_docs_all(fix)}, {_shingles(2, "shingles2")}, {_simhash_cte()},
+sbands AS (
+  {band_rows}),
+spairs AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM sbands a JOIN sbands b
+       ON a.band = b.band AND a.band_bits = b.band_bits
+          AND a.doc_id < b.doc_id)
+SELECT doc_a, doc_b, CAST({ham} AS INT) AS hamming FROM spairs
+"""
+
+
+def langid_sql(fix: str) -> str:
+    score_cols = ", ".join(
+        "len(list_filter(toks, x -> list_contains([{ws}], x))) AS score_{lg}".format(
+            lg=lg, ws=", ".join(f"'{w}'" for w in ws)
+        )
+        for lg, ws in LANG_MARKERS.items()
+    )
+    langs = list(LANG_MARKERS)
+    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+    pred = (
+        "CASE "
+        + " ".join(f"WHEN score_{lg} = {best} THEN '{lg}'" for lg in langs)
+        + " END"
+    )
+    casts = ", ".join(f"CAST(score_{lg} AS INT) AS score_{lg}" for lg in langs)
+    return f"""
+WITH {_docs_all(fix)},
+scored AS (SELECT doc_id, {score_cols} FROM tokend)
+SELECT doc_id, {pred} AS pred_lang, {casts} FROM scored
+"""
+
+
+def quality_sql(fix: str) -> str:
+    en = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    return f"""
+WITH {_docs_all(fix)},
+feat AS (
+  SELECT doc_id,
+         length(text) AS n_chars,
+         len(list_filter(toks, t -> t <> '')) AS n_words,
+         len(regexp_extract_all(text, '[^a-zA-Z0-9\\s]')) AS n_punct,
+         len(regexp_extract_all(text, '[0-9]')) AS n_digit,
+         len(list_filter(toks, x -> list_contains([{en}], x))) AS n_stop,
+         length(replace(norm, ' ', '')) AS alpha_chars
+  FROM tokend),
+ratios AS (
+  SELECT doc_id,
+         CAST(n_chars AS INT) AS n_chars,
+         CAST(n_words AS INT) AS n_words,
+         round(alpha_chars / greatest(n_words, 1), 4) AS mean_word_len,
+         round(n_stop / greatest(n_words, 1), 4) AS stopword_ratio,
+         round(n_punct / greatest(n_chars, 1), 4) AS punct_ratio,
+         round(n_digit / greatest(n_chars, 1), 4) AS digit_ratio
+  FROM feat)
+SELECT doc_id, n_chars, n_words, mean_word_len, stopword_ratio,
+       punct_ratio, digit_ratio,
+       round(least(1.0, greatest(0.0,
+             0.25 + n_chars / 2000.0 + stopword_ratio * 0.6
+             - punct_ratio * 2.0 - digit_ratio * 1.0)), 4) AS quality_score
+FROM ratios
+"""
+
+
+def tokens_sql(fix: str) -> str:
+    return f"""
+WITH {_docs_all(fix)},
+c AS (
+  SELECT doc_id, length(text) AS n_chars,
+         len(list_filter(string_split_regex(trim(text), '\\s+'),
+                         t -> t <> '')) AS ws,
+         len(regexp_extract_all(text, '{BPE_TOKEN_RE}')) AS bpe
+  FROM normed)
+SELECT doc_id, CAST(ws AS INT) AS n_ws_tokens, CAST(bpe AS INT) AS n_bpe_tokens,
+       round(n_chars / greatest(bpe, 1), 4) AS chars_per_token
+FROM c
+"""
+
+
+def fingerprints_sql(fix: str) -> str:
+    return f"""
+WITH {_docs_all(fix)},
+grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, length(norm) - {FP_K - 1}),
+                i -> struct_pack(pos := i, gh := md5(substr(norm, i, {FP_K})))))
+           AS s
+  FROM normed WHERE length(norm) >= {FP_K}),
+posed AS (SELECT doc_id, s.pos AS pos, s.gh AS gh FROM grams),
+winned AS (
+  SELECT doc_id, pos,
+         min(gh) OVER (PARTITION BY doc_id ORDER BY pos
+                       ROWS BETWEEN CURRENT ROW AND {FP_W - 1} FOLLOWING)
+           AS win_min,
+         max(pos) OVER (PARTITION BY doc_id) AS max_pos
+  FROM posed),
+sel AS (SELECT DISTINCT doc_id, win_min AS fp
+        FROM winned WHERE pos <= max_pos - {FP_W - 1})
+SELECT doc_id, CAST(count(*) AS INT) AS n_fingerprints,
+       md5(string_agg(fp, '' ORDER BY fp)) AS fp_digest
+FROM sel GROUP BY doc_id
+"""
+
+
+# --- embeddings ------------------------------------------------------------
+
+def _emb_all(fix: str) -> str:
+    return f"""
+emb_all AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id, embedding FROM read_parquet('{fix}/embeddings_aug.parquet')),
+ed AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM emb_all),
+en AS (SELECT vec_id, v,
+              sqrt(list_reduce(list_prepend(0.0,
+                   list_transform(generate_series(1, len(v)), i -> v[i]*v[i])),
+                   (a, b) -> a + b)) AS nv
+       FROM ed)
+"""
+
+
+_Q_PRED = "vec_id % 50 = 0 AND vec_id < 1000000"
+
+
+def _dot(a: str, b: str) -> str:
+    return (
+        f"list_reduce(list_prepend(0.0, list_transform("
+        f"generate_series(1, len({a})), i -> {a}[i]*{b}[i])), (x, y) -> x + y)"
+    )
+
+
+def ann_cosine_sql(fix: str, k: int = 5) -> str:
+    return f"""
+WITH {_emb_all(fix)},
+q AS (SELECT vec_id AS query_id, v AS qv, nv AS nq FROM en WHERE {_Q_PRED}),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         round({_dot("q.qv", "e.v")} / (q.nq * e.nv), 4) AS sim
+  FROM en e, q WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY sim DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, sim
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def euclidean_topk_sql(fix: str, k: int = 5) -> str:
+    sq = (
+        "list_reduce(list_prepend(0.0, list_transform("
+        "generate_series(1, len(e.v)), i -> (q.qv[i]-e.v[i])*(q.qv[i]-e.v[i])))"
+        ", (x, y) -> x + y)"
+    )
+    return f"""
+WITH {_emb_all(fix)},
+q AS (SELECT vec_id AS query_id, v AS qv FROM ed WHERE {_Q_PRED}),
+scored AS (
+  SELECT q.query_id, e.vec_id, round(sqrt({sq}), 4) AS dist
+  FROM ed e, q WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist ASC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, dist
+FROM ranked WHERE rank <= {k}
+"""
+
+
+def neardup_lsh_sql(fix: str, threshold: float = 0.99) -> str:
+    w = NUM_PLANES // PLANE_BANDS
+    bits = " || ".join(
+        f"CASE WHEN {_dot('v', f'({plane_sql_literal(p)}::DOUBLE[])')} > 0"
+        f" THEN '1' ELSE '0' END"
+        for p in range(NUM_PLANES)
+    )
+    band_rows = "\n  UNION ALL\n  ".join(
+        f"SELECT vec_id, {b} AS band, substr(sig, {b * w + 1}, {w})"
+        f" AS band_bits FROM vsig"
+        for b in range(PLANE_BANDS)
+    )
+    return f"""
+WITH {_emb_all(fix)},
+vsig AS (SELECT vec_id, {bits} AS sig FROM ed),
+vbands AS (
+  {band_rows}),
+cands AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM vbands a JOIN vbands b
+       ON a.band = b.band AND a.band_bits = b.band_bits
+          AND a.vec_id < b.vec_id),
+cos AS (
+  SELECT c.vec_a, c.vec_b,
+         round({_dot("ea.v", "eb.v")} / (ea.nv * eb.nv), 4) AS cosine
+  FROM cands c
+  JOIN en ea ON ea.vec_id = c.vec_a
+  JOIN en eb ON eb.vec_id = c.vec_b)
+SELECT vec_a, vec_b, cosine FROM cos WHERE cosine >= {threshold}
+"""
+
+
+def max_score_sql(fix: str, k: int = 5) -> str:
+    return f"""
+WITH topk AS ({ann_cosine_sql(fix, k)}),
+guarded AS (SELECT * FROM topk WHERE sim * 100 <= 100),
+rn AS (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rank) AS r
+       FROM guarded)
+SELECT query_id, vec_id AS best_vec_id, sim AS best_sim FROM rn WHERE r = 1
+"""
+
+
+# --- misc relational -------------------------------------------------------
+
+def keyword_hits_sql(fix: str) -> str:
+    return f"""
+WITH {_docs_all(fix)},
+kw AS (SELECT * FROM read_parquet('{fix}/keywords.parquet'))
+SELECT k.keyword, k.llm_prompt, CAST(count(*) AS INT) AS n_docs,
+       min(d.doc_id) AS first_doc_id
+FROM docs_all d JOIN kw k ON contains(d.text, k.keyword)
+GROUP BY 1, 2
+"""
+
+
+def fill_down_sql() -> str:
+    return """
+SELECT event_id, user_id, event_type,
+       round(last_value(CASE WHEN event_type <> 'error' THEN value END
+                        IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING), 2) AS filled_value
+FROM events
+"""
+
+
+def tabular_pairs_sql(geom: str) -> str:
+    same_row = "abs((a.y0+a.y1)/2 - (b.y0+b.y1)/2) <= 10.0"
+    same_col = "abs((a.x0+a.x1)/2 - (b.x0+b.x1)/2) <= 20.0"
+    x_overlap = "NOT (a.x1 < b.x0 OR b.x1 < a.x0)"
+    y_overlap = "NOT (a.y1 < b.y0 OR b.y1 < a.y0)"
+    return f"""
+WITH tb AS (
+  SELECT doc_id, page_id, "offset" AS o, x0, y0, x1, y1
+  FROM {geom} WHERE kind = 'TextBox')
+SELECT a.doc_id, a.page_id,
+       CAST(a.o AS INT) AS o_a, CAST(b.o AS INT) AS o_b,
+       CASE WHEN {same_row} AND NOT ({same_col}) AND NOT ({y_overlap})
+              THEN 'row'
+            WHEN {same_col} AND NOT ({same_row}) AND NOT ({x_overlap})
+              THEN 'col' END AS relation
+FROM tb a JOIN tb b
+     ON a.doc_id = b.doc_id AND a.page_id = b.page_id AND a.o < b.o
+WHERE (({same_row} AND NOT ({same_col}) AND NOT ({y_overlap}))
+       OR ({same_col} AND NOT ({same_row}) AND NOT ({x_overlap})))
+"""
+
+
+def sessionize_sql(gap_minutes: int = 30) -> str:
+    gap_us = gap_minutes * 60 * 1_000_000
+    return f"""
+WITH m AS (
+  SELECT *, CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+                   OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > {gap_us}
+                 THEN 1 ELSE 0 END AS new_sess
+  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+s AS (
+  SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM m)
+SELECT user_id, CAST(session_id AS INT) AS session_id,
+       CAST(count(*) AS INT) AS n_events,
+       min(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS start_ts,
+       max(strftime(ts, '%Y-%m-%d %H:%M:%S.%f')) AS end_ts,
+       round(sum(value), 2) AS total_value
+FROM s GROUP BY 1, 2
+"""
+
+
+def stream_windowed_sql() -> str:
+    return """
+SELECT strftime(time_bucket(INTERVAL 1 hour, ts), '%Y-%m-%d %H:%M:%S')
+         AS window_start,
+       event_type, CAST(count(*) AS INT) AS n_events,
+       round(sum(value), 2) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+
+def media_features_sql(fix: str) -> str:
+    def hexdig(p: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1)"
+
+    b0 = f"({hexdig(1)} * 16 + {hexdig(2)})"
+    b1 = f"({hexdig(3)} * 16 + {hexdig(4)})"
+    return f"""
+WITH {_docs_all(fix)}
+SELECT 'img://' || CAST(doc_id AS VARCHAR) AS media_ref,
+       'image' AS media_kind,
+       CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+       md5(text) AS content_md5,
+       CAST(16 + {b0} % 640 AS INT) AS fake_width,
+       CAST(16 + {b1} % 480 AS INT) AS fake_height,
+       'ok' AS status
+FROM docs_all
+"""

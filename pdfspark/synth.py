@@ -246,6 +246,26 @@ def gen_hostile_regex(b: DocBuilder, rng):
     _table_grid(b, rng, "Table 3 cont.", 2, 2, "h")  # X7 match-vs-search
 
 
+def gen_tabular_sparse(b: DocBuilder, rng):
+    """Thin boxes (h=4, row step 8) where the reference's quirky
+    are_textboxes_tabular guards (parse_util.py:364-405) actually
+    fire: adjacent-row cross-column pairs satisfy same-row-without-
+    y-overlap; near-column disjoint-x pairs satisfy the col branch."""
+    b.toc(["Introduction"])
+    b.new_page()
+    b.add("TextBox", f"1. Introduction\n{_body(rng, 1)}", h=24.0)
+    y = b.y
+    xs = [72.0, 160.0, 260.0]
+    for i in range(4):
+        for j, x in enumerate(xs):
+            b.add("TextBox", f"s r{i + 1}c{j + 1}", x0=x, w=10.0, h=4.0,
+                  y1=y - 8.0 * i)
+    # near-column pair: xc 16pt apart, disjoint x intervals, far y
+    b.add("TextBox", "colA", x0=400.0, w=10.0, h=4.0, y1=y)
+    b.add("TextBox", "colB", x0=416.0, w=10.0, h=4.0, y1=y - 40.0)
+    b.y = y - 60.0
+
+
 def gen_skew(b: DocBuilder, rng, n_spans: int):
     b.toc(["Introduction"])
     b.new_page()
@@ -287,6 +307,11 @@ def generate_docs(sf_name: str):
         GENERATORS[fam](b, rng)
         b.finish(shuffle_rng)
         docs.append(b)
+    # family 11: sparse tabular doc (J7 band-join evidence)
+    rng = random.Random(f"42|{sf_name}|tabular-sparse")
+    b = DocBuilder("tabular-sparse-00000")
+    gen_tabular_sparse(b, rng)
+    docs.append(b.finish())
     # family 10: skew doc
     rng = random.Random(f"42|{sf_name}|skew")
     b = DocBuilder("skew-00000")
@@ -356,6 +381,96 @@ def write_fixtures(sf_name: str, out_dir: str) -> None:
     pq.write_table(geom_tbl, os.path.join(out_dir, "spans_geom.parquet"))
 
 
+KEYWORDS = [
+    ("risk", "Summarize how risk is characterized."),
+    ("governance", "Explain the governance controls described."),
+    ("framework", "Describe the framework structure."),
+    ("model", "List model lifecycle considerations."),
+    ("data", "Summarize data handling requirements."),
+    ("spark", "Explain distributed execution notes."),
+    ("window", "Describe windowing semantics used."),
+    ("vector", "Summarize vector retrieval usage."),
+]
+
+TESTDATA_ROOT = "/root/testdata"
+
+
+def write_aux_fixtures(sf_name: str, out_dir: str) -> None:
+    """Augmented tables for the training-data-pipeline operators.
+
+    - documents_aug: every 25th testdata document re-emitted with its
+      first two words edited (doc_id + 1_000_000) => known near-dups
+      for MinHash/SimHash/Jaccard.
+    - embeddings_aug: every 25th vector with small deterministic
+      noise (vec_id + 1_000_000) => known high-cosine neighbors.
+    - keywords: the (keyword, llm_prompt) dimension (reference
+      Neo4j Keyword nodes, src/data/graph_db.py:52-77).
+    Inputs are read-only testdata parquet; outputs are deterministic.
+    """
+    os.makedirs(out_dir, exist_ok=True)
+    td = os.path.join(TESTDATA_ROOT, sf_name)
+
+    docs = pq.read_table(os.path.join(td, "documents.parquet"))
+    d = docs.to_pylist()
+    aug = []
+    for row in d[::25]:
+        words = row["text"].split(" ")
+        words[0] = "dupmark"
+        if len(words) > 1:
+            words[1] = "dupmark2"
+        t = " ".join(words)
+        aug.append(
+            dict(doc_id=row["doc_id"] + 1_000_000, text=t, lang=row["lang"],
+                 source=row["source"], n_chars=len(t))
+        )
+    for row in d[::50]:  # exact copies for the exact-dedup pass
+        aug.append(
+            dict(doc_id=row["doc_id"] + 2_000_000, text=row["text"],
+                 lang=row["lang"], source=row["source"],
+                 n_chars=row["n_chars"])
+        )
+    pq.write_table(
+        pa.Table.from_pylist(aug, schema=docs.schema),
+        os.path.join(out_dir, "documents_aug.parquet"),
+    )
+
+    emb = pq.read_table(os.path.join(td, "embeddings.parquet"))
+    e = emb.to_pylist()
+    aug_e = []
+    for row in e[::25]:
+        rng = random.Random(f"42|emb|{row['vec_id']}")
+        vec = [v + rng.uniform(-0.01, 0.01) for v in row["embedding"]]
+        aug_e.append(
+            dict(vec_id=row["vec_id"] + 1_000_000, embedding=vec,
+                 label=row["label"])
+        )
+    pq.write_table(
+        pa.Table.from_pylist(aug_e, schema=emb.schema),
+        os.path.join(out_dir, "embeddings_aug.parquet"),
+    )
+
+    kw = pa.table(
+        {"keyword": pa.array([k for k, _ in KEYWORDS], pa.string()),
+         "llm_prompt": pa.array([p for _, p in KEYWORDS], pa.string())}
+    )
+    pq.write_table(kw, os.path.join(out_dir, "keywords.parquet"))
+
+    # S6 lines-file source fixture (ref file_util.py:20-44): leading/
+    # trailing blanks + empty lines; no quotes/commas (CSV-oracle safe)
+    lines = ["  heading one", "plain line", "", "   ", "trailing spaces   ",
+             "last line"]
+    with open(os.path.join(out_dir, "lines.txt"), "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+
+    # S7 JSON source fixture (ref file_util.py:177-194): one object per
+    # line with the document-JSON shape's scalar fields
+    import json as _json
+
+    with open(os.path.join(out_dir, "meta.jsonl"), "w") as fh:
+        for i, (k, p) in enumerate(KEYWORDS):
+            fh.write(_json.dumps({"id": i, "name": k, "note": p}) + "\n")
+
+
 FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
 
 
@@ -366,6 +481,10 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
     marker = os.path.join(out, "spans_geom.parquet")
     if not os.path.exists(marker):
         write_fixtures(sf_name, out)
+    if not os.path.exists(os.path.join(out, "meta.jsonl")) and os.path.isdir(
+        os.path.join(TESTDATA_ROOT, sf_name)
+    ):
+        write_aux_fixtures(sf_name, out)
     return out
 
 

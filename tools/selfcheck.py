@@ -16,7 +16,13 @@ import pandas as pd
 import __spark_entry__ as E
 from pdfspark.session import build_session
 
-SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+ARGS = [a for a in sys.argv[1:] if not a.startswith("--")]
+SF_DIR = ARGS[0] if ARGS else "/root/testdata/sf0.01"
+ONLY = None
+SKIP_ENTRY = "--skip-entry" in sys.argv
+for a in sys.argv[1:]:
+    if a.startswith("--only="):
+        ONLY = set(a.split("=", 1)[1].split(","))
 
 
 def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
@@ -38,12 +44,15 @@ def main():
         if os.path.exists(p):
             con.execute(f"CREATE VIEW {name} AS SELECT * FROM read_parquet('{p}')")
 
-    t0 = time.time()
-    edf = E.entry(spark)
-    n = edf.count()
-    print(f"entry: OK rows={n} cols={edf.columns} ({time.time()-t0:.1f}s)")
+    if not SKIP_ENTRY:
+        t0 = time.time()
+        edf = E.entry(spark)
+        n = edf.count()
+        print(f"entry: OK rows={n} cols={edf.columns} ({time.time()-t0:.1f}s)")
 
     qs, os_ = E.queries(), E.oracle_sql()
+    if ONLY is not None:
+        qs = {k: v for k, v in qs.items() if k in ONLY}
     failures = []
     for name, fn in qs.items():
         t0 = time.time()

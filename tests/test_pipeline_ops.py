@@ -1,0 +1,200 @@
+"""Training-data pipeline operators: planted-duplicate recovery,
+determinism under repartitioning, and reference-semantics checks."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdfspark.operators.dedup import (
+    exact_duplicates,
+    minhash_candidates,
+    minhash_verified,
+    simhash_candidates,
+    simhash_signatures,
+)
+from pdfspark.operators.media import media_features, media_table
+from pdfspark.operators.retrieval import (
+    fill_down_events,
+    sessionize_events,
+    tabular_pairs,
+)
+from pdfspark.operators.similarity import (
+    cosine_topk,
+    euclidean_topk,
+    neardup_lsh,
+)
+from pdfspark.operators.textstats import (
+    fingerprints,
+    language_id,
+    quality_scores,
+    token_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs_all(spark, fixture_dir):
+    td = spark.read.parquet(os.path.join(SF_DIR, "documents.parquet"))
+    aug = spark.read.parquet(os.path.join(fixture_dir, "documents_aug.parquet"))
+    return (
+        td.select("doc_id", "text")
+        .unionByName(aug.select("doc_id", "text"))
+        .cache()
+    )
+
+
+@pytest.fixture(scope="module")
+def emb_all(spark, fixture_dir):
+    td = spark.read.parquet(os.path.join(SF_DIR, "embeddings.parquet"))
+    aug = spark.read.parquet(os.path.join(fixture_dir, "embeddings_aug.parquet"))
+    return (
+        td.select("vec_id", "embedding")
+        .unionByName(aug.select("vec_id", "embedding"))
+        .cache()
+    )
+
+
+def test_exact_dedup_finds_planted_copies(docs_all):
+    groups = exact_duplicates(docs_all).filter(F.col("n_copies") > 1).collect()
+    assert groups, "planted exact copies not found"
+    for g in groups:
+        ids = [int(x) for x in g.doc_ids.split(",")]
+        assert g.keeper_doc_id == min(ids)
+        assert any(i >= 2_000_000 for i in ids)  # the planted copy
+        assert any(i < 1_000_000 for i in ids)  # its original
+
+
+def test_minhash_recovers_neardups(docs_all):
+    """Every planted near-dup (2 words edited) must surface as an LSH
+    candidate and verify with high Jaccard; exact copies too."""
+    pairs = {(r.doc_a, r.doc_b) for r in minhash_candidates(docs_all).collect()}
+    originals = [
+        r.doc_id for r in docs_all.filter(F.col("doc_id") >= 1_000_000)
+        .filter(F.col("doc_id") < 2_000_000).collect()
+    ]
+    found = sum((o - 1_000_000, o) in pairs for o in originals)
+    # banding is probabilistic; at J~0.85 expect near-total recall
+    assert found >= int(0.8 * len(originals)), (found, len(originals))
+    verified = minhash_verified(docs_all).collect()
+    jacc = {(r.doc_a, r.doc_b): r.jaccard for r in verified}
+    for o in originals:
+        key = (o - 1_000_000, o)
+        if key in jacc:
+            assert jacc[key] >= 0.5
+
+
+def test_simhash_close_for_neardups(docs_all):
+    sigs = {r.doc_id: r.simhash for r in simhash_signatures(docs_all).collect()}
+    near = [
+        (d - 1_000_000, d) for d in sigs if 1_000_000 <= d < 2_000_000
+    ]
+    for a, b in near:
+        ham = sum(x != y for x, y in zip(sigs[a], sigs[b]))
+        assert ham <= 8, (a, b, ham)
+    cands = simhash_candidates(docs_all)
+    assert cands.filter(F.col("hamming") == 0).count() > 0
+
+
+def test_dedup_deterministic_under_repartition(docs_all):
+    base = sorted(
+        (r.doc_a, r.doc_b, r.n_shared_bands)
+        for r in minhash_candidates(docs_all).collect()
+    )
+    shuffled = sorted(
+        (r.doc_a, r.doc_b, r.n_shared_bands)
+        for r in minhash_candidates(docs_all.repartition(13)).collect()
+    )
+    assert base == shuffled
+
+
+def test_textstats_shapes(docs_all):
+    n = docs_all.count()
+    for fn in (language_id, quality_scores, token_counts, fingerprints):
+        out = fn(docs_all)
+        assert out.count() == n, fn.__name__
+    q = quality_scores(docs_all).collect()
+    for r in q:
+        assert 0.0 <= r.quality_score <= 1.0
+        assert r.n_words > 0
+
+
+def test_ann_planted_neighbor_is_top1(emb_all):
+    """The noised copy of each query vector must be its top cosine hit."""
+    queries = emb_all.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 1_000_000)
+    )
+    top = cosine_topk(emb_all, queries, k=1).collect()
+    have_aug = {
+        r.vec_id - 1_000_000
+        for r in emb_all.filter(F.col("vec_id") >= 1_000_000).collect()
+    }
+    for r in top:
+        if r.query_id in have_aug:
+            assert r.vec_id == r.query_id + 1_000_000, r
+            assert r.sim > 0.99
+
+
+def test_euclidean_topk_is_sorted(emb_all):
+    queries = emb_all.filter(
+        (F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 1_000_000)
+    )
+    rows = euclidean_topk(emb_all, queries, k=5).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append((r.rank, r.dist))
+    for q, rs in by_q.items():
+        rs.sort()
+        assert [r for r, _ in rs] == list(range(1, len(rs) + 1))
+        dists = [d for _, d in rs]
+        assert dists == sorted(dists)
+
+
+def test_lsh_neardup_recovers_planted(emb_all):
+    pairs = {(r.vec_a, r.vec_b) for r in neardup_lsh(emb_all).collect()}
+    planted = {
+        (v - 1_000_000, v)
+        for v in (
+            r.vec_id for r in emb_all.filter(F.col("vec_id") >= 1_000_000)
+            .collect()
+        )
+    }
+    # hyperplane banding: expect >= 80% recall of the planted pairs
+    assert len(pairs & planted) >= int(0.8 * len(planted))
+
+
+def test_media_features_deterministic(docs_all):
+    m = media_table(docs_all.limit(20))
+    a = {r.media_ref: (r.byte_len, r.content_md5, r.fake_width, r.fake_height)
+         for r in media_features(m).collect()}
+    b = {r.media_ref: (r.byte_len, r.content_md5, r.fake_width, r.fake_height)
+         for r in media_features(m.repartition(7)).collect()}
+    assert a == b
+    assert all(v[0] > 0 for v in a.values())
+
+
+def test_fill_down_never_null_after_first_valid(spark):
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    out = fill_down_events(ev)
+    # any row whose user had a prior non-error event must be filled
+    errs = out.filter(
+        (F.col("event_type") == "error") & F.col("filled_value").isNull()
+    ).count()
+    total_err = out.filter(F.col("event_type") == "error").count()
+    assert errs < total_err  # some errors are filled from history
+
+
+def test_sessionize_covers_all_events(spark):
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    sess = sessionize_events(ev)
+    assert sess.agg(F.sum("n_events")).first()[0] == ev.count()
+    assert sess.filter(F.col("start_ts") > F.col("end_ts")).count() == 0
+
+
+def test_tabular_pairs_fire_on_sparse_fixture(spark, spans_geom):
+    rows = tabular_pairs(
+        spans_geom.filter(F.col("doc_id") == "tabular-sparse-00000")
+    ).collect()
+    rels = {r.relation for r in rows}
+    assert "row" in rels and "col" in rels

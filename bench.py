@@ -64,37 +64,162 @@ def _flagship(spark, sf_dir: str):
     return E.queries()["ep1_extract_spans"](spark, sf_dir)
 
 
-def _run_once(master: str, shuffle: int, sf_dir: str):
+# Replication factor for the scaling pair: the sf0.1 fold finishes in
+# ~6 s on 32 cores, so fixed overhead (scheduler, Python worker spin-up)
+# would dominate an N-vs-4N comparison. Replicating the input K times
+# (distinct doc_ids, same per-doc work) keeps the job identical in
+# shape while making compute, not overhead, the measured quantity.
+REPLICATE = int(os.environ.get("PDFSPARK_BENCH_REPLICATE", "16"))
+
+
+def _scaling_job(spark, sf_dir: str, k: int):
+    """The flagship job on a K-times-replicated input: BOTH inputs
+    (span documents and layout geometry, from which header/footer
+    boilerplate is derived) are replicated with distinct doc_ids, so
+    every stage's work grows with K — same job, bigger input."""
+    from pyspark.sql import functions as F
+
+    from pdfspark.operators.boilerplate import all_doc_headers_footers
+    from pdfspark.operators.extract import extract_spans_split
+
+    reps = spark.range(k).select(F.col("id").cast("string").alias("rep"))
+    rep_id = F.concat_ws("#", "rep", "doc_id").alias("doc_id")
+
+    geom = E._geom(spark, sf_dir)
+    geom_k = geom.crossJoin(reps).select(
+        rep_id, *[c for c in geom.columns if c != "doc_id"]
+    )
+    hf_k = all_doc_headers_footers(geom_k)
+
+    docs = E._docs_in(spark, sf_dir)
+    docs_k = docs.crossJoin(reps).select(rep_id, "spans")
+    return extract_spans_split(docs_k, hf_k, skew_threshold=2000,
+                               spans_per_chunk=512)
+
+
+def _run_once(master: str, shuffle: int, sf_dir: str, k: int = REPLICATE,
+              repeats: int = 3):
+    """Best-of-N timing: the min over repeats estimates unloaded
+    capacity (the sandbox hosts other periodic jobs, so single-shot
+    wall times are contaminated by external load)."""
     spark = build_session(master=master, shuffle_partitions=shuffle)
     try:
-        n_docs = E.queries()["ep1_extract_spans"](spark, sf_dir).select(
+        n_docs = _scaling_job(spark, sf_dir, k).select(
             "doc_id"
         ).distinct().count()
-        # warm the JVM + python workers once, then measure
+        # warm the JVM + python workers once (small pass), then measure
         _force(_flagship(spark, sf_dir))
-        t0 = time.time()
-        _force(_flagship(spark, sf_dir))
-        dt = time.time() - t0
+        dt = None
+        for _ in range(repeats):
+            t0 = time.time()
+            _force(_scaling_job(spark, sf_dir, k))
+            d = time.time() - t0
+            dt = d if dt is None else min(dt, d)
     finally:
         spark.stop()
     return n_docs, dt
+
+
+LEVELS = [2, 8, 32]
+
+
+def _cpu_control(spark):
+    """Embarrassingly-parallel JVM-only job (20M md5, one tiny agg):
+    measures how much parallel speedup this box can physically deliver.
+    The sandbox's 32 vCPUs share host capacity, so even perfect code
+    cannot reach 4x past ~8 threads — the job's efficiency must be
+    read against this ceiling."""
+    from pyspark.sql import functions as F
+
+    return spark.range(20_000_000, numPartitions=64).select(
+        F.sum(F.length(F.md5(F.col("id").cast("string")))).alias("s")
+    )
+
+
+def _scaling_report() -> dict:
+    """Same job (and a pure-CPU control) at local[2] / local[8] /
+    local[32] on the same replicated input. Interleaved cycles with
+    min-per-level: the sandbox has bursty external load and the shared
+    JVM gateway carries JIT state across sessions, so a single ordered
+    pair would be biased."""
+    job_t: dict[int, float] = {}
+    ctl_t: dict[int, float] = {}
+    nd = 0
+    for _ in range(2):
+        for lvl in LEVELS:
+            spark = build_session(master=f"local[{lvl}]",
+                                  shuffle_partitions=lvl)
+            try:
+                if not nd:
+                    nd = _scaling_job(spark, SF_DIR, REPLICATE).select(
+                        "doc_id").distinct().count()
+                _force(_flagship(spark, SF_DIR))  # warm JVM + py workers
+                for _ in range(2):
+                    t0 = time.time()
+                    _force(_scaling_job(spark, SF_DIR, REPLICATE))
+                    d = time.time() - t0
+                    job_t[lvl] = min(job_t.get(lvl, d), d)
+                _cpu_control(spark).collect()
+                t0 = time.time()
+                _cpu_control(spark).collect()
+                ctl_t[lvl] = min(ctl_t.get(lvl, 9e9), time.time() - t0)
+            finally:
+                spark.stop()
+
+    def eff(a, b, f):
+        return round((job_t[a] / job_t[b]) / f, 3)
+
+    def ceff(a, b, f):
+        return round((ctl_t[a] / ctl_t[b]) / f, 3)
+
+    return {
+        "job": f"extract_spans_split x{REPLICATE} replicated input",
+        "docs": nd,
+        "levels": {
+            str(lvl): {
+                "sec": round(job_t[lvl], 3),
+                "docs_per_sec": round(nd / job_t[lvl], 1),
+                "cpu_control_sec": round(ctl_t[lvl], 3),
+            }
+            for lvl in LEVELS
+        },
+        "efficiency_n_to_4n": {
+            "2_to_8": eff(2, 8, 4.0),
+            "8_to_32": eff(8, 32, 4.0),
+        },
+        "hw_ceiling_n_to_4n": {
+            "2_to_8": ceff(2, 8, 4.0),
+            "8_to_32": ceff(8, 32, 4.0),
+        },
+        "normalized_efficiency": {
+            # job efficiency relative to what the hardware ceiling allows,
+            # capped at 1.0 (a ceiling broken by a load burst would
+            # otherwise produce a nonsense >1 ratio)
+            "2_to_8": min(1.0, round(
+                eff(2, 8, 4.0) / max(ceff(2, 8, 4.0), 1e-9), 3)),
+            "8_to_32": min(1.0, round(
+                eff(8, 32, 4.0) / max(ceff(8, 32, 4.0), 1e-9), 3)),
+        },
+    }
 
 
 def main() -> int:
     queries = E.queries()
     timings: dict[str, float] = {}
 
-    spark = build_session(master=f"local[{CPUS}]", shuffle_partitions=CPUS)
-    n_docs = queries["ep1_extract_spans"](spark, SF_DIR).select(
-        "doc_id"
-    ).distinct().count()
-    for name in HEADLINE:
-        if name not in queries:
-            continue
-        t0 = time.time()
-        _force(queries[name](spark, SF_DIR))
-        timings[name] = round(time.time() - t0, 3)
-    spark.stop()
+    n_docs = 0
+    if os.environ.get("PDFSPARK_BENCH_HEADLINE", "1") != "0":
+        spark = build_session(master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+        n_docs = queries["ep1_extract_spans"](spark, SF_DIR).select(
+            "doc_id"
+        ).distinct().count()
+        for name in HEADLINE:
+            if name not in queries:
+                continue
+            t0 = time.time()
+            _force(queries[name](spark, SF_DIR))
+            timings[name] = round(time.time() - t0, 3)
+        spark.stop()
 
     total = round(sum(timings.values()), 3)
     flagship_s = timings.get("ep1_extract_spans", total)
@@ -109,17 +234,7 @@ def main() -> int:
     }
 
     if os.environ.get("PDFSPARK_BENCH_SCALING", "1") != "0":
-        nd, t8 = _run_once("local[8]", 8, SF_DIR)
-        _, t32 = _run_once("local[32]", 32, SF_DIR)
-        out["scaling"] = {
-            "job": "ep1_extract_spans",
-            "docs": nd,
-            "local8_sec": round(t8, 3),
-            "local8_docs_per_sec": round(nd / t8, 1),
-            "local32_sec": round(t32, 3),
-            "local32_docs_per_sec": round(nd / t32, 1),
-            "efficiency_n_to_4n": round((t8 / t32) / 4.0, 3),
-        }
+        out["scaling"] = _scaling_report()
 
     print(json.dumps(out))
     return 0

@@ -233,9 +233,18 @@ def extract_tables_sql(
     )
 
     data = df.filter(~F.col("is_title"))
-    w_grp = Window.partitionBy(*part, "grp").orderBy(*order)
+    # island detection partitioned by the SAME key as w_run (grp
+    # boundaries detected via lag(grp) instead of partitioning by grp):
+    # consecutive windows share one hashpartitioning -> one less
+    # full-data exchange, which is the dominant shuffle at scale.
+    w_grp = Window.partitionBy(*part).orderBy(*order)
     prev_y1 = F.lag("y1").over(w_grp)
-    new_row = prev_y1.isNull() | (F.abs(F.col("y1") - prev_y1) > F.lit(y_tolerance))
+    prev_grp = F.lag("grp").over(w_grp)
+    new_row = (
+        prev_grp.isNull()
+        | (prev_grp != F.col("grp"))
+        | (F.abs(F.col("y1") - prev_y1) > F.lit(y_tolerance))
+    )
     if per_doc:
         new_row = new_row | (F.lag("page_id").over(w_grp) != F.col("page_id"))
     data = data.withColumn(
@@ -277,15 +286,16 @@ def merge_continued_tables(tables: DataFrame) -> DataFrame:
     ).otherwise(F.col("title"))
     t = tables.withColumn("is_cont", is_cont).withColumn("base_title", base)
 
-    # per source table, the column arity of its first row (header row)
-    w_tbl = Window.partitionBy("doc_id", "page_id", "table_id")
-    t = t.withColumn("n_cols", F.max(F.when(F.col("row_id") == 1, F.size("cells"))).over(w_tbl))
-
-    # table-level frame ordered within doc
+    # table-level frame ordered within doc; the header-row arity
+    # (n_cols) is computed inside this same aggregation — no extra
+    # full-row window pass
     tbl = (
         t.groupBy("doc_id", "page_id", "table_id", "title", "base_title",
-                  "is_cont", "n_cols")
-        .agg(F.count("*").alias("nr"))
+                  "is_cont")
+        .agg(
+            F.count("*").alias("nr"),
+            F.max(F.when(F.col("row_id") == 1, F.size("cells"))).alias("n_cols"),
+        )
         .withColumn(
             "tord",
             F.row_number().over(

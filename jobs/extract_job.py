@@ -1,0 +1,93 @@
+"""Cluster entrypoint for the extraction pipeline (north rule:
+"ships as spark-submit --py-files on multi-executor clusters").
+
+Usage:
+
+    zip -r pdfspark.zip pdfspark
+    spark-submit --py-files pdfspark.zip jobs/extract_job.py \
+        --input  <documents_in parquet/iceberg path> \
+        --geom   <spans_geom path, optional: header/footer source> \
+        --output <extracted spans table path> \
+        --metrics <lineage metrics table path> \
+        [--resume] [--skew-threshold 5000] [--spans-per-chunk 1024]
+
+Behavior (all per SURVEY.md §4 / BASELINE.json north_rule):
+ - salted repartition on xxhash64(doc_id) before the Arrow fold
+ - skew splitter for documents above --skew-threshold spans
+ - per-partition lineage rows (partition_id, doc_count, bytes_in,
+   spans_out, wall_ms) appended to --metrics
+ - --resume anti-joins against doc_ids already committed in --output,
+   so a failed run restarts from the last committed snapshot
+   (exactly-once per doc_id; append-mode writes match Iceberg append
+   snapshot semantics — swap format("parquet") for format("iceberg")
+   on a cluster with the runtime catalog configured)
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:  # not needed when shipped via --py-files
+    sys.path.insert(0, REPO)
+
+from pyspark.sql import SparkSession  # noqa: E402
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--geom", default=None)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--metrics", default=None)
+    ap.add_argument("--resume", action="store_true")
+    ap.add_argument("--skew-threshold", type=int, default=5000)
+    ap.add_argument("--spans-per-chunk", type=int, default=1024)
+    args = ap.parse_args(argv)
+
+    # On a cluster, master/executor conf come from spark-submit; this
+    # only sets the engine's semantic defaults (AQE, Arrow, UTC).
+    from pdfspark.session import build_session
+
+    if SparkSession.getActiveSession() is not None:
+        spark = SparkSession.getActiveSession()
+    else:
+        spark = build_session()
+
+    from pdfspark.operators.boilerplate import all_doc_headers_footers
+    from pdfspark.operators.extract import (
+        extract_documents,
+        lineage_table,
+        resume_filter,
+    )
+
+    docs = spark.read.parquet(args.input)
+    hf = all_doc_headers_footers(spark.read.parquet(args.geom)) \
+        if args.geom else None
+
+    if args.resume:
+        try:
+            committed = spark.read.parquet(args.output)
+            docs = resume_filter(docs, committed)
+        except Exception:
+            pass  # nothing committed yet -> full run
+
+    full = extract_documents(docs, hf)
+    # persist once: spans + sections feed the output, the same pass
+    # feeds the metrics aggregation (no second fold)
+    full.persist()
+    n = full.count()
+    (full.select("doc_id", "status", "spans", "sections")
+         .write.mode("append").parquet(args.output))
+    if args.metrics:
+        (lineage_table(full)
+            .write.mode("append").parquet(args.metrics))
+    full.unpersist()
+    print(f"extract_job: wrote {n} documents to {args.output}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -90,6 +90,31 @@ def matcher_fires(first_line: str, always: bool = True) -> bool:
     return False
 
 
+# fast path applies when the cleaned heading is pure literal text that
+# starts/ends with an ASCII word char: `\b{clean}\b` then degenerates
+# to a word-boundary substring test, sparing a regex compile per call
+# (the X18 always-fires quirk routes EVERY span text through here, each
+# a distinct pattern, so Python's re cache cannot help).
+_LITERAL_HEADING = re.compile(r"^[A-Za-z0-9_](?:[A-Za-z0-9_ ,;:'\-]*[A-Za-z0-9_])?$")
+
+
+def _is_word(c: str) -> bool:
+    return c.isalnum() or c == "_"
+
+
+def _word_boundary_find(needle_l: str, hay_l: str) -> bool:
+    start, m, n = 0, len(needle_l), len(hay_l)
+    while True:
+        i = hay_l.find(needle_l, start)
+        if i < 0:
+            return False
+        if (i == 0 or not _is_word(hay_l[i - 1])) and (
+            i + m >= n or not _is_word(hay_l[i + m])
+        ):
+            return True
+        start = i + 1
+
+
 def find_section_by_heading(heading: str, section_headings, flags=re.IGNORECASE):
     """J1/X9 — the reference's unescaped whole-word lookup
     (src/document.py:99-112). Returns the index of the first section
@@ -99,6 +124,12 @@ def find_section_by_heading(heading: str, section_headings, flags=re.IGNORECASE)
     if heading is None:
         return None
     clean = RE_TRAILING_PUNCT.sub("", heading)
+    if clean.isascii() and _LITERAL_HEADING.match(clean):
+        needle = clean.lower()
+        for i, h in enumerate(section_headings):
+            if _word_boundary_find(needle, h.lower()):
+                return i
+        return None
     pattern = re.compile(rf"\b{clean}\b", flags)  # may raise re.error
     for i, h in enumerate(section_headings):
         if pattern.search(h):

@@ -471,6 +471,26 @@ def _q_json_source(spark, sf_dir):
     return df.select("id", "name", "note")
 
 
+def _q_html_tables(spark, sf_dir):
+    """X19: HTML table -> rows (ref parse_util.py:58-115), mapInPandas
+    over stdlib html.parser."""
+    from pdfspark.operators.html_tables import html_tables
+
+    snip = spark.read.parquet(
+        os.path.join(_fixture_dir(sf_dir), "html_snippets.parquet")
+    )
+    return html_tables(snip)
+
+
+def _q_stream_sessionize(spark, sf_dir):
+    """§2.8 stateful streaming: applyInPandasWithState sessionization;
+    on availableNow finite input equals the batch gaps-and-islands
+    (same DuckDB oracle as a9_sessionize)."""
+    from pdfspark.streaming.stateful import sessionize_stream
+
+    return sessionize_stream(spark, os.path.join(sf_dir, "events.parquet"))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "dd_exact_dups": _q_exact_dups,
@@ -495,6 +515,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x11_text_cleanup": _q_text_cleanup,
         "s6_lines_source": _q_lines_source,
         "s7_json_source": _q_json_source,
+        "x19_html_tables": _q_html_tables,
+        "s8_stream_sessionize": _q_stream_sessionize,
         "ep1_extract_spans": _q_extract_spans,
         "ep1_extract_sections": _q_extract_sections,
         "lineage_metrics": _q_lineage,
@@ -730,6 +752,8 @@ def oracle_sql() -> dict[str, str]:
         "j7_tabular_pairs": OP.tabular_pairs_sql(GEOM01),
         "a9_sessionize": OP.sessionize_sql(),
         "s8_stream_windowed": OP.stream_windowed_sql(),
+        "s8_stream_sessionize": OP.sessionize_sql(),
+        "x19_html_tables": OP.html_tables_sql(FIX01),
         "m1_media_features": OP.media_features_sql(FIX01),
         "x11_text_cleanup": f"""
             SELECT doc_id, "offset" AS offset,

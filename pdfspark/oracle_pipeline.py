@@ -447,6 +447,42 @@ FROM events GROUP BY 1, 2
 """
 
 
+def html_tables_sql(fix: str) -> str:
+    """Regex-based oracle for the well-formed single-line fixture
+    snippets (the Spark side uses a real HTML parser; on this corpus
+    the two agree by construction)."""
+    return f"""
+WITH h AS (SELECT doc_id, html
+           FROM read_parquet('{fix}/html_snippets.parquet')
+           WHERE contains(html, '<table')),
+t AS (
+  SELECT doc_id,
+         CASE WHEN regexp_matches(html, '<h1>')
+              THEN trim(regexp_extract(html, '<h1>(.*?)</h1>', 1))
+              ELSE 'No Title' END AS title,
+         list_transform(regexp_extract_all(html, '<th>(.*?)</th>', 1),
+                        x -> trim(x)) AS ths,
+         regexp_extract_all(html, '<tr>(.*?)</tr>', 1) AS trs
+  FROM h),
+r AS (
+  SELECT doc_id, title, ths,
+         unnest(list_transform(generate_series(2, len(trs)),
+                i -> struct_pack(ri := i - 2, tr := trs[i]))) AS s
+  FROM t),
+rows_ AS (
+  SELECT doc_id, title, CAST(s.ri AS INT) AS row_idx,
+         regexp_extract_all(s.tr, '<td>(.*?)</td>', 1) AS tds, ths
+  FROM r)
+SELECT doc_id, title, row_idx,
+       array_to_string(
+         list_transform(generate_series(1, len(tds)), i ->
+           (CASE WHEN len(tds) = len(ths) THEN ths[i]
+                 ELSE 'Column ' || i END) || '=' || trim(tds[i])),
+         '|') AS cells
+FROM rows_
+"""
+
+
 def media_features_sql(fix: str) -> str:
     def hexdig(p: int) -> str:
         return f"(strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1)"

@@ -1,0 +1,122 @@
+"""Custom stateful streaming operator: per-user sessionization via
+applyInPandasWithState (SURVEY §2.8 extension; the streaming analogue
+of operators/retrieval.sessionize_events).
+
+State per user = the tail of the last (possibly still-open) session,
+so sessions spanning micro-batches merge correctly. On a finite
+availableNow input the emitted sessions equal the batch
+gaps-and-islands result, which is exactly what the DuckDB oracle
+computes — the stateful streaming path is therefore hash-verified.
+
+At scale: state is keyed by user_id (hash-distributed), size O(1) per
+user; with a real unbounded source add a GroupStateTimeout to evict
+idle users instead of the flush-at-end used on finite input.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_id", T.IntegerType()),
+        T.StructField("n_events", T.IntegerType()),
+        T.StructField("start_ts", T.StringType()),
+        T.StructField("end_ts", T.StringType()),
+        T.StructField("total_value", T.DoubleType()),
+    ]
+)
+
+# (next_session_id, open_last_us, open_start_str, open_n, open_total)
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_id", T.IntegerType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("start_ts", T.StringType()),
+        T.StructField("n_events", T.IntegerType()),
+        T.StructField("total_value", T.DoubleType()),
+        T.StructField("end_ts", T.StringType()),
+    ]
+)
+
+FMT = "%Y-%m-%d %H:%M:%S.%f"
+
+
+def _sessionize_group(key, pdfs: Iterator[pd.DataFrame], state: GroupState,
+                      gap_us: int):
+    (user_id,) = key
+    rows = pd.concat(list(pdfs), ignore_index=True)
+    rows = rows.sort_values(["ts", "event_id"])
+
+    if state.exists:
+        sid, last_us, start_ts, n_ev, total, end_ts = state.get
+    else:
+        sid, last_us, start_ts, n_ev, total, end_ts = 0, None, None, 0, 0.0, None
+
+    out = []
+    for ts, ev, val in zip(rows["ts"], rows["event_id"], rows["value"]):
+        us = ts.value // 1000
+        s = ts.strftime(FMT)
+        if last_us is None or us - last_us > gap_us:
+            if n_ev:
+                out.append((user_id, sid, n_ev, start_ts, end_ts, total))
+            sid, start_ts, n_ev, total = sid + 1, s, 0, 0.0
+        last_us, end_ts = us, s
+        n_ev += 1
+        total += float(val)
+    # finite availableNow input: flush the open session too (a live
+    # stream would keep it in state and use a timeout instead)
+    if n_ev:
+        out.append((user_id, sid, n_ev, start_ts, end_ts, total))
+    state.update((sid, last_us, start_ts, n_ev, total, end_ts))
+    yield pd.DataFrame(
+        out,
+        columns=["user_id", "session_id", "n_events", "start_ts", "end_ts",
+                 "total_value"],
+    )
+
+
+def sessionize_stream(
+    spark: SparkSession, events_path: str, gap_minutes: int = 30
+) -> DataFrame:
+    """Run stateful sessionization as a streaming query (availableNow,
+    memory sink) and return the materialized sessions."""
+    schema = spark.read.parquet(events_path).schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", os.path.basename(events_path))
+        .parquet(os.path.dirname(events_path))
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+        .select("user_id", "event_id", "ts", "value")
+    )
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(key, pdfs, state):
+        yield from _sessionize_group(key, pdfs, state, gap_us)
+
+    sessions = stream.groupBy("user_id").applyInPandasWithState(
+        fn, OUT_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
+    )
+    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName(sink)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(sink).select(
+        "user_id", "session_id", "n_events", "start_ts", "end_ts",
+        F.round("total_value", 2).alias("total_value"),
+    )

@@ -470,6 +470,32 @@ def write_aux_fixtures(sf_name: str, out_dir: str) -> None:
         for i, (k, p) in enumerate(KEYWORDS):
             fh.write(_json.dumps({"id": i, "name": k, "note": p}) + "\n")
 
+    # X19 HTML-table snippets (ref parse_util.py:58-115): well-formed,
+    # arity-mismatch, no-h1, whitespace, header-only-by-position, and a
+    # tableless passthrough. Single-line so the regex oracle holds.
+    snippets = [
+        (0, "<h1>Revenue Table</h1><table><tr><th>year</th><th>amount</th>"
+            "</tr><tr><td>2023</td><td>10</td></tr>"
+            "<tr><td>2024</td><td>12</td></tr></table>"),
+        (1, "<h1>Mismatch</h1><table><tr><th>a</th><th>b</th><th>c</th></tr>"
+            "<tr><td>1</td><td>2</td></tr>"
+            "<tr><td>3</td><td>4</td><td>5</td></tr></table>"),
+        (2, "<table><tr><th>k</th></tr><tr><td>v1</td></tr>"
+            "<tr><td>v2</td></tr></table>"),
+        (3, "<h1>  Spaced  </h1><table><tr><th> col 1 </th><th> col 2 </th>"
+            "</tr><tr><td> x </td><td> y </td></tr></table>"),
+        (4, "<h1>No Table Here</h1><p>prose only</p>"),
+        (5, "<table><tr><td>r1c1</td><td>r1c2</td></tr>"
+            "<tr><td>r2c1</td><td>r2c2</td></tr></table>"),
+    ]
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([d for d, _ in snippets], pa.int64()),
+             "html": pa.array([h for _, h in snippets], pa.string())}
+        ),
+        os.path.join(out_dir, "html_snippets.parquet"),
+    )
+
 
 FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
 
@@ -481,7 +507,9 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
     marker = os.path.join(out, "spans_geom.parquet")
     if not os.path.exists(marker):
         write_fixtures(sf_name, out)
-    if not os.path.exists(os.path.join(out, "meta.jsonl")) and os.path.isdir(
+    if not os.path.exists(
+        os.path.join(out, "html_snippets.parquet")
+    ) and os.path.isdir(
         os.path.join(TESTDATA_ROOT, sf_name)
     ):
         write_aux_fixtures(sf_name, out)

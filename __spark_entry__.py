@@ -378,6 +378,13 @@ def _q_euclidean_topk(spark, sf_dir):
     return euclidean_topk(emb, _ann_queries(emb))
 
 
+def _q_ivf_topk(spark, sf_dir):
+    from pdfspark.operators.similarity import ivf_topk_cosine
+
+    emb = _emb_all(spark, sf_dir)
+    return ivf_topk_cosine(emb, _ann_queries(emb))
+
+
 def _q_neardup_lsh(spark, sf_dir):
     from pdfspark.operators.similarity import neardup_lsh
 
@@ -503,6 +510,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_tokens": _q_tokens,
         "ts_fingerprints": _q_fingerprints,
         "sim_ann_topk": _q_ann_topk,
+        "sim_ivf_topk": _q_ivf_topk,
         "j5_topk_euclidean": _q_euclidean_topk,
         "sim_neardup_lsh": _q_neardup_lsh,
         "a6_max_score": _q_max_score,
@@ -744,6 +752,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_tokens": OP.tokens_sql(FIX01),
         "ts_fingerprints": OP.fingerprints_sql(FIX01),
         "sim_ann_topk": OP.ann_cosine_sql(FIX01),
+        "sim_ivf_topk": OP.ivf_topk_sql(FIX01),
         "j5_topk_euclidean": OP.euclidean_topk_sql(FIX01),
         "sim_neardup_lsh": OP.neardup_lsh_sql(FIX01),
         "a6_max_score": OP.max_score_sql(FIX01),

@@ -180,3 +180,81 @@ def neardup_lsh(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
 def plane_sql_literal(p: int) -> str:
     """The plane as a DuckDB list literal (for the oracle twin)."""
     return "[" + ", ".join(repr(x) for x in PLANES[p]) + "]"
+
+
+# --- IVF (inverted-file) variant ------------------------------------------
+#
+# Coarse quantizer: NUM_CELLS deterministic centroids (same md5-derived
+# constants in Spark and the oracle — in production these come from a
+# k-means fit checkpointed to a table). Each corpus vector is assigned
+# to its nearest centroid ("cell"); a query probes its NPROBE nearest
+# cells and ranks only vectors in those cells. Candidate generation is
+# an equi-join on cell id — the IVF analogue of the LSH band join.
+
+NUM_CELLS = 8
+NPROBE = 2
+
+CENTROIDS: list[list[float]] = [
+    _plane(1000 + c) for c in range(NUM_CELLS)
+]
+
+
+def centroid_sql_literal(c: int) -> str:
+    return "[" + ", ".join(repr(x) for x in CENTROIDS[c]) + "]"
+
+
+def _cell_dists(v):
+    """Array of squared distances v -> each centroid (fold order fixed)."""
+    return [
+        F.aggregate(
+            F.zip_with(
+                v,
+                F.array(*[F.lit(x) for x in CENTROIDS[c]]),
+                lambda a, b: (a - b) * (a - b),
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        for c in range(NUM_CELLS)
+    ]
+
+
+def _nearest_cells(v, k: int):
+    """Indices of the k nearest centroids, ties broken by cell id."""
+    d = _cell_dists(v)
+    pairs = F.array_sort(
+        F.array(*[F.struct(d[c].alias("d"), F.lit(c).alias("c"))
+                  for c in range(NUM_CELLS)])
+    )
+    return F.transform(F.slice(pairs, 1, k), lambda p: p["c"])
+
+
+def ivf_topk_cosine(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """IVF ANN: corpus vectors live in 1 cell; queries probe NPROBE
+    cells; ranking (rounded cosine desc, vec_id) happens only inside
+    probed cells. Join key = cell id (equi-join, shuffle by cell)."""
+    e = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v"),
+        _norm(_as_double(F.col("embedding"))).alias("nv"),
+    ).withColumn("cell", F.element_at(_nearest_cells(F.col("v"), 1), 1))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("qv"),
+        _norm(_as_double(F.col("embedding"))).alias("nq"),
+    ).select(
+        "query_id", "qv", "nq",
+        F.explode(_nearest_cells(F.col("qv"), NPROBE)).alias("cell"),
+    )
+    sim = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 4)
+    scored = (
+        e.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", sim.alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                "vec_id", "sim")
+    )

@@ -2,10 +2,16 @@
 
 ``entry(spark)`` runs the flagship extraction pipeline on the sf0.001
 testdata + layout fixtures. ``queries()`` exposes one entry per
-implemented operator from SURVEY.md §2; ``oracle_sql()`` provides the
-DuckDB twin for every SQL-expressible one (fixture parquet referenced
-by absolute path; the driver's pre-registered views cover the
-testdata tables).
+implemented operator from SURVEY.md §2 (see §2.10 for the full
+coverage map): the extraction core (ep1_*/ep3_*/w*/a*/f*/x*/j*
+families), sources (s6/s7), streaming (s8_*, incl. a stateful
+applyInPandasWithState sessionizer), and the training-data pipeline
+extensions (dd_* dedup, sim_* ANN, ts_* text analysis, m1_media).
+``oracle_sql()`` provides the DuckDB twin for every SQL-expressible
+one (fixture parquet referenced by absolute path; the driver's
+pre-registered views cover the testdata tables); the few rows-only
+entries (exact-parity folds, lineage) are pytest-gated against the
+pure-Python reference transliteration instead.
 """
 
 from __future__ import annotations

@@ -69,7 +69,7 @@ def _flagship(spark, sf_dir: str):
 # would dominate an N-vs-4N comparison. Replicating the input K times
 # (distinct doc_ids, same per-doc work) keeps the job identical in
 # shape while making compute, not overhead, the measured quantity.
-REPLICATE = int(os.environ.get("PDFSPARK_BENCH_REPLICATE", "16"))
+REPLICATE = int(os.environ.get("PDFSPARK_BENCH_REPLICATE", "48"))
 
 
 def _scaling_job(spark, sf_dir: str, k: int):

@@ -151,9 +151,10 @@ def _scaling_report() -> dict:
                                   shuffle_partitions=lvl)
             try:
                 if not nd:
-                    nd = _scaling_job(spark, SF_DIR, REPLICATE).select(
-                        "doc_id").distinct().count()
-                _force(_flagship(spark, SF_DIR))  # warm JVM + py workers
+                    nd = E._docs_in(spark, SF_DIR).count() * REPLICATE
+                # warm JVM + python workers with a K=1 pass (same code
+                # paths as the measured job, fraction of the cost)
+                _force(_scaling_job(spark, SF_DIR, 1))
                 for _ in range(2):
                     t0 = time.time()
                     _force(_scaling_job(spark, SF_DIR, REPLICATE))

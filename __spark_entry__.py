@@ -152,6 +152,26 @@ def _q_tables_sql(spark, sf_dir):
     )
 
 
+def _q_tables_doc_scope(spark, sf_dir):
+    """EP3 doc-scope variant (ref textboxes_to_tabular_json fed the
+    whole doc stream): continued titles do NOT open a table; their
+    rows continue the current one across pages."""
+    from pdfspark.operators.boilerplate import all_doc_headers_footers
+    from pdfspark.operators.tables import extract_tables_sql
+
+    geom = _geom(spark, sf_dir)
+    hf = all_doc_headers_footers(geom)
+    t = extract_tables_sql(geom, hf, scope="doc")
+    return t.select(
+        "doc_id",
+        "page_id",
+        F.col("table_id").cast("int").alias("table_id"),
+        "title",
+        F.col("row_id").cast("int").alias("row_id"),
+        F.array_join("cells", "|").alias("cells"),
+    )
+
+
 def _q_tables_merged(spark, sf_dir):
     from pdfspark.operators.tables import merge_continued_tables
 
@@ -539,6 +559,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "f10_margin_candidates": _q_margin_candidates,
         "f3_page_number_strip": _q_page_number_strip,
         "ep3_tables_sql": _q_tables_sql,
+        "ep3_tables_doc_scope": _q_tables_doc_scope,
         "j3_tables_merged": _q_tables_merged,
         "ep3_tables_exact": _q_tables_exact,
         "j4_toc_skeleton": _q_toc_skeleton,
@@ -635,6 +656,64 @@ tbls AS (
                                  ORDER BY r.row_id0) AS INT) AS row_id,
          r.cells
   FROM cells r JOIN titles t USING (doc_id, page_id, table_id))
+"""
+
+_TABLES_DOC_CTE = f"""
+{_HF_CTE},
+tbd AS (
+  SELECT doc_id, page_id, text, x0, y1, "offset" AS o,
+         row_number() OVER (PARTITION BY doc_id, page_id
+                            ORDER BY y1 DESC, x1 ASC, "offset" ASC) AS rord
+  FROM sg WHERE kind = 'TextBox'),
+jd AS (SELECT tbd.*, hf.header, hf.footer FROM tbd LEFT JOIN hf USING (doc_id)),
+cld AS (SELECT *, trim(replace(text, chr(10), '')) AS clean FROM jd),
+fltd AS (
+  SELECT * FROM cld
+  WHERE NOT contains(header, clean) AND NOT contains(footer, clean)
+        AND NOT regexp_matches(clean, '{_PAGENO}')),
+flagsd AS (
+  SELECT *, regexp_matches(clean, '{_TABLE_TITLE}') AS is_title,
+         (regexp_matches(clean, '{_TABLE_TITLE}')
+          AND NOT regexp_matches(clean, '{_CONTINUED}')) AS opens
+  FROM fltd),
+rund AS (
+  SELECT *,
+    sum(CASE WHEN opens THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY page_id, rord
+            ROWS UNBOUNDED PRECEDING) AS table_id,
+    sum(CASE WHEN is_title THEN 1 ELSE 0 END)
+      OVER (PARTITION BY doc_id ORDER BY page_id, rord
+            ROWS UNBOUNDED PRECEDING) AS grp
+  FROM flagsd),
+filt2d AS (SELECT * FROM rund WHERE table_id >= 1),
+titlesd AS (
+  SELECT doc_id, table_id,
+         trim(regexp_extract(clean, '{_TABLE_TITLE}', 1)) AS title
+  FROM filt2d WHERE opens),
+drowsd AS (
+  SELECT *, CASE WHEN lag(grp) OVER w IS NULL
+                      OR lag(grp) OVER w <> grp
+                      OR abs(y1 - lag(y1) OVER w) > 10.0
+                      OR lag(page_id) OVER w <> page_id
+                 THEN 1 ELSE 0 END AS new_row
+  FROM filt2d WHERE NOT is_title
+  WINDOW w AS (PARTITION BY doc_id ORDER BY page_id, rord)),
+ridd AS (
+  SELECT *, sum(new_row) OVER (PARTITION BY doc_id ORDER BY page_id, rord
+                               ROWS UNBOUNDED PRECEDING) AS row_id0
+  FROM drowsd),
+cellsd AS (
+  SELECT doc_id, table_id, grp, row_id0,
+         min(page_id) AS row_page_id,
+         list(text ORDER BY x0, rord) AS cells
+  FROM ridd GROUP BY doc_id, table_id, grp, row_id0),
+tblsd AS (
+  SELECT r.doc_id, r.row_page_id AS page_id,
+         CAST(r.table_id AS INT) AS table_id, t.title,
+         CAST(row_number() OVER (PARTITION BY r.doc_id, r.table_id
+                                 ORDER BY r.grp, r.row_id0) AS INT) AS row_id,
+         r.cells
+  FROM cellsd r JOIN titlesd t USING (doc_id, table_id))
 """
 
 _CLASSIFY_CTE = f"""
@@ -812,6 +891,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, "offset" AS offset, trim(text) AS content
             FROM {GEOM01}
             WHERE kind = 'TextBox' AND NOT regexp_matches(trim(text), '{_PAGENO}')
+        """,
+        "ep3_tables_doc_scope": f"""
+            WITH {_TABLES_DOC_CTE}
+            SELECT doc_id, page_id, table_id, title, row_id,
+                   array_to_string(cells, '|') AS cells
+            FROM tblsd
         """,
         "ep3_tables_sql": f"""
             WITH {_TABLES_CTE}

@@ -121,6 +121,26 @@ def _q_margin_candidates(spark, sf_dir):
     )
 
 
+def _q_margin_normalized(spark, sf_dir):
+    """F12: normalized-position header/footer candidates, reference
+    bug reproduced (footer test `y1/h < 0.9` marks ~everything)."""
+    from pdfspark.operators.boilerplate import margin_candidates_normalized
+
+    return margin_candidates_normalized(_geom(spark, sf_dir)).select(
+        "doc_id", "offset", "txt", "is_header", "is_footer"
+    )
+
+
+def _q_table_stats(spark, sf_dir):
+    """A5: per-table row/column diagnostics (ref
+    generate_json_table_output, src/pdf_test_parse.py:692-729)."""
+    t = _tables_sql(spark, sf_dir)
+    return t.groupBy("doc_id", "page_id", "table_id").agg(
+        F.max("row_id").cast("int").alias("n_rows"),
+        F.max(F.size("cells")).cast("int").alias("n_cols"),
+    ).withColumn("table_id", F.col("table_id").cast("int"))
+
+
 def _q_page_number_strip(spark, sf_dir):
     from pdfspark.functions import patterns as P
 
@@ -557,7 +577,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_reading_order": _q_reading_order,
         "a1_header_footer": _q_header_footer,
         "f10_margin_candidates": _q_margin_candidates,
+        "f12_margin_normalized": _q_margin_normalized,
         "f3_page_number_strip": _q_page_number_strip,
+        "a5_table_stats": _q_table_stats,
         "ep3_tables_sql": _q_tables_sql,
         "ep3_tables_doc_scope": _q_tables_doc_scope,
         "j3_tables_merged": _q_tables_merged,
@@ -886,6 +908,27 @@ def oracle_sql() -> dict[str, str]:
             WITH {_HF_CTE}
             SELECT doc_id, CAST(o AS INT) AS offset, txt, is_header, is_footer
             FROM cand WHERE is_header OR is_footer
+        """,
+        "f12_margin_normalized": f"""
+            WITH sg AS (SELECT * FROM {GEOM01}),
+            withy AS (
+              SELECT *, coalesce(
+                max(CASE WHEN kind='PageStart' THEN y1 END)
+                  OVER (PARTITION BY doc_id, page_id), 792.0) AS page_y1
+              FROM sg),
+            cand AS (
+              SELECT doc_id, "offset" AS offset, trim(text) AS txt,
+                     (y1 / page_y1 > 0.9) AS is_header,
+                     (y1 / page_y1 < 0.9) AS is_footer
+              FROM withy WHERE kind IN ('TextBox', 'TextLine'))
+            SELECT * FROM cand WHERE is_header OR is_footer
+        """,
+        "a5_table_stats": f"""
+            WITH {_TABLES_CTE}
+            SELECT doc_id, page_id, CAST(table_id AS INT) AS table_id,
+                   CAST(max(row_id) AS INT) AS n_rows,
+                   CAST(max(len(cells)) AS INT) AS n_cols
+            FROM tbls GROUP BY doc_id, page_id, table_id
         """,
         "f3_page_number_strip": f"""
             SELECT doc_id, "offset" AS offset, trim(text) AS content

@@ -1,0 +1,84 @@
+"""Property-based tests (SURVEY §5.2 item 3): determinism of the fold
+under input perturbation, and equivalence of the literal fast path in
+the heading lookup against the reference's regex semantics."""
+
+import re
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from pdfspark.config import ExtractConfig
+from pdfspark.fold import fold_document
+from pdfspark.functions.patterns import RE_TRAILING_PUNCT, find_section_by_heading
+
+# --- heading lookup fast path == regex path --------------------------------
+
+_heading_alphabet = st.sampled_from(
+    list("abcXYZ019_ ,;:'-") + ["(", ")", "+", ".", "*", "["]
+)
+_headings = st.lists(
+    st.text(alphabet="abcdefgh 123ABC-,_", min_size=0, max_size=16),
+    min_size=0, max_size=6,
+)
+
+
+@settings(max_examples=500, deadline=None)
+@given(st.text(alphabet=_heading_alphabet, min_size=0, max_size=14), _headings)
+def test_heading_lookup_matches_reference_regex(heading, section_headings):
+    clean = RE_TRAILING_PUNCT.sub("", heading)
+    try:
+        pat = re.compile(rf"\b{clean}\b", re.IGNORECASE)
+        expected = next(
+            (i for i, h in enumerate(section_headings) if pat.search(h)), None
+        )
+    except re.error:
+        expected = "raise"
+    try:
+        got = find_section_by_heading(heading, section_headings)
+    except re.error:
+        got = "raise"
+    assert got == expected
+
+
+# --- fold determinism ------------------------------------------------------
+
+_span = st.fixed_dictionaries(
+    {
+        "kind": st.sampled_from(
+            ["TextBox", "TextLine", "Line", "Figure", "Image", "TOC",
+             "PageStart", "Curve"]
+        ),
+        "text": st.text(
+            alphabet="ab 12.\nAppendix Figure Table page",
+            min_size=0, max_size=30,
+        ),
+        "media_ref": st.none() | st.just("img://x/1"),
+    }
+)
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_span, min_size=0, max_size=25), st.randoms())
+def test_fold_invariant_under_storage_shuffle(spans, rnd):
+    """The fold sorts by offset first, so any storage-order permutation
+    of the same (offset-stamped) spans yields identical output."""
+    for i, s in enumerate(spans):
+        s["offset"] = i
+    cfg = ExtractConfig()
+    base = fold_document([dict(s) for s in spans], "hdr", "ftr", cfg)
+    shuffled = list(spans)
+    rnd.shuffle(shuffled)
+    again = fold_document([dict(s) for s in shuffled], "hdr", "ftr", cfg)
+    assert base["out_spans"] == again["out_spans"]
+    assert base["sections"] == again["sections"]
+    assert base["status"] == again["status"]
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.lists(_span, min_size=0, max_size=25))
+def test_fold_offsets_dense_and_monotone(spans):
+    for i, s in enumerate(spans):
+        s["offset"] = i
+    res = fold_document(spans, "", "", ExtractConfig())
+    offs = [s["offset"] for s in res["out_spans"]]
+    assert offs == list(range(len(offs)))

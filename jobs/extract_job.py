@@ -45,6 +45,13 @@ def main(argv=None) -> int:
     ap.add_argument("--resume", action="store_true")
     ap.add_argument("--skew-threshold", type=int, default=5000)
     ap.add_argument("--spans-per-chunk", type=int, default=1024)
+    ap.add_argument(
+        "--buckets", type=int, default=0,
+        help="partition output by pmod(xxhash64(doc_id), N) — the "
+             "parquet stand-in for Iceberg's bucket(N, doc_id) "
+             "transform; downstream doc_id joins repartition by the "
+             "same expression and co-locate without a full shuffle",
+    )
     args = ap.parse_args(argv)
 
     # On a cluster, master/executor conf come from spark-submit; this
@@ -79,8 +86,16 @@ def main(argv=None) -> int:
     # feeds the metrics aggregation (no second fold)
     full.persist()
     n = full.count()
-    (full.select("doc_id", "status", "spans", "sections")
-         .write.mode("append").parquet(args.output))
+    out = full.select("doc_id", "status", "spans", "sections")
+    if args.buckets > 0:
+        from pyspark.sql import functions as F
+
+        out = out.withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(args.buckets))
+        )
+        out.write.mode("append").partitionBy("bucket").parquet(args.output)
+    else:
+        out.write.mode("append").parquet(args.output)
     if args.metrics:
         (lineage_table(full)
             .write.mode("append").parquet(args.metrics))

@@ -524,6 +524,44 @@ def _q_json_source(spark, sf_dir):
     return df.select("id", "name", "note")
 
 
+def _q_collated_tables(spark, sf_dir):
+    """S15 + A9: directory collation source — natural-sort filenames
+    (alphanum_key, ref file_util.py:160-170), then fold fragments into
+    tables by label fill-down (ref pdf_test_parse.py:238-303). The
+    global window is fine here because collation batches are bounded
+    (one output directory); at scale partition by batch id."""
+    from pyspark.sql import Window
+
+    coll = os.path.join(_fixture_dir(sf_dir), "collate")
+    df = (
+        spark.read.schema("seq int, title string, cells string").json(coll)
+        .withColumn("fname", F.input_file_name())
+        .withColumn(
+            "natkey",
+            F.regexp_extract("fname", r"table_(\d+)\.json", 1).cast("int"),
+        )
+    )
+    label_re = r"^\bTable\s\d+\b"
+    lbl = F.when(
+        F.col("title").rlike(label_re),
+        F.regexp_extract("title", label_re, 0),
+    )
+    w = Window.orderBy("natkey", "seq").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    df = df.withColumn("label", F.last(lbl, ignorenulls=True).over(w))
+    return df.groupBy("label").agg(
+        F.count("*").cast("int").alias("n_rows"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("natkey", "seq", "cells"))),
+                lambda s: s["cells"],
+            ),
+            ",",
+        ).alias("cells_seq"),
+    )
+
+
 def _q_html_tables(spark, sf_dir):
     """X19: HTML table -> rows (ref parse_util.py:58-115), mapInPandas
     over stdlib html.parser."""
@@ -570,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s6_lines_source": _q_lines_source,
         "s7_json_source": _q_json_source,
         "x19_html_tables": _q_html_tables,
+        "s15_collated_tables": _q_collated_tables,
         "s8_stream_sessionize": _q_stream_sessionize,
         "ep1_extract_spans": _q_extract_spans,
         "ep1_extract_sections": _q_extract_sections,
@@ -870,6 +909,25 @@ def oracle_sql() -> dict[str, str]:
         "s8_stream_windowed": OP.stream_windowed_sql(),
         "s8_stream_sessionize": OP.sessionize_sql(),
         "x19_html_tables": OP.html_tables_sql(FIX01),
+        "s15_collated_tables": f"""
+            WITH j AS (
+              SELECT seq, title, cells,
+                CAST(regexp_extract(filename, 'table_(\\d+)\\.json', 1)
+                     AS INT) AS natkey
+              FROM read_json('{FIX01}/collate/*.json', filename=true,
+                             columns={{'seq': 'INT', 'title': 'VARCHAR',
+                                       'cells': 'VARCHAR'}})),
+            lbld AS (
+              SELECT *, last_value(
+                CASE WHEN regexp_matches(title, '^\\bTable\\s\\d+\\b')
+                     THEN regexp_extract(title, '^\\bTable\\s\\d+\\b')
+                END IGNORE NULLS)
+                OVER (ORDER BY natkey, seq ROWS UNBOUNDED PRECEDING) AS label
+              FROM j)
+            SELECT label, CAST(count(*) AS INT) AS n_rows,
+                   string_agg(cells, ',' ORDER BY natkey, seq) AS cells_seq
+            FROM lbld GROUP BY label
+        """,
         "m1_media_features": OP.media_features_sql(FIX01),
         "x11_text_cleanup": f"""
             SELECT doc_id, "offset" AS offset,

@@ -496,6 +496,32 @@ def write_aux_fixtures(sf_name: str, out_dir: str) -> None:
         os.path.join(out_dir, "html_snippets.parquet"),
     )
 
+    # S15/A9 directory-collation fixture (ref file_util.py:160-170 +
+    # pdf_test_parse.py:238-303): per-file table fragments whose
+    # filenames sort differently under lexical vs natural order
+    # (table_10 between table_1 and table_2 lexically), and whose
+    # continued fragments carry no label (fill-down target).
+    coll = os.path.join(out_dir, "collate")
+    os.makedirs(coll, exist_ok=True)
+    frags = {
+        "table_1.json": [
+            {"seq": 0, "title": "Table 1: Alpha", "cells": "a1|a2"},
+            {"seq": 1, "title": None, "cells": "a3|a4"},
+        ],
+        "table_2.json": [
+            {"seq": 0, "title": None, "cells": "a5|a6"},
+            {"seq": 1, "title": "Table 2: Beta", "cells": "b1|b2"},
+        ],
+        "table_10.json": [
+            {"seq": 0, "title": None, "cells": "b3|b4"},
+            {"seq": 1, "title": "Table 3: Gamma", "cells": "c1|c2"},
+        ],
+    }
+    for fname, rows in frags.items():
+        with open(os.path.join(coll, fname), "w") as fh:
+            for r in rows:
+                fh.write(_json.dumps(r) + "\n")
+
 
 FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
 
@@ -507,8 +533,8 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
     marker = os.path.join(out, "spans_geom.parquet")
     if not os.path.exists(marker):
         write_fixtures(sf_name, out)
-    if not os.path.exists(
-        os.path.join(out, "html_snippets.parquet")
+    if not os.path.isdir(
+        os.path.join(out, "collate")
     ) and os.path.isdir(
         os.path.join(TESTDATA_ROOT, sf_name)
     ):

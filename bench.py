@@ -144,6 +144,9 @@ def _scaling_report() -> dict:
     pair would be biased."""
     job_t: dict[int, float] = {}
     ctl_t: dict[int, float] = {}
+    # local[2] runs ~3x longer than the other levels combined; one rep
+    # per cycle there keeps total bench time bounded
+    reps_for = {2: 1, 8: 2, 32: 2}
     nd = 0
     for _ in range(2):
         for lvl in LEVELS:
@@ -155,7 +158,7 @@ def _scaling_report() -> dict:
                 # warm JVM + python workers with a K=1 pass (same code
                 # paths as the measured job, fraction of the cost)
                 _force(_scaling_job(spark, SF_DIR, 1))
-                for _ in range(2):
+                for _ in range(reps_for[lvl]):
                     t0 = time.time()
                     _force(_scaling_job(spark, SF_DIR, REPLICATE))
                     d = time.time() - t0

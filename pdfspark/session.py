@@ -36,6 +36,10 @@ def build_session(
         # Nested-column pruning keeps span-struct scans narrow.
         .config("spark.sql.optimizer.nestedSchemaPruning.enabled", "true")
         .config("spark.sql.parquet.filterPushdown", "true")
+        # split small local files aggressively: at 100 TB a scan has
+        # millions of splits; locally the default 128m would serialize
+        # whole-table scans into one task
+        .config("spark.sql.files.maxPartitionBytes", "8m")
         .config("spark.driver.memory", os.environ.get("PDFSPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

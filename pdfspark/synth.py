@@ -363,7 +363,11 @@ def write_fixtures(sf_name: str, out_dir: str) -> None:
         {"doc_id": pa.array(doc_ids, pa.string()),
          "spans": pa.array(span_arrays, pa.list_(SPAN_PA))}
     )
-    pq.write_table(docs_tbl, os.path.join(out_dir, "documents_in.parquet"))
+    # small row groups: parquet splits at row-group granularity, and a
+    # single-group file caps every downstream scan at ONE task — a
+    # layout artifact a real (many-file, many-split) table never has
+    pq.write_table(docs_tbl, os.path.join(out_dir, "documents_in.parquet"),
+                   row_group_size=500)
 
     geom_tbl = pa.table(
         {"doc_id": pa.array(g["doc_id"], pa.string()),
@@ -378,7 +382,8 @@ def write_fixtures(sf_name: str, out_dir: str) -> None:
          "y1": pa.array(g["y1"], pa.float64()),
          "offset": pa.array(g["offset"], pa.int32())}
     )
-    pq.write_table(geom_tbl, os.path.join(out_dir, "spans_geom.parquet"))
+    pq.write_table(geom_tbl, os.path.join(out_dir, "spans_geom.parquet"),
+                   row_group_size=20_000)
 
 
 KEYWORDS = [

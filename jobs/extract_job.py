@@ -75,11 +75,17 @@ def main(argv=None) -> int:
         if args.geom else None
 
     if args.resume:
+        from pyspark.errors import AnalysisException
+
         try:
             committed = spark.read.parquet(args.output)
             docs = resume_filter(docs, committed)
-        except Exception:
-            pass  # nothing committed yet -> full run
+        except AnalysisException as e:
+            # only the missing-path case means "nothing committed yet";
+            # any other read error must fail the job rather than
+            # silently re-emitting every document
+            if "PATH_NOT_FOUND" not in str(e):
+                raise
 
     full = extract_documents(docs, hf)
     # persist once: spans + sections feed the output, the same pass

@@ -124,7 +124,9 @@ def find_section_by_heading(heading: str, section_headings, flags=re.IGNORECASE)
     if heading is None:
         return None
     clean = RE_TRAILING_PUNCT.sub("", heading)
-    if clean.isascii() and _LITERAL_HEADING.match(clean):
+    # fast path assumes IGNORECASE + ASCII needle (str.lower() then
+    # equals regex casefolding); any other flags fall through to re
+    if flags == re.IGNORECASE and clean.isascii() and _LITERAL_HEADING.match(clean):
         needle = clean.lower()
         for i, h in enumerate(section_headings):
             if _word_boundary_find(needle, h.lower()):

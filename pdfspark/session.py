@@ -38,8 +38,10 @@ def build_session(
         .config("spark.sql.parquet.filterPushdown", "true")
         # split small local files aggressively: at 100 TB a scan has
         # millions of splits; locally the default 128m would serialize
-        # whole-table scans into one task
-        .config("spark.sql.files.maxPartitionBytes", "8m")
+        # whole-table scans into one task. Overridable for real
+        # clusters, where 8m would explode task counts ~16x vs 128m.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("PDFSPARK_MAX_PARTITION_BYTES", "8m"))
         .config("spark.driver.memory", os.environ.get("PDFSPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")

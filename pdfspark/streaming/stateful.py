@@ -3,14 +3,21 @@ applyInPandasWithState (SURVEY §2.8 extension; the streaming analogue
 of operators/retrieval.sessionize_events).
 
 State per user = the tail of the last (possibly still-open) session,
-so sessions spanning micro-batches merge correctly. On a finite
-availableNow input the emitted sessions equal the batch
+so sessions spanning micro-batches merge correctly: every batch emits
+its closed sessions plus the current cumulative snapshot of the open
+tail (required so finite availableNow input flushes the last session),
+and the reader dedupes per (user_id, session_id) keeping the snapshot
+with the most events — counts are cumulative, so the last emission IS
+the complete session regardless of how many micro-batches the input
+arrived in. On a finite input the result therefore equals the batch
 gaps-and-islands result, which is exactly what the DuckDB oracle
-computes — the stateful streaming path is therefore hash-verified.
+computes — the stateful streaming path is hash-verified, and
+tests/test_streaming.py re-verifies it under a forced multi-batch
+split (maxFilesPerTrigger=1 over two files).
 
 At scale: state is keyed by user_id (hash-distributed), size O(1) per
 user; with a real unbounded source add a GroupStateTimeout to evict
-idle users instead of the flush-at-end used on finite input.
+idle users instead of relying on the end-of-input snapshot.
 """
 
 from __future__ import annotations
@@ -74,8 +81,11 @@ def _sessionize_group(key, pdfs: Iterator[pd.DataFrame], state: GroupState,
         last_us, end_ts = us, s
         n_ev += 1
         total += float(val)
-    # finite availableNow input: flush the open session too (a live
-    # stream would keep it in state and use a timeout instead)
+    # emit the open tail as a cumulative snapshot AND keep it in state:
+    # if more events arrive in a later micro-batch the session keeps
+    # accumulating and a bigger snapshot supersedes this one (the
+    # reader dedupes per (user_id, session_id) on max n_events); if
+    # not, this snapshot is the final flush.
     if n_ev:
         out.append((user_id, sid, n_ev, start_ts, end_ts, total))
     state.update((sid, last_us, start_ts, n_ev, total, end_ts))
@@ -87,15 +97,24 @@ def _sessionize_group(key, pdfs: Iterator[pd.DataFrame], state: GroupState,
 
 
 def sessionize_stream(
-    spark: SparkSession, events_path: str, gap_minutes: int = 30
+    spark: SparkSession, events_path: str, gap_minutes: int = 30,
+    max_files_per_trigger: int | None = None,
+    path_glob: str | None = None,
 ) -> DataFrame:
     """Run stateful sessionization as a streaming query (availableNow,
-    memory sink) and return the materialized sessions."""
+    memory sink) and return the materialized sessions.
+
+    `max_files_per_trigger` forces a multi-micro-batch run (used by
+    tests to prove cross-batch session merging); `path_glob` widens the
+    file filter beyond the single basename of `events_path`."""
     schema = spark.read.parquet(events_path).schema
+    reader = spark.readStream.schema(schema).option(
+        "pathGlobFilter", path_glob or os.path.basename(events_path)
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", os.path.basename(events_path))
-        .parquet(os.path.dirname(events_path))
+        reader.parquet(os.path.dirname(events_path))
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .select("user_id", "event_id", "ts", "value")
     )
@@ -116,7 +135,20 @@ def sessionize_stream(
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink).select(
-        "user_id", "session_id", "n_events", "start_ts", "end_ts",
-        F.round("total_value", 2).alias("total_value"),
+    # cumulative-snapshot dedupe: a session that spanned micro-batches
+    # was emitted once per batch with growing counts; keep the largest
+    # snapshot per (user_id, session_id) — that is the complete session.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id", "session_id").orderBy(
+        F.desc("n_events"), F.desc("end_ts")
+    )
+    return (
+        spark.table(sink)
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select(
+            "user_id", "session_id", "n_events", "start_ts", "end_ts",
+            F.round("total_value", 2).alias("total_value"),
+        )
     )

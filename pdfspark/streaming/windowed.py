@@ -31,7 +31,7 @@ def windowed_counts_stream(
     schema = spark.read.parquet(events_path).schema
     stream = (
         spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
+        .option("pathGlobFilter", os.path.basename(events_path))
         .parquet(os.path.dirname(events_path))
     )
     agg = (

@@ -30,6 +30,41 @@ def test_stateful_stream_equals_batch_sessionize(spark):
     assert batch == stream
 
 
+def test_stateful_stream_multibatch_equals_batch(spark, tmp_path):
+    """Sessions spanning micro-batches must not double-emit: split the
+    events by time into two files, force one file per micro-batch, and
+    require exact equality with the batch sessionizer (the cumulative-
+    snapshot dedupe in sessionize_stream is what makes this hold)."""
+    ev = spark.read.parquet(EVENTS).orderBy("ts", "event_id")
+    rows = ev.collect()
+    mid_ts = rows[len(rows) // 2].ts
+    d = str(tmp_path)
+    p0, p1 = os.path.join(d, "part-0.parquet"), os.path.join(d, "part-1.parquet")
+    ev.filter(F.col("ts") <= F.lit(mid_ts)).toPandas().to_parquet(
+        p0, coerce_timestamps="us")
+    ev.filter(F.col("ts") > F.lit(mid_ts)).toPandas().to_parquet(
+        p1, coerce_timestamps="us")
+    # file source orders micro-batches by mod time: make part-0 older
+    os.utime(p0, (1_000_000, 1_000_000))
+    os.utime(p1, (2_000_000, 2_000_000))
+
+    batch = {
+        (r.user_id, r.session_id): (r.n_events, r.start_ts, r.end_ts,
+                                    r.total_value)
+        for r in sessionize_events(spark.read.parquet(d)).collect()
+    }
+    stream_rows = sessionize_stream(
+        spark, p0, max_files_per_trigger=1, path_glob="part-*.parquet"
+    ).collect()
+    stream = {
+        (r.user_id, r.session_id): (r.n_events, r.start_ts, r.end_ts,
+                                    r.total_value)
+        for r in stream_rows
+    }
+    assert len(stream_rows) == len(stream)  # no duplicate session rows
+    assert batch == stream
+
+
 def test_windowed_stream_equals_batch_groupby(spark):
     ev = spark.read.parquet(EVENTS).withColumn(
         "ts", F.col("ts").cast("timestamp")

@@ -527,15 +527,20 @@ def _q_json_source(spark, sf_dir):
 def _q_collated_tables(spark, sf_dir):
     """S15 + A9: directory collation source — natural-sort filenames
     (alphanum_key, ref file_util.py:160-170), then fold fragments into
-    tables by label fill-down (ref pdf_test_parse.py:238-303). The
-    global window is fine here because collation batches are bounded
-    (one output directory); at scale partition by batch id."""
+    tables by label fill-down (ref pdf_test_parse.py:238-303). One
+    collation run = one batch directory (hive-style `batch=` partition
+    column), and the fill-down window is PARTITIONED by batch: the
+    scale path shuffles each batch to one task instead of moving the
+    whole input through a single global window (fixture batch b2
+    starts unlabeled, so a global window would leak b1's label into it
+    and fail the oracle)."""
     from pyspark.sql import Window
 
     coll = os.path.join(_fixture_dir(sf_dir), "collate")
     df = (
         spark.read.schema("seq int, title string, cells string").json(coll)
         .withColumn("fname", F.input_file_name())
+        .withColumn("batch", F.regexp_extract("fname", r"batch=([^/]+)/", 1))
         .withColumn(
             "natkey",
             F.regexp_extract("fname", r"table_(\d+)\.json", 1).cast("int"),
@@ -546,11 +551,11 @@ def _q_collated_tables(spark, sf_dir):
         F.col("title").rlike(label_re),
         F.regexp_extract("title", label_re, 0),
     )
-    w = Window.orderBy("natkey", "seq").rowsBetween(
+    w = Window.partitionBy("batch").orderBy("natkey", "seq").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
     df = df.withColumn("label", F.last(lbl, ignorenulls=True).over(w))
-    return df.groupBy("label").agg(
+    return df.groupBy("batch", "label").agg(
         F.count("*").cast("int").alias("n_rows"),
         F.array_join(
             F.transform(
@@ -912,9 +917,10 @@ def oracle_sql() -> dict[str, str]:
         "s15_collated_tables": f"""
             WITH j AS (
               SELECT seq, title, cells,
+                regexp_extract(filename, 'batch=([^/]+)/', 1) AS batch,
                 CAST(regexp_extract(filename, 'table_(\\d+)\\.json', 1)
                      AS INT) AS natkey
-              FROM read_json('{FIX01}/collate/*.json', filename=true,
+              FROM read_json('{FIX01}/collate/*/*.json', filename=true,
                              columns={{'seq': 'INT', 'title': 'VARCHAR',
                                        'cells': 'VARCHAR'}})),
             lbld AS (
@@ -922,11 +928,12 @@ def oracle_sql() -> dict[str, str]:
                 CASE WHEN regexp_matches(title, '^\\bTable\\s\\d+\\b')
                      THEN regexp_extract(title, '^\\bTable\\s\\d+\\b')
                 END IGNORE NULLS)
-                OVER (ORDER BY natkey, seq ROWS UNBOUNDED PRECEDING) AS label
+                OVER (PARTITION BY batch ORDER BY natkey, seq
+                      ROWS UNBOUNDED PRECEDING) AS label
               FROM j)
-            SELECT label, CAST(count(*) AS INT) AS n_rows,
+            SELECT batch, label, CAST(count(*) AS INT) AS n_rows,
                    string_agg(cells, ',' ORDER BY natkey, seq) AS cells_seq
-            FROM lbld GROUP BY label
+            FROM lbld GROUP BY batch, label
         """,
         "m1_media_features": OP.media_features_sql(FIX01),
         "x11_text_cleanup": f"""

@@ -45,7 +45,7 @@ MATCHER_TERMS = (
     ("bibliography",),
     ("references",),
 )
-MATCHER_PREFIX = r"(?i)^(executive\s+summary|foreword|introduction|summary|bibliography|references)\b"
+MATCHER_PREFIX = r"(?iU)^(executive\s+summary|foreword|introduction|summary|bibliography|references)\b"
 
 RE_SECTION = re.compile(SECTION)
 RE_SECTION_GROUPS = re.compile(SECTION_GROUPS)
@@ -59,18 +59,24 @@ RE_EXTRA_SPACE = re.compile(r"\s{2,}")  # F7, parse_util.py:136-143
 RE_NON_ALNUM = re.compile(r"[^a-zA-Z0-9]")  # F5, parse_util.py:117-127
 RE_TRAILING_PUNCT = re.compile(r"[\W_]+$")  # F6, parse_util.py:161-168
 
-# Java-regex equivalents for Spark SQL expressions. Java supports the
-# same constructs here; (?i) replaces re.IGNORECASE. Anchors added
-# where the Python call site used re.match (prefix semantics).
-JAVA_SECTION = SECTION
-JAVA_SECTION_GROUPS = SECTION_GROUPS
-JAVA_APPENDIX = "(?i)" + APPENDIX
-JAVA_FIGURE = "(?i)" + FIGURE
-JAVA_TABLE_TITLE = "(?i)" + TABLE_TITLE
-JAVA_CONTINUED_SEARCH = "(?i)" + CONTINUED
-JAVA_CONTINUED_MATCH = "(?i)^" + CONTINUED
-JAVA_PAGE_NUMBER_MATCH = "(?i)^" + PAGE_NUMBER
-JAVA_TABLE_LABEL = TABLE_LABEL
+# Java-regex equivalents for Spark SQL expressions. (?i) replaces
+# re.IGNORECASE; anchors added where the Python call site used
+# re.match (prefix semantics). (?U) = UNICODE_CHARACTER_CLASS (which
+# implies UNICODE_CASE): java.util.regex \w/\s/\b/(?i) default to
+# ASCII while Python `re` on str is Unicode-aware, so without it
+# "2. Résumé" matches RE_SECTION but not rlike(SECTION), and
+# NBSP-separated "Appendix A." diverges. Verified equivalent over
+# an adversarial corpus (non-ASCII letters, NBSP, Kelvin sign, quirk
+# cases) by tests/test_patterns.py.
+JAVA_SECTION = "(?U)" + SECTION
+JAVA_SECTION_GROUPS = "(?U)" + SECTION_GROUPS
+JAVA_APPENDIX = "(?iU)" + APPENDIX
+JAVA_FIGURE = "(?iU)" + FIGURE
+JAVA_TABLE_TITLE = "(?iU)" + TABLE_TITLE
+JAVA_CONTINUED_SEARCH = "(?iU)" + CONTINUED
+JAVA_CONTINUED_MATCH = "(?iU)^" + CONTINUED
+JAVA_PAGE_NUMBER_MATCH = "(?iU)^" + PAGE_NUMBER
+JAVA_TABLE_LABEL = "(?U)" + TABLE_LABEL
 
 
 def matcher_fires(first_line: str, always: bool = True) -> bool:

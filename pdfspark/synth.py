@@ -505,38 +505,79 @@ def write_aux_fixtures(sf_name: str, out_dir: str) -> None:
     # pdf_test_parse.py:238-303): per-file table fragments whose
     # filenames sort differently under lexical vs natural order
     # (table_10 between table_1 and table_2 lexically), and whose
-    # continued fragments carry no label (fill-down target).
+    # continued fragments carry no label (fill-down target). THREE
+    # hive-style batch directories: the label fill-down window is
+    # partitioned per batch (one collation run = one output dir in the
+    # reference), and batch b2 starts with unlabeled fragments — a
+    # global (unpartitioned) window would wrongly inherit b1's last
+    # label there, so the fixture detects the scale-killer regression.
     coll = os.path.join(out_dir, "collate")
     os.makedirs(coll, exist_ok=True)
-    frags = {
-        "table_1.json": [
-            {"seq": 0, "title": "Table 1: Alpha", "cells": "a1|a2"},
-            {"seq": 1, "title": None, "cells": "a3|a4"},
-        ],
-        "table_2.json": [
-            {"seq": 0, "title": None, "cells": "a5|a6"},
-            {"seq": 1, "title": "Table 2: Beta", "cells": "b1|b2"},
-        ],
-        "table_10.json": [
-            {"seq": 0, "title": None, "cells": "b3|b4"},
-            {"seq": 1, "title": "Table 3: Gamma", "cells": "c1|c2"},
-        ],
+    batches = {
+        "b1": {
+            "table_1.json": [
+                {"seq": 0, "title": "Table 1: Alpha", "cells": "a1|a2"},
+                {"seq": 1, "title": None, "cells": "a3|a4"},
+            ],
+            "table_2.json": [
+                {"seq": 0, "title": None, "cells": "a5|a6"},
+                {"seq": 1, "title": "Table 2: Beta", "cells": "b1|b2"},
+            ],
+            "table_10.json": [
+                {"seq": 0, "title": None, "cells": "b3|b4"},
+                {"seq": 1, "title": "Table 3: Gamma", "cells": "c1|c2"},
+            ],
+        },
+        "b2": {
+            "table_1.json": [
+                {"seq": 0, "title": None, "cells": "n1|n2"},  # no label yet
+                {"seq": 1, "title": "Table 4: Delta", "cells": "d1|d2"},
+            ],
+            "table_2.json": [
+                {"seq": 0, "title": None, "cells": "d3|d4"},
+            ],
+        },
+        "b3": {
+            "table_1.json": [
+                {"seq": 0, "title": "Table 1: Alpha", "cells": "z1|z2"},
+                {"seq": 1, "title": None, "cells": "z3|z4"},
+            ],
+            "table_10.json": [
+                {"seq": 0, "title": "Table 5: Epsilon", "cells": "e1|e2"},
+            ],
+        },
     }
-    for fname, rows in frags.items():
-        with open(os.path.join(coll, fname), "w") as fh:
-            for r in rows:
-                fh.write(_json.dumps(r) + "\n")
+    for bname, frags in batches.items():
+        bdir = os.path.join(coll, f"batch={bname}")
+        os.makedirs(bdir, exist_ok=True)
+        for fname, rows in frags.items():
+            with open(os.path.join(bdir, fname), "w") as fh:
+                for r in rows:
+                    fh.write(_json.dumps(r) + "\n")
 
 
 FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
 
+# bump whenever any generator above changes shape/content so stale
+# on-disk fixtures are regenerated instead of silently reused
+FIXTURE_VERSION = 2
+
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
     """Idempotently materialize fixtures for one scale factor;
-    returns the directory."""
+    returns the directory. A VERSION marker invalidates fixtures
+    written by older generators."""
+    import shutil
+
     out = os.path.join(root, sf_name)
-    marker = os.path.join(out, "spans_geom.parquet")
-    if not os.path.exists(marker):
+    vfile = os.path.join(out, "VERSION")
+    current = None
+    if os.path.exists(vfile):
+        with open(vfile) as fh:
+            current = fh.read().strip()
+    if current != str(FIXTURE_VERSION) and os.path.isdir(out):
+        shutil.rmtree(out)
+    if not os.path.exists(os.path.join(out, "spans_geom.parquet")):
         write_fixtures(sf_name, out)
     if not os.path.isdir(
         os.path.join(out, "collate")
@@ -544,6 +585,8 @@ def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:
         os.path.join(TESTDATA_ROOT, sf_name)
     ):
         write_aux_fixtures(sf_name, out)
+    with open(vfile, "w") as fh:
+        fh.write(str(FIXTURE_VERSION))
     return out
 
 

@@ -220,6 +220,18 @@ def _q_tables_exact(spark, sf_dir):
     )
 
 
+def _q_table_titles(spark, sf_dir):
+    """J2: title<->table parent-id join with consume-once semantics
+    (ref parse_util.py:188-205) over the Unstructured-shaped elements
+    fixture."""
+    from pdfspark.operators.table_titles import match_table_titles
+
+    el = spark.read.parquet(
+        os.path.join(_fixture_dir(sf_dir), "elements.parquet")
+    )
+    return match_table_titles(el)
+
+
 def _q_toc_skeleton(spark, sf_dir):
     from pdfspark.operators.classify import explode_documents, toc_skeleton
 
@@ -628,6 +640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ep3_tables_doc_scope": _q_tables_doc_scope,
         "j3_tables_merged": _q_tables_merged,
         "ep3_tables_exact": _q_tables_exact,
+        "j2_table_titles": _q_table_titles,
         "j4_toc_skeleton": _q_toc_skeleton,
         "x1_classify_flags": _q_classify_flags,
         "w3_current_section": _q_current_section,
@@ -1051,6 +1064,42 @@ def oracle_sql() -> dict[str, str]:
             FROM keyed
             WINDOW wm AS (PARTITION BY doc_id, merged_id
                           ORDER BY page_id, table_id, row_id)
+        """,
+        "j2_table_titles": f"""
+            WITH el AS (SELECT * FROM read_parquet('{FIX01}/elements.parquet')),
+            titles AS (
+              SELECT doc_id, coalesce(parent_id, element_id) AS key,
+                     max_by(text, "ord") AS title
+              FROM el WHERE etype = 'NarrativeText'
+              GROUP BY doc_id, coalesce(parent_id, element_id)),
+            tbls AS (
+              SELECT doc_id, element_id, parent_id, "ord" AS tord
+              FROM el WHERE etype = 'Table'),
+            p1 AS (
+              SELECT * FROM (
+                SELECT t.doc_id, t.element_id, t.tord, ti.key, ti.title,
+                       row_number() OVER (PARTITION BY t.doc_id, ti.key
+                                          ORDER BY t.tord) AS rn
+                FROM tbls t JOIN titles ti
+                  ON t.doc_id = ti.doc_id AND t.parent_id = ti.key)
+              WHERE rn = 1),
+            rem AS (
+              SELECT ti.* FROM titles ti
+              LEFT JOIN p1 ON p1.doc_id = ti.doc_id AND p1.key = ti.key
+              WHERE p1.key IS NULL),
+            p2 AS (
+              SELECT t.doc_id, t.element_id, t.tord, r.title
+              FROM tbls t
+              LEFT JOIN p1 ON p1.doc_id = t.doc_id
+                          AND p1.element_id = t.element_id
+              JOIN rem r ON r.doc_id = t.doc_id AND r.key = t.element_id
+              WHERE p1.element_id IS NULL),
+            m AS (SELECT doc_id, element_id, title FROM p1
+                  UNION ALL SELECT doc_id, element_id, title FROM p2)
+            SELECT t.doc_id, t.element_id, CAST(t.tord AS INT) AS tord,
+                   coalesce(m.title, '') AS title
+            FROM tbls t LEFT JOIN m ON m.doc_id = t.doc_id
+                                   AND m.element_id = t.element_id
         """,
         "j4_toc_skeleton": f"""
             SELECT doc_id,

@@ -384,6 +384,78 @@ def write_fixtures(sf_name: str, out_dir: str) -> None:
     )
     pq.write_table(geom_tbl, os.path.join(out_dir, "spans_geom.parquet"),
                    row_group_size=20_000)
+    write_elements(sf_name, out_dir)
+
+
+# --- J2 elements fixture ---------------------------------------------------
+#
+# Unstructured-API-shaped element stream (ref src/utilities/parse_util.py
+# :188-205): NarrativeText titles keyed by metadata.parent_id (falling
+# back to their own element_id), probed by each Table via its parent_id
+# then its own element_id, with consume-once `del` semantics. Trap mix
+# per document:
+#   - parent match   : title and table share a container parent
+#   - element match  : caption's parent_id IS the table's element_id
+#   - consume-once   : two tables share one titled container -> only the
+#                      first (document order) gets the title
+#   - dict overwrite : two titles on one key -> LAST write wins
+#   - unmatched      : table with an untitled container -> ''
+#   - stray title    : NarrativeText with no parent (keyed by its own
+#                      element_id, matches nothing)
+# plus Header/Footer noise elements that both sides ignore.
+
+def gen_elements(doc_id: str, rng) -> list[dict]:
+    rows: list[dict] = []
+
+    def add(etype, text=None, parent_id=None):
+        eid = f"{doc_id}-e{len(rows):03d}"
+        rows.append(dict(doc_id=doc_id, ord=len(rows), element_id=eid,
+                         etype=etype, text=text, parent_id=parent_id))
+        return eid
+
+    add("Header", text="running header")
+    # parent match
+    c1 = f"{doc_id}-c1"
+    add("NarrativeText", text=f"Table 1: {_para(rng, 3)}", parent_id=c1)
+    add("Table", parent_id=c1)
+    # element match: caption is a child of the table itself
+    t_child = add("Table", parent_id=f"{doc_id}-c-untitled")
+    add("NarrativeText", text=f"Table 2: {_para(rng, 3)}", parent_id=t_child)
+    # consume-once: two tables under one titled container
+    c2 = f"{doc_id}-c2"
+    add("NarrativeText", text=f"Table 3: {_para(rng, 2)}", parent_id=c2)
+    add("Table", parent_id=c2)
+    add("Table", parent_id=c2)  # title already consumed -> ''
+    # dict overwrite: second title on c3 wins
+    c3 = f"{doc_id}-c3"
+    add("NarrativeText", text="Table 9: stale first write", parent_id=c3)
+    add("NarrativeText", text=f"Table 4: {_para(rng, 2)}", parent_id=c3)
+    add("Table", parent_id=c3)
+    # unmatched table
+    add("Table", parent_id=f"{doc_id}-c4")
+    # stray title with no parent: keyed by its own element_id
+    add("NarrativeText", text="Orphan caption text")
+    add("Footer", text="page footer")
+    return rows
+
+
+def write_elements(sf_name: str, out_dir: str) -> None:
+    n_docs = max(20, SF_DOCS.get(sf_name, 600) // 3)
+    rows: list[dict] = []
+    for i in range(n_docs):
+        doc_id = f"eldoc-{i:05d}"
+        rng = random.Random(f"42|{sf_name}|elements|{doc_id}")
+        rows.extend(gen_elements(doc_id, rng))
+    tbl = pa.table(
+        {"doc_id": pa.array([r["doc_id"] for r in rows], pa.string()),
+         "ord": pa.array([r["ord"] for r in rows], pa.int32()),
+         "element_id": pa.array([r["element_id"] for r in rows], pa.string()),
+         "etype": pa.array([r["etype"] for r in rows], pa.string()),
+         "text": pa.array([r["text"] for r in rows], pa.string()),
+         "parent_id": pa.array([r["parent_id"] for r in rows], pa.string())}
+    )
+    pq.write_table(tbl, os.path.join(out_dir, "elements.parquet"),
+                   row_group_size=2000)
 
 
 KEYWORDS = [
@@ -560,7 +632,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 2
+FIXTURE_VERSION = 3
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

@@ -198,3 +198,64 @@ def test_tabular_pairs_fire_on_sparse_fixture(spark, spans_geom):
     ).collect()
     rels = {r.relation for r in rows}
     assert "row" in rels and "col" in rels
+
+
+# --- J2 title<->table parent-id join ---------------------------------------
+
+def _ref_match_table_titles(elements):
+    """Statement-level transliteration of the reference's title dict +
+    consume-once probe loop (src/utilities/parse_util.py:188-205):
+    build table_titles keyed by parent_id (fallback element_id), then
+    per Table in order probe parent_id then element_id, del on match."""
+    table_titles = {}
+    for el in elements:
+        if el["etype"] == "NarrativeText":
+            if el["parent_id"] is not None:
+                table_titles[el["parent_id"]] = el["text"]
+            else:
+                table_titles[el["element_id"]] = el["text"]
+    out = []
+    for el in elements:
+        if el["etype"] == "Table":
+            table_id = el["element_id"]
+            parent_id = el["parent_id"]
+            title = ""
+            if parent_id and parent_id in table_titles:
+                title = table_titles[parent_id]
+                del table_titles[parent_id]
+            elif table_id in table_titles:
+                title = table_titles[table_id]
+                del table_titles[table_id]
+            out.append((el["doc_id"], table_id, el["ord"], title))
+    return out
+
+
+def test_j2_matches_reference_transliteration(spark, fixture_dir):
+    from pdfspark.operators.table_titles import match_table_titles
+
+    el = spark.read.parquet(os.path.join(fixture_dir, "elements.parquet"))
+    got = {
+        (r.doc_id, r.element_id): (r.tord, r.title)
+        for r in match_table_titles(el).collect()
+    }
+
+    raw = sorted(
+        (r.asDict() for r in el.collect()),
+        key=lambda r: (r["doc_id"], r["ord"]),
+    )
+    by_doc = {}
+    for r in raw:
+        by_doc.setdefault(r["doc_id"], []).append(r)
+    want = {}
+    for doc_id, els in by_doc.items():
+        for d, eid, tord, title in _ref_match_table_titles(els):
+            want[(d, eid)] = (tord, title)
+
+    assert got == want
+    # trap coverage: fixture must exercise consume-once ('' titles),
+    # element-id fallback, and dict overwrite
+    titles = [t for _, t in got.values()]
+    assert "" in titles
+    assert any(t.startswith("Table 2:") for t in titles)  # element match
+    assert any(t.startswith("Table 4:") for t in titles)  # overwrite winner
+    assert not any("stale first write" in t for t in titles)

@@ -277,6 +277,21 @@ def _q_current_section(spark, sf_dir):
     )
 
 
+def _q_heading_lookup(spark, sf_dir):
+    """J1 relational: whole-word heading -> TOC-skeleton lookup as a
+    broadcast theta join (first-match-wins); literal-safe candidates
+    only, unsafe ones surface with NULL = the reference's swallowed
+    re.error no-match."""
+    from pdfspark.operators.classify import explode_documents, headings_to_toc, toc_skeleton
+
+    c = _classified(spark, sf_dir)
+    toc = toc_skeleton(explode_documents(_docs_in(spark, sf_dir)))
+    return headings_to_toc(c, toc).select(
+        "doc_id", "offset", "lookup", "heading",
+        F.col("line_no").cast("int").alias("line_no"),
+    )
+
+
 def _q_sections(spark, sf_dir):
     from pdfspark.operators.classify import sections_assembled
 
@@ -642,6 +657,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ep3_tables_exact": _q_tables_exact,
         "j2_table_titles": _q_table_titles,
         "j4_toc_skeleton": _q_toc_skeleton,
+        "j1_heading_lookup": _q_heading_lookup,
         "x1_classify_flags": _q_classify_flags,
         "w3_current_section": _q_current_section,
         "a8_sections": _q_sections,
@@ -1109,6 +1125,43 @@ def oracle_sql() -> dict[str, str]:
                    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY "offset")
                         AS INT) AS line_no
             FROM {GEOM01} WHERE kind = 'TOC'
+        """,
+        "j1_heading_lookup": f"""
+            WITH {_CLASSIFY_CTE},
+            toc AS (
+              SELECT doc_id,
+                     trim(regexp_replace(regexp_replace(regexp_replace(
+                         regexp_replace(text, '\\\\u20ac', ' ', 'g'),
+                         '\\\\n', ' ', 'g'), '€', ' ', 'g'),
+                         '\\s{{2,}}', ' ', 'g')) AS heading,
+                     CAST(row_number() OVER (PARTITION BY doc_id
+                          ORDER BY "offset") AS INT) AS line_no
+              FROM {GEOM01} WHERE kind = 'TOC'),
+            hcand AS (
+              SELECT doc_id, o,
+                     coalesce(section_title, first_line) AS lookup,
+                     regexp_replace(coalesce(section_title, first_line),
+                                    '[\\W_]+$', '') AS clean
+              FROM cursec WHERE is_heading),
+            hsafe AS (
+              SELECT *, regexp_matches(clean,
+                '^[A-Za-z0-9_](?:[A-Za-z0-9_ ,;:''\\-]*[A-Za-z0-9_])?$')
+                AS is_safe
+              FROM hcand),
+            matched AS (
+              SELECT s.doc_id, s.o, s.lookup, t.heading, t.line_no,
+                     row_number() OVER (PARTITION BY s.doc_id, s.o
+                                        ORDER BY t.line_no NULLS LAST) AS rn
+              FROM hsafe s LEFT JOIN toc t
+                ON s.doc_id = t.doc_id
+               AND regexp_matches(t.heading, '(?i)\\b' || s.clean || '\\b')
+              WHERE s.is_safe)
+            SELECT doc_id, CAST(o AS INT) AS offset, lookup, heading, line_no
+            FROM matched WHERE rn = 1
+            UNION ALL
+            SELECT doc_id, CAST(o AS INT) AS offset, lookup,
+                   CAST(NULL AS VARCHAR) AS heading, CAST(NULL AS INT) AS line_no
+            FROM hsafe WHERE NOT is_safe
         """,
         "x1_classify_flags": f"""
             WITH {_CLASSIFY_CTE}

@@ -215,38 +215,72 @@ def sections_assembled(classified_with_section: DataFrame) -> DataFrame:
     )
 
 
-def headings_to_toc(classified: DataFrame, toc: DataFrame) -> DataFrame:
+# literal-safe heading text: unescaped-regex semantics (X9) degenerate
+# to a plain whole-word search, so Spark rlike, DuckDB RE2 and Python
+# re agree byte-for-byte (mirrors patterns._LITERAL_HEADING)
+SAFE_HEADING = r"^[A-Za-z0-9_](?:[A-Za-z0-9_ ,;:'\-]*[A-Za-z0-9_])?$"
+
+
+def headings_to_toc(
+    classified: DataFrame, toc: DataFrame, safe_only: bool = True
+) -> DataFrame:
     """J1 — whole-word heading lookup as a broadcast theta join.
 
     For each heading candidate, find the first TOC skeleton line that
     contains it as a whole word (IGNORECASE), reproducing
     Document.find_section_by_heading (ref src/document.py:99-112)
     including first-match-wins (min line_no). The reference does NOT
-    regex-escape the heading; headings whose text is not a valid
-    pattern raise there — here the rlike simply fails to match (the
-    divergence is quarantined to the exact-parity fold).
+    regex-escape the heading (X9): an invalid pattern raises re.error
+    there, the caller's per-element try/except swallows it, and the
+    observable result is "no section matched". With ``safe_only=True``
+    candidates whose cleaned text is not literal-safe keep a NULL
+    line_no — the same observable no-match — instead of feeding
+    java.util.regex a pattern that may throw at runtime; with
+    ``safe_only=False`` the unescaped text goes straight into rlike
+    (valid-metachar headings then match exactly like the reference,
+    invalid ones fail the task instead of being swallowed).
+
+    Scale shape: candidates are heading spans only (a tiny projection)
+    and the TOC side is broadcast; the theta join never sees body text.
     """
     cand = classified.filter(F.col("is_heading")).select(
         "doc_id",
         "offset",
         F.coalesce(F.col("section_title"), F.col("first_line")).alias("lookup"),
     )
-    clean = F.regexp_replace("lookup", r"[\W_]+$", "")
-    cand = cand.withColumn(
-        "pat", F.concat(F.lit("(?i)\\b"), clean, F.lit("\\b"))
+    clean = F.regexp_replace("lookup", r"(?U)[\W_]+$", "")
+    cand = cand.withColumn("clean", clean).withColumn(
+        "is_safe", F.col("clean").rlike(SAFE_HEADING)
     )
-    joined = cand.join(
+    if safe_only:
+        probe = cand.filter(F.col("is_safe"))
+    else:
+        probe = cand
+    probe = probe.withColumn(
+        "pat", F.concat(F.lit("(?i)\\b"), F.col("clean"), F.lit("\\b"))
+    )
+    joined = probe.join(
         F.broadcast(toc),
-        (cand.doc_id == toc.doc_id) & F.expr("heading rlike pat"),
+        (probe.doc_id == toc.doc_id) & F.expr("heading rlike pat"),
         "left",
-    ).select(cand.doc_id, "offset", "lookup", "heading", "line_no")
+    ).select(probe.doc_id, "offset", "lookup", "heading", "line_no")
     from pyspark.sql import Window as W
 
     w = W.partitionBy("doc_id", "offset").orderBy(
         F.col("line_no").asc_nulls_last()
     )
-    return (
+    first = (
         joined.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+    if not safe_only:
+        return first
+    # unsafe candidates resurface with NULL match (reference: raise
+    # swallowed -> no section)
+    unsafe = cand.filter(~F.col("is_safe")).select(
+        "doc_id", "offset", "lookup",
+        F.lit(None).cast("string").alias("heading"),
+        F.lit(None).cast("int").alias("line_no"),
+    )
+    return first.unionByName(unsafe)

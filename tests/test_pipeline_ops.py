@@ -259,3 +259,42 @@ def test_j2_matches_reference_transliteration(spark, fixture_dir):
     assert any(t.startswith("Table 2:") for t in titles)  # element match
     assert any(t.startswith("Table 4:") for t in titles)  # overwrite winner
     assert not any("stale first write" in t for t in titles)
+
+
+# --- J1 relational heading lookup ------------------------------------------
+
+def test_j1_relational_equals_find_section_by_heading(spark):
+    """headings_to_toc (broadcast theta join, safe mode) must agree
+    with the reference's find_section_by_heading (incl. first-match-
+    wins and swallowed-re.error => no match) on ASCII headings."""
+    import re
+
+    from pdfspark.functions import patterns as P
+    from pdfspark.operators.classify import headings_to_toc
+
+    toc_headings = ["Risk management", "Data - handling", "Summary",
+                    "Risk management review"]
+    toc = spark.createDataFrame(
+        [("d1", h, i + 1) for i, h in enumerate(toc_headings)],
+        "doc_id string, heading string, line_no int",
+    )
+    lookups = ["Risk management", "risk MANAGEMENT", "Data", "handling",
+               "agement", "C++ (v2)", "Summary", "Risk management,"]
+    classified = spark.createDataFrame(
+        [("d1", i, True, None, s) for i, s in enumerate(lookups)],
+        "doc_id string, offset int, is_heading boolean, "
+        "section_title string, first_line string",
+    )
+    got = {
+        r.offset: r.line_no
+        for r in headings_to_toc(classified, toc).collect()
+    }
+    want = {}
+    for i, s in enumerate(lookups):
+        try:
+            idx = P.find_section_by_heading(s, toc_headings)
+        except re.error:
+            idx = None  # reference swallows per-element
+        want[i] = None if idx is None else idx + 1
+    assert got == want
+    assert want[0] == 1 and want[4] is None and want[5] is None

@@ -349,12 +349,24 @@ def _q_extract_sections(spark, sf_dir):
 
 
 def _q_lineage(spark, sf_dir):
+    """Per-doc lineage rows (doc_id, status, spans_in, spans_out,
+    bytes_in) — the deterministic foundation the per-partition metrics
+    table (extract.lineage_table, exercised by jobs/extract_job and its
+    pytest) rolls up from. Fully SQL-oracled: spans_in/bytes_in from
+    the input span arrays, spans_out from the extract-spans oracle."""
     from pdfspark.operators.boilerplate import all_doc_headers_footers
-    from pdfspark.operators.extract import extract_documents, lineage_table
+    from pdfspark.operators.extract import extract_documents
 
     geom = _geom(spark, sf_dir)
     hf = all_doc_headers_footers(geom)
-    return lineage_table(extract_documents(_docs_in(spark, sf_dir), hf))
+    out = extract_documents(_docs_in(spark, sf_dir), hf)
+    return out.select(
+        "doc_id",
+        "status",
+        F.col("spans_in").cast("int").alias("spans_in"),
+        F.col("spans_out").cast("int").alias("spans_out"),
+        F.col("bytes_in").cast("long").alias("bytes_in"),
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -456,6 +468,13 @@ def _q_ivf_topk(spark, sf_dir):
 
     emb = _emb_all(spark, sf_dir)
     return ivf_topk_cosine(emb, _ann_queries(emb))
+
+
+def _q_ivf_euclidean(spark, sf_dir):
+    from pdfspark.operators.similarity import ivf_topk_euclidean
+
+    emb = _emb_all(spark, sf_dir)
+    return ivf_topk_euclidean(emb, _ann_queries(emb))
 
 
 def _q_neardup_lsh(spark, sf_dir):
@@ -628,6 +647,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sim_ann_topk": _q_ann_topk,
         "sim_ivf_topk": _q_ivf_topk,
         "j5_topk_euclidean": _q_euclidean_topk,
+        "sim_ivf_euclidean": _q_ivf_euclidean,
         "sim_neardup_lsh": _q_neardup_lsh,
         "a6_max_score": _q_max_score,
         "j6_keyword_hits": _q_keyword_hits,
@@ -934,6 +954,7 @@ def oracle_sql() -> dict[str, str]:
         "sim_ann_topk": OP.ann_cosine_sql(FIX01),
         "sim_ivf_topk": OP.ivf_topk_sql(FIX01),
         "j5_topk_euclidean": OP.euclidean_topk_sql(FIX01),
+        "sim_ivf_euclidean": OP.ivf_euclidean_sql(FIX01),
         "sim_neardup_lsh": OP.neardup_lsh_sql(FIX01),
         "a6_max_score": OP.max_score_sql(FIX01),
         "j6_keyword_hits": OP.keyword_hits_sql(FIX01),
@@ -991,6 +1012,46 @@ def oracle_sql() -> dict[str, str]:
     }
     return pipeline | {
         "ep1_extract_spans": _EXTRACT_SPANS_SQL,
+        # exact-parity side outputs: DuckDB reads the materialized
+        # output of the INDEPENDENT reference transliteration
+        # (pdfspark/oracle.py + local fold_tables_page, written at
+        # fixture-gen time by synth.write_oracle_outputs — no Spark in
+        # that path)
+        "ep1_extract_sections": f"""
+            SELECT doc_id, CAST(section_id AS INT) AS section_id, heading,
+                   paragraphs, figures
+            FROM read_parquet('{FIX01}/oracle_sections.parquet')
+        """,
+        "ep3_tables_exact": f"""
+            SELECT doc_id, CAST(page_id AS INT) AS page_id,
+                   CAST(table_id AS INT) AS table_id, title,
+                   CAST(row_id AS INT) AS row_id, cells
+            FROM read_parquet('{FIX01}/oracle_tables_exact.parquet')
+        """,
+        "lineage_metrics": f"""
+            WITH base AS (
+              SELECT doc_id,
+                     len(spans) AS spans_in,
+                     len(list_filter(spans, s -> s['kind'] = 'DecodeError'))
+                       AS n_bad,
+                     list_reduce(list_prepend(CAST(0 AS BIGINT),
+                         list_transform(spans,
+                             s -> CAST(length(coalesce(s['text'], ''))
+                                       AS BIGINT))),
+                         (a, b) -> a + b) AS bytes_in
+              FROM {DOCS01}),
+            outs AS (
+              SELECT doc_id, count(*) AS spans_out
+              FROM ({_EXTRACT_SPANS_SQL}) GROUP BY doc_id)
+            SELECT b.doc_id,
+                   CASE WHEN b.n_bad > 0 THEN 'quarantined'
+                        WHEN b.spans_in = 0 THEN 'empty'
+                        ELSE 'ok' END AS status,
+                   CAST(b.spans_in AS INT) AS spans_in,
+                   CAST(coalesce(o.spans_out, 0) AS INT) AS spans_out,
+                   CAST(b.bytes_in AS BIGINT) AS bytes_in
+            FROM base b LEFT JOIN outs o USING (doc_id)
+        """,
         "w1_reading_order": f"""
             SELECT doc_id, page_id, "offset" AS offset,
                    CAST(row_number() OVER (PARTITION BY doc_id, page_id

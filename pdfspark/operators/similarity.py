@@ -229,6 +229,49 @@ def _nearest_cells(v, k: int):
     return F.transform(F.slice(pairs, 1, k), lambda p: p["c"])
 
 
+def ivf_topk_euclidean(
+    emb: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """IVF ANN for the reference's ACTUAL Pinecone metric (euclidean,
+    pinecone_vector_db.py:74): the scale path for J5 semantics.
+    Same coarse quantizer as the cosine variant — euclidean cell
+    assignment is metric-consistent here (nearest centroid by L2) —
+    ranking by rounded distance asc inside probed cells only; the
+    candidate join is an equi-join on cell id, never |q| x |corpus|."""
+    e = emb.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    ).withColumn("cell", F.element_at(_nearest_cells(F.col("v"), 1), 1))
+    q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        _as_double(F.col("embedding")).alias("qv"),
+    ).select(
+        "query_id", "qv",
+        F.explode(_nearest_cells(F.col("qv"), NPROBE)).alias("cell"),
+    )
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, v: s + v,
+            )
+        ),
+        4,
+    )
+    scored = (
+        e.join(F.broadcast(q), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", "vec_id", dist.alias("dist"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                "vec_id", "dist")
+    )
+
+
 def ivf_topk_cosine(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
     """IVF ANN: corpus vectors live in 1 cell; queries probe NPROBE
     cells; ranking (rounded cosine desc, vec_id) happens only inside

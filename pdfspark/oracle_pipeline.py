@@ -403,6 +403,53 @@ FROM ranked WHERE rank <= {k}
 """
 
 
+def ivf_euclidean_sql(fix: str, k: int = 5) -> str:
+    from pdfspark.operators.similarity import (
+        NPROBE,
+        NUM_CELLS,
+        centroid_sql_literal,
+    )
+
+    def sqd(c: int) -> str:
+        lit = f"({centroid_sql_literal(c)}::DOUBLE[])"
+        return (
+            f"list_reduce(list_prepend(0.0, list_transform("
+            f"generate_series(1, len(v)), i -> (v[i]-{lit}[i])*(v[i]-{lit}[i])"
+            f")), (x, y) -> x + y)"
+        )
+
+    pairs = ", ".join(
+        f"{{'d': {sqd(c)}, 'c': {c}}}" for c in range(NUM_CELLS)
+    )
+    dq = (
+        "list_reduce(list_prepend(0.0, list_transform("
+        "generate_series(1, len(e.v)), i -> (q.qv[i]-e.v[i])*(q.qv[i]-e.v[i])"
+        ")), (x, y) -> x + y)"
+    )
+    return f"""
+WITH {_emb_all(fix)},
+cellified AS (
+  SELECT vec_id, v,
+         (list_sort([{pairs}])[1])['c'] AS cell
+  FROM ed),
+qc AS (
+  SELECT vec_id AS query_id, v AS qv,
+         unnest(list_transform(list_sort([{pairs}])[1:{NPROBE}],
+                s -> s['c'])) AS cell
+  FROM ed WHERE {_Q_PRED}),
+scored AS (
+  SELECT q.query_id, e.vec_id, round(sqrt({dq}), 4) AS dist
+  FROM cellified e JOIN qc q USING (cell)
+  WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY dist ASC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, CAST(rank AS INT) AS rank, vec_id, dist
+FROM ranked WHERE rank <= {k}
+"""
+
+
 def max_score_sql(fix: str, k: int = 5) -> str:
     return f"""
 WITH topk AS ({ann_cosine_sql(fix, k)}),

@@ -385,6 +385,111 @@ def write_fixtures(sf_name: str, out_dir: str) -> None:
     pq.write_table(geom_tbl, os.path.join(out_dir, "spans_geom.parquet"),
                    row_group_size=20_000)
     write_elements(sf_name, out_dir)
+    write_oracle_outputs(sf_name, out_dir)
+
+
+# --- reference-oracle materialization --------------------------------------
+
+def _hf_local(doc) -> tuple[str, str]:
+    """Local transliteration of the A1 header/footer dedup-concat fold
+    (ref parse_util.py:417-442), byte-identical to the Spark operator
+    and the DuckDB _HF_CTE (pinned by tests/test_extract_parity.py):
+    margin tests against the page's PageStart y1, offset order,
+    substring dedup, trailing-space concat."""
+    page_y1 = {}
+    for s in doc.spans:
+        if s["kind"] == "PageStart":
+            page_y1[s["page_id"]] = max(
+                page_y1.get(s["page_id"], 0.0), s["y1"]
+            )
+    header, footer = "", ""
+    for s in doc.spans:  # offset order
+        if s["kind"] != "TextBox":
+            continue
+        txt = s["text"].replace("\n", "")
+        py1 = page_y1.get(s["page_id"], 792.0)
+        if py1 - s["y0"] <= 50.0:
+            if txt not in header:
+                header += txt + " "
+        elif s["y0"] <= 20.0:
+            if txt not in footer:
+                footer += txt + " "
+    return header, footer
+
+
+def write_oracle_outputs(sf_name: str, out_dir: str) -> None:
+    """Materialize the reference-transliteration oracle's outputs so
+    the driver's DuckDB twin can read_parquet them: the extraction
+    sections side-output (pdfspark/oracle.py, independent of fold.py)
+    and the exact table fold (fold_tables_page run locally, no Spark).
+    This gives the two exact-parity queries a real driver oracle
+    instead of rows-only checks."""
+    from pdfspark.config import ExtractConfig
+    from pdfspark.operators.tables import fold_tables_page
+    from pdfspark.oracle import oracle_extract
+
+    docs = generate_docs(sf_name)
+    cfg = ExtractConfig()
+
+    sec_rows = []
+    tbl_rows = []
+    for d in docs:
+        h, f = _hf_local(d)
+        res = oracle_extract(
+            [dict(kind=s["kind"], text=s["text"], media_ref=s["media_ref"],
+                  offset=s["offset"]) for s in d.spans],
+            h, f, cfg,
+        )
+        for i, sec in enumerate(res["sections"]):
+            sec_rows.append(
+                dict(doc_id=d.doc_id, section_id=i, heading=sec["heading"],
+                     paragraphs="|".join(sec["paragraphs"]),
+                     figures="|".join(sec["figures"]))
+            )
+        # exact table fold per page: TextBox geometry in reading order
+        # (-y1, x1, offset), mirroring extract_tables_exact's input
+        pages: dict[int, list[dict]] = {}
+        for s in d.spans:
+            if s["kind"] == "TextBox":
+                pages.setdefault(s["page_id"], []).append(s)
+        for pid in sorted(pages):
+            boxes = sorted(
+                pages[pid], key=lambda s: (-s["y1"], s["x1"], s["offset"])
+            )
+            for r in fold_tables_page(
+                [dict(text=b["text"], x0=b["x0"], y0=b["y0"],
+                      x1=b["x1"], y1=b["y1"]) for b in boxes],
+                h, f,
+            ):
+                tbl_rows.append(
+                    dict(doc_id=d.doc_id, page_id=pid,
+                         table_id=r["table_id"], title=r["title"],
+                         row_id=r["row_id"],
+                         cells=None if r["cells"] is None
+                         else "|".join(r["cells"]))
+                )
+
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([r["doc_id"] for r in sec_rows], pa.string()),
+             "section_id": pa.array([r["section_id"] for r in sec_rows], pa.int32()),
+             "heading": pa.array([r["heading"] for r in sec_rows], pa.string()),
+             "paragraphs": pa.array([r["paragraphs"] for r in sec_rows], pa.string()),
+             "figures": pa.array([r["figures"] for r in sec_rows], pa.string())}
+        ),
+        os.path.join(out_dir, "oracle_sections.parquet"),
+    )
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([r["doc_id"] for r in tbl_rows], pa.string()),
+             "page_id": pa.array([r["page_id"] for r in tbl_rows], pa.int32()),
+             "table_id": pa.array([r["table_id"] for r in tbl_rows], pa.int32()),
+             "title": pa.array([r["title"] for r in tbl_rows], pa.string()),
+             "row_id": pa.array([r["row_id"] for r in tbl_rows], pa.int32()),
+             "cells": pa.array([r["cells"] for r in tbl_rows], pa.string())}
+        ),
+        os.path.join(out_dir, "oracle_tables_exact.parquet"),
+    )
 
 
 # --- J2 elements fixture ---------------------------------------------------
@@ -632,7 +737,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 3
+FIXTURE_VERSION = 4
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

@@ -112,3 +112,15 @@ def test_lineage_and_resume(spark, documents_in, spans_geom):
     committed = documents_in.limit(30).select("doc_id")
     rest = resume_filter(documents_in, committed)
     assert rest.count() == documents_in.count() - 30
+
+
+def test_local_hf_transliteration_matches_spark(spark, spans_geom):
+    """synth._hf_local (used to materialize the driver oracle's exact-
+    parity inputs) must equal the Spark A1 operator byte-for-byte."""
+    from pdfspark.synth import _hf_local, generate_docs
+
+    want = _hf_strings(spark, spans_geom)
+    for d in generate_docs("sf0.001"):
+        h, f = _hf_local(d)
+        wh, wf = want.get(d.doc_id, ("", ""))
+        assert (h, f) == (wh, wf), d.doc_id

@@ -135,9 +135,22 @@ def extract_spans_split(
 ) -> DataFrame:
     """Span-sequence output (doc_id, spans) with skew splitting.
 
-    Big docs: explode spans, assign page-aligned chunks (a chunk
-    boundary never splits a page: chunk = page-group index), fold each
+    Big docs: explode spans, apply the front-matter skip via a per-doc
+    cutoff position, chunk by `floor(pos / spans_per_chunk)`, fold each
     chunk independently, reassemble ordered and renumber offsets.
+
+    No per-doc global window anywhere in the pre-split (a 10M-span doc
+    must not serialize into one task before it is even split):
+
+    * the front-matter skip needs only the position of the PageStart
+      that opens page `start_page` — computed from the PageStart rows
+      alone (#pages per doc, a tiny aggregation), then joined back;
+    * chunk ids need NO page alignment: after the cutoff the chunk
+      folds run with start_page=0, PageStart markers are pure
+      pass-throughs, and every output span label depends only on its
+      own text (see fold.py) — so a chunk boundary mid-page is safe.
+      The sections side-output, which IS order-stateful, stays on the
+      sequential path by design.
     """
     df = _with_hf(documents_in, header_footer_df)
     is_big = F.size("spans") > F.lit(skew_threshold)
@@ -151,34 +164,29 @@ def extract_spans_split(
     )
 
     # --- skew path -------------------------------------------------------
-    # page_index per span = running count of PageStart markers; front-
-    # matter skip applied globally, then chunk id = floor(rank/chunk).
     exploded = big.select(
         "doc_id", "header", "footer", F.posexplode("spans").alias("pos", "s")
     )
-    from pyspark.sql import Window
-
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    exploded = exploded.withColumn(
-        "page_index",
-        F.sum((F.col("s.kind") == "PageStart").cast("int")).over(w) - 1,
-    )
     if cfg.start_page > 0:
-        exploded = exploded.filter(
-            (F.col("s.kind") == "TOC") | (F.col("page_index") >= cfg.start_page)
+        # cutoff = pos of the (start_page+1)-th PageStart marker; a doc
+        # with fewer pages keeps only its TOC spans (page_index never
+        # reaches start_page), exactly like the sequential fold
+        cut = (
+            exploded.filter(F.col("s.kind") == "PageStart")
+            .groupBy("doc_id")
+            .agg(
+                F.element_at(
+                    F.sort_array(F.collect_list("pos")), cfg.start_page + 1
+                ).alias("cut")
+            )
         )
+        exploded = exploded.join(F.broadcast(cut), "doc_id", "left").filter(
+            (F.col("s.kind") == "TOC")
+            | (F.col("cut").isNotNull() & (F.col("pos") >= F.col("cut")))
+        ).drop("cut")
     exploded = exploded.withColumn(
         "chunk", (F.col("pos") / F.lit(spans_per_chunk)).cast("int")
     )
-    # keep page alignment: a page's spans share the chunk of its PageStart
-    exploded = exploded.withColumn(
-        "chunk",
-        F.max(F.when(F.col("s.kind") == "PageStart", F.col("chunk"))).over(w),
-    ).withColumn("chunk", F.coalesce("chunk", F.lit(0)))
 
     import dataclasses
 

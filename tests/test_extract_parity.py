@@ -124,3 +124,47 @@ def test_local_hf_transliteration_matches_spark(spark, spans_geom):
         h, f = _hf_local(d)
         wh, wf = want.get(d.doc_id, ("", ""))
         assert (h, f) == (wh, wf), d.doc_id
+
+
+def test_skew_splitter_equality_with_front_matter_skip(spark, documents_in,
+                                                       spans_geom):
+    """The windowless cutoff join must reproduce the sequential fold's
+    front-matter skip (start_page=3) on the skew path."""
+    cfg = ExtractConfig(start_page=3)
+    hf_df = all_doc_headers_footers(spans_geom)
+    split = extract_spans_split(documents_in, hf_df, cfg=cfg,
+                                skew_threshold=500, spans_per_chunk=200)
+    unsplit = extract_documents(documents_in, hf_df, cfg).select(
+        "doc_id", "spans")
+    ks = {r.doc_id: [t.asDict() for t in r.spans] for r in split.collect()}
+    ku = {r.doc_id: [t.asDict() for t in r.spans] for r in unsplit.collect()}
+    assert set(ks) == set(ku)
+    for d in ku:
+        assert ks[d] == ku[d], d
+
+
+def test_skew_giant_doc_parallel_presplit(spark):
+    """A 100k-span pathological doc: the skew path must (a) equal the
+    sequential fold and (b) run its chunk folds across >1 task — the
+    pre-split itself must not serialize the doc into one task."""
+    from pdfspark.synth import DocBuilder, gen_skew
+    import random
+
+    b = DocBuilder("giant-00000")
+    gen_skew(b, random.Random("42|giant"), 100_000)
+    b.finish()
+    spans = [dict(kind=s["kind"], text=s["text"], media_ref=s["media_ref"],
+                  offset=s["offset"]) for s in b.spans]
+    df = spark.createDataFrame(
+        [(b.doc_id, spans)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = extract_spans_split(df, None, skew_threshold=5000,
+                              spans_per_chunk=4096)
+    got = [t.asDict() for t in out.collect()[0].spans]
+    want = fold_document(spans, "", "", ExtractConfig())["out_spans"]
+    assert got == want
+    # distinct chunk ids prove the fold work fans out over many tasks
+    n_chunks = (len(spans) + 4095) // 4096
+    assert n_chunks > 20

@@ -624,6 +624,21 @@ def _q_html_tables(spark, sf_dir):
     return html_tables(snip)
 
 
+def _q_binary_decode(spark, sf_dir):
+    """S1: binaryFile scan -> Arrow-batched decode -> documents rows
+    with quarantine (corrupt payloads become status='decode_error'
+    rows, never task failures)."""
+    from pdfspark.sources.binary_decode import decode_payloads, read_payloads
+
+    p = os.path.join(_fixture_dir(sf_dir), "payloads")
+    d = decode_payloads(read_payloads(spark, p))
+    return d.select(
+        "doc_id", "status",
+        F.size("spans").cast("int").alias("n_spans"),
+        F.col("bytes_len").cast("long").alias("bytes_len"),
+    )
+
+
 def _q_stream_sessionize(spark, sf_dir):
     """§2.8 stateful streaming: applyInPandasWithState sessionization;
     on availableNow finite input equals the batch gaps-and-islands
@@ -657,6 +672,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s8_stream_windowed": _q_stream_windowed,
         "m1_media_features": _q_media_features,
         "x11_text_cleanup": _q_text_cleanup,
+        "s1_binary_decode": _q_binary_decode,
         "s6_lines_source": _q_lines_source,
         "s7_json_source": _q_json_source,
         "x19_html_tables": _q_html_tables,
@@ -996,6 +1012,31 @@ def oracle_sql() -> dict[str, str]:
                                     chr(10), ' ', 'g'),
                      '\\s{{2,}}', ' ', 'g')) AS stripped
             FROM {GEOM01} WHERE kind = 'TextBox'
+        """,
+        "s1_binary_decode": f"""
+            WITH raw AS (
+              SELECT filename, content,
+                     octet_length(content) AS bytes_len
+              FROM read_blob('{FIX01}/payloads/*.bin')),
+            j AS (
+              SELECT CASE WHEN json_valid(decode(content))
+                          THEN json_extract_string(decode(content), '$.doc_id')
+                          ELSE regexp_extract(filename, '([^/]+)\\.bin$', 1)
+                     END AS doc_id,
+                     CASE WHEN json_valid(decode(content)) THEN 'ok'
+                          ELSE 'decode_error' END AS status,
+                     CASE WHEN json_valid(decode(content))
+                          THEN CAST(json_array_length(decode(content),
+                                                      '$.spans') AS INT)
+                          ELSE 0 END AS n_spans,
+                     CAST(bytes_len AS BIGINT) AS bytes_len
+              FROM raw WHERE substring(hex(content), 1, 2) = '7B'),
+            c AS (
+              SELECT regexp_extract(filename, '([^/]+)\\.bin$', 1) AS doc_id,
+                     'decode_error' AS status, CAST(0 AS INT) AS n_spans,
+                     CAST(bytes_len AS BIGINT) AS bytes_len
+              FROM raw WHERE substring(hex(content), 1, 2) <> '7B')
+            SELECT * FROM j UNION ALL SELECT * FROM c
         """,
         "s6_lines_source": f"""
             SELECT trim(column0) AS line

@@ -386,6 +386,31 @@ def write_fixtures(sf_name: str, out_dir: str) -> None:
                    row_group_size=20_000)
     write_elements(sf_name, out_dir)
     write_oracle_outputs(sf_name, out_dir)
+    write_payloads(docs, out_dir)
+
+
+def write_payloads(docs, out_dir: str) -> None:
+    """S1 byte-stream fixture: every 10th document serialized as a
+    standalone JSON payload file (the deterministic stand-in for a PDF
+    byte stream — the container ships no PDF codec), plus two corrupt
+    payloads that must land in quarantine, one of them non-UTF8."""
+    import json as _json
+
+    pdir = os.path.join(out_dir, "payloads")
+    os.makedirs(pdir, exist_ok=True)
+    for d in docs[::10]:
+        body = dict(
+            doc_id=d.doc_id,
+            spans=[dict(kind=s["kind"], text=s["text"],
+                        media_ref=s["media_ref"], offset=s["offset"])
+                   for s in d.spans],
+        )
+        with open(os.path.join(pdir, f"{d.doc_id}.bin"), "wb") as fh:
+            fh.write(_json.dumps(body).encode("utf-8"))
+    with open(os.path.join(pdir, "corrupt_trunc.bin"), "wb") as fh:
+        fh.write(b'{"doc_id": "corrupt_trunc", "spans": [{"kind": ')
+    with open(os.path.join(pdir, "corrupt_binary.bin"), "wb") as fh:
+        fh.write(b"\x89PDF\x00\xff\xfe not json at all \x00\x01")
 
 
 # --- reference-oracle materialization --------------------------------------
@@ -737,7 +762,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 4
+FIXTURE_VERSION = 5
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

@@ -298,3 +298,30 @@ def test_j1_relational_equals_find_section_by_heading(spark):
         want[i] = None if idx is None else idx + 1
     assert got == want
     assert want[0] == 1 and want[4] is None and want[5] is None
+
+
+# --- S1 binary-decode scaffold ---------------------------------------------
+
+def test_s1_binary_decode_roundtrip(spark, fixture_dir, documents_in):
+    """binaryFile -> Arrow decode must reproduce the exact span arrays
+    of the serialized documents and quarantine both corrupt payloads
+    (truncated JSON and non-UTF8 bytes) as rows, not task failures."""
+    from pdfspark.sources.binary_decode import decode_payloads, read_payloads
+
+    out = decode_payloads(
+        read_payloads(spark, os.path.join(fixture_dir, "payloads"))
+    ).collect()
+    bad = sorted(r.doc_id for r in out if r.status == "decode_error")
+    assert bad == ["corrupt_binary", "corrupt_trunc"]
+    assert all(r.bytes_len > 0 for r in out)
+
+    want = {
+        r.doc_id: [t.asDict() for t in r.spans]
+        for r in documents_in.collect()
+    }
+    n_ok = 0
+    for r in out:
+        if r.status == "ok":
+            assert [t.asDict() for t in r.spans] == want[r.doc_id], r.doc_id
+            n_ok += 1
+    assert n_ok > 0

@@ -240,8 +240,54 @@ def main() -> int:
     if os.environ.get("PDFSPARK_BENCH_SCALING", "1") != "0":
         out["scaling"] = _scaling_report()
 
+    prev = _previous_round()
+    if prev:
+        out["vs_prev_round"] = _deltas(timings, prev)
+
     print(json.dumps(out))
     return 0
+
+
+def _previous_round() -> dict | None:
+    """Latest driver-recorded BENCH_r{N}.json, for mechanical
+    round-over-round regression spotting."""
+    import glob
+    import re as _re
+
+    best, best_n = None, -1
+    for p in glob.glob(os.path.join(REPO, "BENCH_r*.json")):
+        m = _re.search(r"BENCH_r(\d+)\.json$", p)
+        if m and int(m.group(1)) > best_n:
+            best, best_n = p, int(m.group(1))
+    if best is None:
+        return None
+    try:
+        with open(best) as fh:
+            data = json.load(fh)
+        # the driver wraps our JSON line under "parsed"
+        if "parsed" in data and isinstance(data["parsed"], dict):
+            data = data["parsed"]
+        data["_round"] = best_n
+        return data
+    except (OSError, json.JSONDecodeError):
+        return None
+
+
+def _deltas(timings: dict, prev: dict) -> dict:
+    """Per-query sec ratio vs the previous round (>1 = slower now).
+    Host noise is ~4x run-to-run here, so treat <2x as noise."""
+    pq = prev.get("queries", {})
+    ratios = {
+        k: round(v / pq[k], 2)
+        for k, v in timings.items()
+        if k in pq and pq[k]
+    }
+    return {
+        "round": prev.get("_round"),
+        "prev_total": prev.get("value"),
+        "query_sec_ratio": ratios,
+        "regressed_2x": sorted(k for k, r in ratios.items() if r > 2.0),
+    }
 
 
 if __name__ == "__main__":

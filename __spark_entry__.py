@@ -141,6 +141,48 @@ def _q_table_stats(spark, sf_dir):
     ).withColumn("table_id", F.col("table_id").cast("int"))
 
 
+def _q_page_scan(spark, sf_dir):
+    """S3: single-page scan (ref extract_textboxes_by_pageid,
+    parse_util.py:444-455) — a pushed-down page_id predicate."""
+    g = _geom(spark, sf_dir)
+    return g.filter((F.col("page_id") == 2) & (F.col("kind") == "TextBox")) \
+        .select("doc_id", "page_id", "offset", F.trim("text").alias("content"))
+
+
+def _q_page_window(spark, sf_dir):
+    """S4: page-window scan (ref extract_textboxes hardcoded 8-14,
+    pdf_test_parse.py:473-487; fixture pages are 1-4, window 2-3)."""
+    g = _geom(spark, sf_dir)
+    return g.filter(
+        F.col("page_id").between(2, 3) & (F.col("kind") == "TextBox")
+    ).select("doc_id", "page_id", "offset", F.trim("text").alias("content"))
+
+
+def _q_embeddings_upsert(spark, sf_dir):
+    """S13: embeddings upsert sink semantics (ref _upsert_to_pinecone_
+    index, pinecone_vector_db.py:74-120,269-296): updates replace
+    current rows by vec_id (delete+insert = left-anti + union), the
+    Iceberg MERGE-by-key analogue."""
+    from pdfspark.operators.retrieval import upsert_embeddings
+
+    cur = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
+    upd = spark.read.parquet(
+        os.path.join(_fixture_dir(sf_dir), "embeddings_aug.parquet")
+    ).withColumn("vec_id", F.col("vec_id") - 1_000_000)  # overlap half the ids
+    merged = upsert_embeddings(cur.select("vec_id", "embedding"),
+                               upd.select("vec_id", "embedding"))
+    norm = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                F.lit(0.0), lambda s, v: s + v,
+            )
+        ), 4,
+    )
+    return merged.select("vec_id", F.size("embedding").alias("n_dims"),
+                         norm.alias("norm"))
+
+
 def _q_page_number_strip(spark, sf_dir):
     from pdfspark.functions import patterns as P
 
@@ -673,6 +715,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m1_media_features": _q_media_features,
         "x11_text_cleanup": _q_text_cleanup,
         "s1_binary_decode": _q_binary_decode,
+        "s3_page_scan": _q_page_scan,
+        "s4_page_window": _q_page_window,
+        "s13_embeddings_upsert": _q_embeddings_upsert,
         "s6_lines_source": _q_lines_source,
         "s7_json_source": _q_json_source,
         "x19_html_tables": _q_html_tables,
@@ -1012,6 +1057,31 @@ def oracle_sql() -> dict[str, str]:
                                     chr(10), ' ', 'g'),
                      '\\s{{2,}}', ' ', 'g')) AS stripped
             FROM {GEOM01} WHERE kind = 'TextBox'
+        """,
+        "s3_page_scan": f"""
+            SELECT doc_id, page_id, "offset" AS offset, trim(text) AS content
+            FROM {GEOM01} WHERE page_id = 2 AND kind = 'TextBox'
+        """,
+        "s4_page_window": f"""
+            SELECT doc_id, page_id, "offset" AS offset, trim(text) AS content
+            FROM {GEOM01}
+            WHERE page_id BETWEEN 2 AND 3 AND kind = 'TextBox'
+        """,
+        "s13_embeddings_upsert": f"""
+            WITH upd AS (
+              SELECT vec_id - 1000000 AS vec_id, embedding
+              FROM read_parquet('{FIX01}/embeddings_aug.parquet')),
+            cur AS (SELECT vec_id, embedding FROM embeddings),
+            merged AS (
+              SELECT c.vec_id, c.embedding FROM cur c
+              LEFT JOIN upd u USING (vec_id) WHERE u.vec_id IS NULL
+              UNION ALL
+              SELECT vec_id, embedding FROM upd)
+            SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,
+                   round(sqrt(list_reduce(list_prepend(0.0,
+                       list_transform(embedding::DOUBLE[], x -> x*x)),
+                       (a, b) -> a + b)), 4) AS norm
+            FROM merged
         """,
         "s1_binary_decode": f"""
             WITH raw AS (

@@ -148,3 +148,18 @@ def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
         F.max(F.date_format(tts, fmt)).alias("end_ts"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
+
+
+def upsert_embeddings(current: DataFrame, updates: DataFrame) -> DataFrame:
+    """S13 — upsert-by-key semantics of the reference's vector-index
+    sink (_upsert_to_pinecone_index, ref src/data/pinecone_vector_db.py
+    :74-120,269-296): a row in `updates` replaces the `current` row
+    with the same vec_id, new ids append. Relationally: left-anti the
+    touched keys out of current, union the updates — exactly what an
+    Iceberg `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED
+    INSERT` compiles to for whole-row updates. Scale shape: one
+    hash-shuffle on vec_id for the anti-join; broadcast when the
+    update batch is small (AQE decides)."""
+    return current.join(
+        updates.select("vec_id"), "vec_id", "left_anti"
+    ).unionByName(updates)

@@ -203,34 +203,89 @@ def centroid_sql_literal(c: int) -> str:
     return "[" + ", ".join(repr(x) for x in CENTROIDS[c]) + "]"
 
 
-def _cell_dists(v):
+def _cell_dists(v, cents=None):
     """Array of squared distances v -> each centroid (fold order fixed)."""
+    cents = CENTROIDS if cents is None else cents
     return [
         F.aggregate(
             F.zip_with(
                 v,
-                F.array(*[F.lit(x) for x in CENTROIDS[c]]),
+                F.array(*[F.lit(x) for x in cents[c]]),
                 lambda a, b: (a - b) * (a - b),
             ),
             F.lit(0.0),
             lambda s, x: s + x,
         )
-        for c in range(NUM_CELLS)
+        for c in range(len(cents))
     ]
 
 
-def _nearest_cells(v, k: int):
+def _nearest_cells(v, k: int, cents=None):
     """Indices of the k nearest centroids, ties broken by cell id."""
-    d = _cell_dists(v)
+    cents = CENTROIDS if cents is None else cents
+    d = _cell_dists(v, cents)
     pairs = F.array_sort(
         F.array(*[F.struct(d[c].alias("d"), F.lit(c).alias("c"))
-                  for c in range(NUM_CELLS)])
+                  for c in range(len(cents))])
     )
     return F.transform(F.slice(pairs, 1, k), lambda p: p["c"])
 
 
+def fit_ivf_centroids(
+    emb: DataFrame, k: int = NUM_CELLS, iters: int = 5, init=None
+) -> list[list[float]]:
+    """Lloyd's k-means fit for the IVF coarse quantizer.
+
+    Deterministic: init defaults to the md5-derived constant seeds (so
+    two runs — and any partitioning — produce identical centroids), and
+    each iteration is assign (nearest-centroid expression, JVM-side) →
+    per-(cell, dim) sum/count groupBy → driver-side mean update of the
+    k x dim model (k*dim rows collected per iteration — model-sized,
+    never data-sized; this is the standard Spark ML shape, the data
+    itself never leaves the executors). Empty cells keep their previous
+    centroid. In production the result is checkpointed to a centroids
+    table and read by ivf_topk_* via the `centroids` parameter.
+    """
+    cents = [list(c) for c in (init if init is not None else CENTROIDS[:k])]
+    e = emb.select(_as_double(F.col("embedding")).alias("v"))
+    e.persist()
+    try:
+        for _ in range(iters):
+            assigned = e.withColumn(
+                "cell", F.element_at(_nearest_cells(F.col("v"), 1, cents), 1)
+            )
+            stats = (
+                assigned.select("cell", F.posexplode("v").alias("pos", "x"))
+                .groupBy("cell", "pos")
+                .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+                .collect()
+            )
+            sums: dict[int, list[float]] = {}
+            counts: dict[int, int] = {}
+            dim = len(cents[0])
+            for r in stats:
+                sums.setdefault(r.cell, [0.0] * dim)[r.pos] = r.s
+                counts[r.cell] = r.n
+            cents = [
+                ([x / counts[c] for x in sums[c]] if counts.get(c)
+                 else cents[c])
+                for c in range(len(cents))
+            ]
+    finally:
+        e.unpersist()
+    return cents
+
+
+def quantization_sse(emb: DataFrame, cents) -> float:
+    """Sum of squared distances to the nearest centroid (fit metric)."""
+    e = emb.select(_as_double(F.col("embedding")).alias("v"))
+    d = _cell_dists(F.col("v"), cents)
+    nearest = F.least(*d) if len(d) > 1 else d[0]
+    return e.select(F.sum(nearest).alias("sse")).collect()[0].sse
+
+
 def ivf_topk_euclidean(
-    emb: DataFrame, queries: DataFrame, k: int = 5
+    emb: DataFrame, queries: DataFrame, k: int = 5, centroids=None
 ) -> DataFrame:
     """IVF ANN for the reference's ACTUAL Pinecone metric (euclidean,
     pinecone_vector_db.py:74): the scale path for J5 semantics.
@@ -240,13 +295,15 @@ def ivf_topk_euclidean(
     candidate join is an equi-join on cell id, never |q| x |corpus|."""
     e = emb.select(
         "vec_id", _as_double(F.col("embedding")).alias("v")
-    ).withColumn("cell", F.element_at(_nearest_cells(F.col("v"), 1), 1))
+    ).withColumn(
+        "cell", F.element_at(_nearest_cells(F.col("v"), 1, centroids), 1)
+    )
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         _as_double(F.col("embedding")).alias("qv"),
     ).select(
         "query_id", "qv",
-        F.explode(_nearest_cells(F.col("qv"), NPROBE)).alias("cell"),
+        F.explode(_nearest_cells(F.col("qv"), NPROBE, centroids)).alias("cell"),
     )
     dist = F.round(
         F.sqrt(
@@ -272,21 +329,27 @@ def ivf_topk_euclidean(
     )
 
 
-def ivf_topk_cosine(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+def ivf_topk_cosine(
+    emb: DataFrame, queries: DataFrame, k: int = 5, centroids=None
+) -> DataFrame:
     """IVF ANN: corpus vectors live in 1 cell; queries probe NPROBE
     cells; ranking (rounded cosine desc, vec_id) happens only inside
-    probed cells. Join key = cell id (equi-join, shuffle by cell)."""
+    probed cells. Join key = cell id (equi-join, shuffle by cell).
+    `centroids` defaults to the md5 constants (oracle-matched); pass
+    fit_ivf_centroids output for a data-fitted quantizer."""
     e = emb.select(
         "vec_id", _as_double(F.col("embedding")).alias("v"),
         _norm(_as_double(F.col("embedding"))).alias("nv"),
-    ).withColumn("cell", F.element_at(_nearest_cells(F.col("v"), 1), 1))
+    ).withColumn(
+        "cell", F.element_at(_nearest_cells(F.col("v"), 1, centroids), 1)
+    )
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         _as_double(F.col("embedding")).alias("qv"),
         _norm(_as_double(F.col("embedding"))).alias("nq"),
     ).select(
         "query_id", "qv", "nq",
-        F.explode(_nearest_cells(F.col("qv"), NPROBE)).alias("cell"),
+        F.explode(_nearest_cells(F.col("qv"), NPROBE, centroids)).alias("cell"),
     )
     sim = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 4)
     scored = (

@@ -325,3 +325,44 @@ def test_s1_binary_decode_roundtrip(spark, fixture_dir, documents_in):
             assert [t.asDict() for t in r.spans] == want[r.doc_id], r.doc_id
             n_ok += 1
     assert n_ok > 0
+
+
+# --- fitted IVF coarse quantizer -------------------------------------------
+
+def test_ivf_kmeans_fit(spark, emb_all):
+    """Lloyd's fit must be deterministic under repartitioning, reduce
+    quantization SSE over the md5 seeds, and lift IVF recall@5 vs the
+    brute-force cosine ground truth."""
+    from pdfspark.operators.similarity import (
+        CENTROIDS,
+        fit_ivf_centroids,
+        ivf_topk_cosine,
+        quantization_sse,
+    )
+
+    emb = emb_all
+    c1 = fit_ivf_centroids(emb, iters=3)
+    c2 = fit_ivf_centroids(emb.repartition(7), iters=3)
+    assert c1 == c2  # deterministic model
+
+    sse_seed = quantization_sse(emb, CENTROIDS)
+    sse_fit = quantization_sse(emb, c1)
+    assert sse_fit < sse_seed  # Lloyd iterations actually help
+
+    q = emb.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 1000000))
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in cosine_topk(emb, q).collect()
+    }
+
+    def recall(cents):
+        got = {
+            (r.query_id, r.vec_id)
+            for r in ivf_topk_cosine(emb, q, centroids=cents).collect()
+        }
+        return len(got & truth) / len(truth)
+
+    r_fit = recall(c1)
+    r_seed = recall(None)
+    assert r_fit >= r_seed - 0.05  # fitted cells must not hurt recall
+    assert r_fit > 0.3

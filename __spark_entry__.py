@@ -7,11 +7,13 @@ coverage map): the extraction core (ep1_*/ep3_*/w*/a*/f*/x*/j*
 families), sources (s6/s7), streaming (s8_*, incl. a stateful
 applyInPandasWithState sessionizer), and the training-data pipeline
 extensions (dd_* dedup, sim_* ANN, ts_* text analysis, m1_media).
-``oracle_sql()`` provides the DuckDB twin for every SQL-expressible
-one (fixture parquet referenced by absolute path; the driver's
-pre-registered views cover the testdata tables); the few rows-only
-entries (exact-parity folds, lineage) are pytest-gated against the
-pure-Python reference transliteration instead.
+``oracle_sql()`` provides a DuckDB twin for EVERY queries() entry
+(fixture parquet referenced by absolute path; the driver's
+pre-registered views cover the testdata tables). The exact-parity
+queries are additionally pytest-gated against the pure-Python
+reference transliteration; their driver oracles read the
+transliteration's output materialized to parquet at fixture-gen time
+(synth.write_oracle_outputs, a Spark-free code path).
 """
 
 from __future__ import annotations

@@ -22,6 +22,14 @@ _headings = st.lists(
 )
 
 
+import pytest
+
+
+# the unescaped-heading path (X9, the reference's own bug) emits
+# "possible nested set" FutureWarnings by design — mark them expected
+# so real warnings stay visible
+@pytest.mark.filterwarnings("ignore:Possible nested set:FutureWarning")
+@pytest.mark.filterwarnings("ignore:Possible set:FutureWarning")
 @settings(max_examples=500, deadline=None)
 @given(st.text(alphabet=_heading_alphabet, min_size=0, max_size=14), _headings)
 def test_heading_lookup_matches_reference_regex(heading, section_headings):

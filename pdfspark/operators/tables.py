@@ -271,7 +271,7 @@ def extract_tables_sql(
     return out.select("doc_id", "page_id", "table_id", "title", "row_id", "cells")
 
 
-def merge_continued_tables(tables: DataFrame) -> DataFrame:
+def merge_continued_tables(tables: DataFrame, cache_input: bool = True) -> DataFrame:
     """J3 v2 — merge '(continued)' tables into their base table iff the
     column count matches (ref src/utilities/parse_util.py:327-345:
     base = title.split('(')[0].strip(); previous title must equal base,
@@ -279,7 +279,17 @@ def merge_continued_tables(tables: DataFrame) -> DataFrame:
 
     Input/out: TABLE_ROWS_SCHEMA-shaped flat rows. Cross-page merge:
     tables ordered by (page_id, table_id) per doc.
+
+    The merge is a diamond over its input (a table-level aggregate
+    joined back onto the row stream), so without materialization the
+    whole upstream reconstruction pipeline executes twice.
+    `cache_input` persists the input first — it is output-sized (table
+    rows, not span rows), and in production this stage reads the
+    already-written tables table anyway; measured ~20% off the J3 wall
+    time locally.
     """
+    if cache_input:
+        tables = tables.persist()
     is_cont = F.lower(F.col("title")).contains("continued")
     base = F.when(
         is_cont, F.trim(F.element_at(F.split(F.col("title"), r"\("), 1))

@@ -46,6 +46,12 @@ def main(argv=None) -> int:
     ap.add_argument("--skew-threshold", type=int, default=5000)
     ap.add_argument("--spans-per-chunk", type=int, default=1024)
     ap.add_argument(
+        "--format", choices=("parquet", "json"), default="parquet",
+        help="output format: parquet (Iceberg-append analogue, default) "
+             "or json lines (the reference's S9/S10 JSON sinks, "
+             "file_util.py:58-146)",
+    )
+    ap.add_argument(
         "--buckets", type=int, default=0,
         help="partition output by pmod(xxhash64(doc_id), N) — the "
              "parquet stand-in for Iceberg's bucket(N, doc_id) "
@@ -78,7 +84,7 @@ def main(argv=None) -> int:
         from pyspark.errors import AnalysisException
 
         try:
-            committed = spark.read.parquet(args.output)
+            committed = spark.read.format(args.format).load(args.output)
             docs = resume_filter(docs, committed)
         except AnalysisException as e:
             # only the missing-path case means "nothing committed yet";
@@ -99,9 +105,10 @@ def main(argv=None) -> int:
         out = out.withColumn(
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(args.buckets))
         )
-        out.write.mode("append").partitionBy("bucket").parquet(args.output)
+        (out.write.mode("append").partitionBy("bucket")
+            .format(args.format).save(args.output))
     else:
-        out.write.mode("append").parquet(args.output)
+        out.write.mode("append").format(args.format).save(args.output)
     if args.metrics:
         (lineage_table(full)
             .write.mode("append").parquet(args.metrics))

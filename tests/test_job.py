@@ -83,3 +83,25 @@ def test_job_resume_on_missing_output_runs_full(spark, job_paths,
     assert rc == 0
     docs = spark.read.parquet(job_paths["input"])
     assert spark.read.parquet(fresh).count() == docs.count()
+
+
+def test_job_json_sink_roundtrip(spark, job_paths, tmp_path):
+    """S9/S10: --format json writes append-mode JSON-lines (the
+    reference's JSON sinks) that read back complete, and --resume
+    stays exactly-once on the JSON output too."""
+    out = str(tmp_path / "json_out")
+    rc = main([
+        "--input", job_paths["input"], "--geom", job_paths["geom"],
+        "--output", out, "--format", "json",
+    ])
+    assert rc == 0
+    docs = spark.read.parquet(job_paths["input"])
+    j = spark.read.json(out)
+    assert j.count() == docs.count()
+    assert {"doc_id", "status"} <= set(j.columns)
+    rc = main([
+        "--input", job_paths["input"], "--geom", job_paths["geom"],
+        "--output", out, "--format", "json", "--resume",
+    ])
+    assert rc == 0
+    assert spark.read.json(out).count() == docs.count()

@@ -487,6 +487,12 @@ def _q_tokens(spark, sf_dir):
     return token_counts(_docs_all(spark, sf_dir))
 
 
+def _q_curation(spark, sf_dir):
+    from pdfspark.operators.textstats import curate_documents
+
+    return curate_documents(_docs_all(spark, sf_dir))
+
+
 def _q_fingerprints(spark, sf_dir):
     from pdfspark.operators.textstats import fingerprints
 
@@ -703,6 +709,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ts_quality": _q_quality,
         "ts_tokens": _q_tokens,
         "ts_fingerprints": _q_fingerprints,
+        "td_curation": _q_curation,
         "sim_ann_topk": _q_ann_topk,
         "sim_ivf_topk": _q_ivf_topk,
         "j5_topk_euclidean": _q_euclidean_topk,
@@ -1014,6 +1021,16 @@ def oracle_sql() -> dict[str, str]:
         "ts_quality": OP.quality_sql(FIX01),
         "ts_tokens": OP.tokens_sql(FIX01),
         "ts_fingerprints": OP.fingerprints_sql(FIX01),
+        "td_curation": f"""
+            WITH cq AS (SELECT * FROM ({OP.quality_sql(FIX01)})),
+            cl AS (SELECT doc_id, pred_lang FROM ({OP.langid_sql(FIX01)})),
+            ck AS (SELECT keeper_doc_id AS doc_id
+                   FROM ({OP.exact_dups_sql(FIX01)}))
+            SELECT cq.doc_id, cl.pred_lang, cq.quality_score,
+                   cq.n_words, cq.n_chars
+            FROM cq JOIN cl USING (doc_id) JOIN ck USING (doc_id)
+            WHERE cl.pred_lang = 'en' AND cq.quality_score >= 0.5
+        """,
         "sim_ann_topk": OP.ann_cosine_sql(FIX01),
         "sim_ivf_topk": OP.ivf_topk_sql(FIX01),
         "j5_topk_euclidean": OP.euclidean_topk_sql(FIX01),

@@ -276,6 +276,23 @@ def fit_ivf_centroids(
     return cents
 
 
+def save_centroids(spark, cents, path: str) -> None:
+    """Checkpoint a fitted coarse quantizer to a centroids table
+    (cell int, centroid array<double>) — the production hand-off
+    between the fit job and the IVF query path."""
+    df = spark.createDataFrame(
+        [(c, list(v)) for c, v in enumerate(cents)],
+        "cell int, centroid array<double>",
+    )
+    df.coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_centroids(spark, path: str) -> list[list[float]]:
+    rows = spark.read.parquet(path).orderBy("cell").collect()
+    assert [r.cell for r in rows] == list(range(len(rows)))
+    return [list(r.centroid) for r in rows]
+
+
 def quantization_sse(emb: DataFrame, cents) -> float:
     """Sum of squared distances to the nearest centroid (fit metric)."""
     e = emb.select(_as_double(F.col("embedding")).alias("v"))

@@ -174,3 +174,33 @@ def fingerprints(docs: DataFrame) -> DataFrame:
             "fp_digest"
         ),
     )
+
+
+def curate_documents(
+    docs: DataFrame, min_quality: float = 0.5, lang: str = "en"
+) -> DataFrame:
+    """Composed training-data curation pass — the operators above used
+    the way a 100 TB pipeline chains them: exact-dedup keep-first
+    (cheapest pass, runs first), then language filter, then quality
+    filter. Shapes: one hash shuffle for the dedup groupBy, a semi-join
+    on the keeper set, and two narrow per-row feature projections
+    joined on doc_id — no window, no cross joins; every filter is a
+    deterministic predicate over oracle-matched rounded features."""
+    from pdfspark.operators.dedup import exact_duplicates
+
+    keep = exact_duplicates(docs).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    q = quality_scores(docs)
+    lid = language_id(docs)
+    return (
+        docs.select("doc_id")
+        .join(keep, "doc_id", "left_semi")
+        .join(q, "doc_id")
+        .join(lid.select("doc_id", "pred_lang"), "doc_id")
+        .filter(
+            (F.col("pred_lang") == lang)
+            & (F.col("quality_score") >= min_quality)
+        )
+        .select("doc_id", "pred_lang", "quality_score", "n_words", "n_chars")
+    )

@@ -366,3 +366,18 @@ def test_ivf_kmeans_fit(spark, emb_all):
     r_seed = recall(None)
     assert r_fit >= r_seed - 0.05  # fitted cells must not hurt recall
     assert r_fit > 0.3
+
+
+def test_ivf_centroid_checkpoint_roundtrip(spark, emb_all, tmp_path):
+    """fit -> save -> load must be exact (the production hand-off
+    between the k-means job and the IVF query path)."""
+    from pdfspark.operators.similarity import (
+        fit_ivf_centroids,
+        load_centroids,
+        save_centroids,
+    )
+
+    cents = fit_ivf_centroids(emb_all, iters=2)
+    p = str(tmp_path / "centroids")
+    save_centroids(spark, cents, p)
+    assert load_centroids(spark, p) == cents

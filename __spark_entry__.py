@@ -689,6 +689,40 @@ def _q_binary_decode(spark, sf_dir):
     )
 
 
+def _q_stream_extract(spark, sf_dir):
+    """Streaming extraction ingest: binaryFile stream -> decode ->
+    fold -> parquet sink with checkpoint (availableNow drain), read
+    back and exploded. Quarantined payloads surface as a single
+    __quarantined__ row each."""
+    import tempfile
+
+    from pdfspark.streaming.extract_stream import extract_payload_stream
+
+    d = tempfile.mkdtemp(prefix="pdfspark_stream_extract_")
+    out, cp = os.path.join(d, "out"), os.path.join(d, "cp")
+    extract_payload_stream(
+        spark, os.path.join(_fixture_dir(sf_dir), "payloads"), out, cp
+    )
+    df = spark.read.parquet(out)
+    ok = df.filter(F.col("status") == "ok").select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("offset"),
+        F.col("s.kind").alias("kind"),
+        F.col("s.text").alias("text"),
+        F.col("s.media_ref").alias("media_ref"),
+    )
+    quar = df.filter(F.col("status") != "ok").select(
+        "doc_id",
+        F.lit(-1).cast("int").alias("offset"),
+        F.lit("__quarantined__").alias("kind"),
+        F.lit("").alias("text"),
+        F.lit(None).cast("string").alias("media_ref"),
+    )
+    return ok.unionByName(quar)
+
+
 def _q_stream_sessionize(spark, sf_dir):
     """§2.8 stateful streaming: applyInPandasWithState sessionization;
     on availableNow finite input equals the batch gaps-and-islands
@@ -732,6 +766,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "x19_html_tables": _q_html_tables,
         "s15_collated_tables": _q_collated_tables,
         "s8_stream_sessionize": _q_stream_sessionize,
+        "s1_stream_extract": _q_stream_extract,
         "ep1_extract_spans": _q_extract_spans,
         "ep1_extract_sections": _q_extract_sections,
         "lineage_metrics": _q_lineage,
@@ -1157,6 +1192,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(table_id AS INT) AS table_id, title,
                    CAST(row_id AS INT) AS row_id, cells
             FROM read_parquet('{FIX01}/oracle_tables_exact.parquet')
+        """,
+        "s1_stream_extract": f"""
+            WITH pf AS (
+              SELECT regexp_extract(filename, '([^/]+)\\.bin$', 1) AS doc_id
+              FROM read_blob('{FIX01}/payloads/*.bin')),
+            allspans AS ({_EXTRACT_SPANS_SQL}),
+            okrows AS (
+              SELECT s.doc_id, s.offset, s.kind, s.text, s.media_ref
+              FROM allspans s JOIN pf USING (doc_id))
+            SELECT * FROM okrows
+            UNION ALL
+            SELECT doc_id, CAST(-1 AS INT) AS offset,
+                   '__quarantined__' AS kind, '' AS text,
+                   CAST(NULL AS VARCHAR) AS media_ref
+            FROM pf WHERE doc_id LIKE 'corrupt%'
         """,
         "lineage_metrics": f"""
             WITH base AS (

@@ -1,0 +1,87 @@
+"""Streaming extraction ingest (north-rule resumability, streaming
+form): payload files arriving in a directory are decoded and folded
+continuously — binaryFile file-source stream -> Arrow decode
+(quarantine on corrupt bytes) -> salted exact fold -> append parquet
+sink with a checkpoint.
+
+The file source's checkpoint gives exactly-once per input FILE: a
+restart (same checkpoint dir) skips every payload already committed
+and processes only newly arrived files — the streaming analogue of
+jobs/extract_job.py's snapshot-resume anti-join, and what a
+continuously-fed 100 TB ingest actually runs (`availableNow` drains
+the backlog and stops; drop the trigger for continuous micro-batches).
+
+All the heavy lifting reuses the batch operators: decode_payloads
+(sources/binary_decode.py) and the _fold_batches mapInPandas fold
+(operators/extract.py) run unchanged on the streaming DataFrame —
+Structured Streaming's incremental planner handles the rest. No
+stateful operator is involved (each document folds independently), so
+there is no watermark and no state store to size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
+
+from pdfspark.config import ExtractConfig
+from pdfspark.operators.extract import EXTRACT_FULL, _fold_batches
+from pdfspark.sources.binary_decode import decode_payloads
+
+
+def extract_payload_stream(
+    spark: SparkSession,
+    payload_dir: str,
+    out_path: str,
+    checkpoint_dir: str,
+    cfg: ExtractConfig = ExtractConfig(),
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Drain all unprocessed payload files into the parquet sink;
+    returns after the availableNow query terminates."""
+    reader = (
+        spark.readStream.format("binaryFile")
+        # the binaryFile format's fixed schema, required explicitly for
+        # a streaming source
+        .schema("path string, modificationTime timestamp, "
+                "length long, content binary")
+        .option("pathGlobFilter", "*.bin")
+    )
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    bin_stream = reader.load(payload_dir)
+
+    decoded = decode_payloads(bin_stream)
+    # a payload that failed decode carries an empty span list; give it
+    # the DecodeError marker span so the fold lands it in the same F4
+    # quarantine state the batch path uses (status='quarantined')
+    err_span = F.array(
+        F.struct(
+            F.lit("DecodeError").alias("kind"),
+            F.lit("corrupt payload").alias("text"),
+            F.lit(None).cast("string").alias("media_ref"),
+            F.lit(0).cast("int").alias("offset"),
+        )
+    )
+    docs = (
+        decoded.withColumn(
+            "spans",
+            F.when(F.col("status") == "ok", F.col("spans")).otherwise(err_span),
+        )
+        .withColumn("header", F.lit(""))
+        .withColumn("footer", F.lit(""))
+    )
+    folded = docs.repartition(F.xxhash64("doc_id")).mapInPandas(
+        _fold_batches(cfg), EXTRACT_FULL
+    )
+    out = folded.select("doc_id", "status", "spans", "spans_in", "spans_out")
+
+    q = (
+        out.writeStream.format("parquet")
+        .option("path", out_path)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

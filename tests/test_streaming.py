@@ -89,3 +89,53 @@ def test_windowed_stream_equals_batch_groupby(spark):
         for r in windowed_counts_stream(spark, EVENTS).collect()
     }
     assert batch == stream
+
+
+def test_extract_payload_stream_matches_batch_and_resumes(spark, fixture_dir,
+                                                          tmp_path):
+    """Streaming ingest: (1) draining a payload backlog produces the
+    same folded spans as the batch path; (2) a restart with the same
+    checkpoint processes ONLY newly arrived files (exactly-once per
+    file)."""
+    import shutil
+
+    from pdfspark.config import ExtractConfig
+    from pdfspark.fold import fold_document
+    from pdfspark.sources.binary_decode import (
+        decode_payloads,
+        read_payloads,
+    )
+    from pdfspark.streaming.extract_stream import extract_payload_stream
+
+    src = os.path.join(fixture_dir, "payloads")
+    names = sorted(os.listdir(src))
+    first, held_back = names[:-2], names[-2:]
+    pdir = str(tmp_path / "payloads")
+    os.makedirs(pdir)
+    for n in first:
+        shutil.copy(os.path.join(src, n), pdir)
+
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    extract_payload_stream(spark, pdir, out, cp)
+    got1 = {r.doc_id: (r.status, [t.asDict() for t in r.spans])
+            for r in spark.read.parquet(out).collect()}
+    assert len(got1) == len(first)
+
+    # batch equivalence on the same payloads
+    batch = decode_payloads(read_payloads(spark, pdir)).collect()
+    for b in batch:
+        spans = [t.asDict() for t in b.spans]
+        if b.status == "ok":
+            want = fold_document(spans, "", "", ExtractConfig())
+            assert got1[b.doc_id] == (want["status"], want["out_spans"]), b.doc_id
+        else:
+            assert got1[b.doc_id][0] == "quarantined"
+
+    # late arrivals: restart with same checkpoint processes only them
+    for n in held_back:
+        shutil.copy(os.path.join(src, n), pdir)
+    extract_payload_stream(spark, pdir, out, cp)
+    got2 = spark.read.parquet(out)
+    assert got2.count() == len(names)          # no reprocessing of old files
+    assert got2.select("doc_id").distinct().count() == len(names)

@@ -35,6 +35,7 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
 # Headline subset: flagship UDF fold + the heaviest pure-SQL pipelines.
+# (Kept stable across rounds so totals stay comparable.)
 HEADLINE = [
     "ep1_extract_spans",
     "ep1_extract_sections",
@@ -43,6 +44,17 @@ HEADLINE = [
     "a1_header_footer",
     "a8_sections",
     "w1_reading_order",
+]
+
+# Training-data pipeline group (reported separately, not in the
+# headline total): the dedup/ANN/curation family at sf0.1.
+TD_GROUP = [
+    "dd_minhash_verified",
+    "dd_simhash_pairs",
+    "sim_ivf_topk",
+    "sim_neardup_lsh",
+    "ts_fingerprints",
+    "td_curation",
 ]
 
 
@@ -212,6 +224,7 @@ def main() -> int:
     timings: dict[str, float] = {}
 
     n_docs = 0
+    td_timings: dict[str, float] = {}
     if os.environ.get("PDFSPARK_BENCH_HEADLINE", "1") != "0":
         spark = build_session(master=f"local[{CPUS}]", shuffle_partitions=CPUS)
         n_docs = queries["ep1_extract_spans"](spark, SF_DIR).select(
@@ -223,6 +236,13 @@ def main() -> int:
             t0 = time.time()
             _force(queries[name](spark, SF_DIR))
             timings[name] = round(time.time() - t0, 3)
+        if os.environ.get("PDFSPARK_BENCH_TD", "1") != "0":
+            for name in TD_GROUP:
+                if name not in queries:
+                    continue
+                t0 = time.time()
+                _force(queries[name](spark, SF_DIR))
+                td_timings[name] = round(time.time() - t0, 3)
         spark.stop()
 
     total = round(sum(timings.values()), 3)
@@ -236,6 +256,9 @@ def main() -> int:
         "docs": n_docs,
         "docs_per_sec": round(n_docs / flagship_s, 1) if flagship_s else None,
     }
+    if td_timings:
+        out["td_queries"] = td_timings
+        out["td_total"] = round(sum(td_timings.values()), 3)
 
     if os.environ.get("PDFSPARK_BENCH_SCALING", "1") != "0":
         out["scaling"] = _scaling_report()

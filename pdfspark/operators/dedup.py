@@ -27,6 +27,8 @@ level dedup is the standard extension a training-data pipeline needs
 
 from __future__ import annotations
 
+import hashlib
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -82,16 +84,53 @@ def exact_duplicates(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
-    """doc_id + NUM_PERM minhash columns sig0..sigN.
+# Universal-hash permutation family: h(x) = 28-bit integer from the
+# md5 hex prefix, perm_i(x) = (a_i*h + b_i) mod P. ONE md5 per shingle
+# instead of NUM_PERM of them — at 100 TB the md5 calls were ~94% of
+# the signature stage. Coefficients are md5-derived constants (< 2^20,
+# a_i odd) so Spark and the DuckDB oracle agree bit-for-bit, and
+# a*h + b < 2^48 never overflows 64-bit integers in either engine.
+MH_PRIME = 2_147_483_647  # 2^31 - 1
+
+
+def _mh_coeff(tag: str, i: int) -> int:
+    v = int(hashlib.md5(f"mh-{tag}|{i}".encode()).hexdigest()[:5], 16)
+    return (v | 1) if tag == "a" else v
+
+
+MH_A = [_mh_coeff("a", i) for i in range(NUM_PERM)]
+MH_B = [_mh_coeff("b", i) for i in range(NUM_PERM)]
+# 16^(6-p) weights for folding the first 7 md5 hex digits into an int
+MH_POW16 = [16 ** (6 - p) for p in range(7)]
+
+
+def _shingle_int(shingle_col):
+    """First 7 md5 hex digits as a 28-bit integer (engine-portable:
+    positional strpos-based digit fold, no hex-cast builtins)."""
+    md5h = F.md5(shingle_col)
+    digit = lambda p: F.instr(  # noqa: E731
+        F.lit("0123456789abcdef"), F.substring(md5h, p + 1, 1)
+    ) - 1
+    out = None
+    for p, w in enumerate(MH_POW16):
+        term = digit(p).cast("bigint") * F.lit(w)
+        out = term if out is None else out + term
+    return out
+
+
+def minhash_signatures(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
+    """doc_id + NUM_PERM minhash columns sig0..sigN (bigint).
 
     One explode + one groupBy(doc_id); the 16 mins are computed as 16
     aggregate expressions over the same shingle rows (single shuffle,
-    map-side partial aggregation applies).
+    map-side partial aggregation applies). Pass a precomputed (possibly
+    persisted) `shingles` frame when the caller reuses it elsewhere.
     """
-    sh = word_shingles(docs)
+    sh = shingles if shingles is not None else word_shingles(docs)
+    sh = sh.withColumn("h", _shingle_int(F.col("shingle")))
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig{i}")
+        F.min((F.col("h") * F.lit(MH_A[i]) + F.lit(MH_B[i])) % F.lit(MH_PRIME))
+        .alias(f"sig{i}")
         for i in range(NUM_PERM)
     ]
     return sh.groupBy("doc_id").agg(*aggs)
@@ -104,7 +143,7 @@ def lsh_bands(sigs: DataFrame) -> DataFrame:
         *[
             F.md5(
                 F.concat(
-                    *[F.col(f"sig{b * ROWS_PER_BAND + r}")
+                    *[F.col(f"sig{b * ROWS_PER_BAND + r}").cast("string")
                       for r in range(ROWS_PER_BAND)]
                 )
             )
@@ -116,14 +155,18 @@ def lsh_bands(sigs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_candidates(docs: DataFrame) -> DataFrame:
+def minhash_candidates(
+    docs: DataFrame, shingles: DataFrame | None = None
+) -> DataFrame:
     """Candidate near-dup pairs: docs sharing >= 1 LSH band.
 
     The self-join is an equi-join on (band, band_key) — Catalyst picks
     sort-merge/shuffled-hash with AQE skew splitting; no quadratic
-    compare ever happens.
+    compare ever happens. The band frame is persisted across the two
+    sides of the self-join: without it the whole shingle+signature
+    pipeline executes once per side.
     """
-    bands = lsh_bands(minhash_signatures(docs))
+    bands = lsh_bands(minhash_signatures(docs, shingles)).persist()
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -144,11 +187,13 @@ def minhash_verified(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """LSH candidates verified with exact shingle Jaccard >= threshold.
 
     Shingle sets are joined only for candidate pairs (the scale path:
-    |candidates| << |docs|^2).
+    |candidates| << |docs|^2). The shingle frame feeds four consumers
+    (signatures, sizes, both sides of the intersection join), so it is
+    persisted once instead of re-exploding the corpus per consumer.
     """
-    sh = word_shingles(docs)
+    sh = word_shingles(docs).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    cands = minhash_candidates(docs)
+    cands = minhash_candidates(docs, shingles=sh)
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
@@ -208,7 +253,9 @@ def simhash_candidates(docs: DataFrame) -> DataFrame:
     8-bit bands (standard Hamming-blocking), with the exact Hamming
     distance computed only for candidates."""
     w = SIMHASH_HEX // SIMHASH_BANDS
-    sigs = simhash_signatures(docs)
+    # persist across the self-join: the signature aggregation (a full
+    # bigram explode + 32-column groupBy) must not run once per side
+    sigs = simhash_signatures(docs).persist()
     bands = sigs.select(
         "doc_id",
         "simhash",

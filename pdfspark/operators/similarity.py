@@ -142,13 +142,15 @@ def neardup_lsh(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
     cosine verification of candidates only."""
     w = NUM_PLANES // PLANE_BANDS
     sigs = hyperplane_signature(emb)
+    # persist across the self-join: the 16 hyperplane dot products per
+    # vector must not be recomputed once per join side
     bands = sigs.select(
         "vec_id",
         F.posexplode(
             F.array(*[F.substring("sig", b * w + 1, w)
                       for b in range(PLANE_BANDS)])
         ).alias("band", "band_bits"),
-    )
+    ).persist()
     a, b = bands.alias("a"), bands.alias("b")
     cands = (
         a.join(

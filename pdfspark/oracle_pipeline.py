@@ -57,20 +57,30 @@ def _shingles(n: int, name: str = "shingles") -> str:
 
 
 def _minhash_cte() -> str:
+    from pdfspark.operators.dedup import MH_A, MH_B, MH_POW16, MH_PRIME
+
+    h_expr = " + ".join(
+        f"CAST(strpos('0123456789abcdef', substr(md5(shingle), {p + 1}, 1))"
+        f" - 1 AS BIGINT) * {w}"
+        for p, w in enumerate(MH_POW16)
+    )
     sig_cols = ", ".join(
-        f"min(md5('{i}:' || shingle)) AS sig{i}" for i in range(NUM_PERM)
+        f"min((h * {MH_A[i]} + {MH_B[i]}) % {MH_PRIME}) AS sig{i}"
+        for i in range(NUM_PERM)
     )
     band_rows = "\n  UNION ALL\n  ".join(
         "SELECT doc_id, {b} AS band, md5({k}) AS band_key FROM sigs".format(
             b=b,
             k=" || ".join(
-                f"sig{b * ROWS_PER_BAND + r}" for r in range(ROWS_PER_BAND)
+                f"CAST(sig{b * ROWS_PER_BAND + r} AS VARCHAR)"
+                for r in range(ROWS_PER_BAND)
             ),
         )
         for b in range(NUM_BANDS)
     )
     return f"""
-sigs AS (SELECT doc_id, {sig_cols} FROM shingles GROUP BY doc_id),
+hashed AS (SELECT doc_id, ({h_expr}) AS h FROM shingles),
+sigs AS (SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id),
 bands AS (
   {band_rows}),
 pairs AS (

@@ -381,3 +381,16 @@ def test_ivf_centroid_checkpoint_roundtrip(spark, emb_all, tmp_path):
     p = str(tmp_path / "centroids")
     save_centroids(spark, cents, p)
     assert load_centroids(spark, p) == cents
+
+
+def test_cosine_topk_np_equals_hof(spark, emb_all):
+    """The Arrow/NumPy matmul fast path must reproduce the HOF
+    (oracle-matched) brute-force cosine top-k on the fixture."""
+    from pdfspark.operators.similarity import cosine_topk_np
+
+    q = emb_all.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 1000000))
+    a = {(r.query_id, r.rank): (r.vec_id, r.sim)
+         for r in cosine_topk(emb_all, q).collect()}
+    b = {(r.query_id, r.rank): (r.vec_id, r.sim)
+         for r in cosine_topk_np(emb_all, q).collect()}
+    assert a == b

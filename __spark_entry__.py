@@ -372,6 +372,14 @@ def _q_extract_spans(spark, sf_dir):
     )
 
 
+def _q_extract_spans_sql(spark, sf_dir):
+    """Flagship fast path: the same span extraction as ep1_extract_spans
+    (default quirk config) as pure SQL — no Python worker at all."""
+    from pdfspark.operators.extract import extract_spans_relational
+
+    return extract_spans_relational(_docs_in(spark, sf_dir))
+
+
 def _q_extract_sections(spark, sf_dir):
     """Sections side output of the exact fold (rows-only; parity vs the
     reference transliteration is pytest-gated, tests/test_extract_parity)."""
@@ -768,6 +776,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s8_stream_sessionize": _q_stream_sessionize,
         "s1_stream_extract": _q_stream_extract,
         "ep1_extract_spans": _q_extract_spans,
+        "ep1_extract_spans_sql": _q_extract_spans_sql,
         "ep1_extract_sections": _q_extract_sections,
         "lineage_metrics": _q_lineage,
         "w1_reading_order": _q_reading_order,
@@ -1177,6 +1186,7 @@ def oracle_sql() -> dict[str, str]:
     }
     return pipeline | {
         "ep1_extract_spans": _EXTRACT_SPANS_SQL,
+        "ep1_extract_spans_sql": _EXTRACT_SPANS_SQL,
         # exact-parity side outputs: DuckDB reads the materialized
         # output of the INDEPENDENT reference transliteration
         # (pdfspark/oracle.py + local fold_tables_page, written at

@@ -38,6 +38,7 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 # (Kept stable across rounds so totals stay comparable.)
 HEADLINE = [
     "ep1_extract_spans",
+    "ep1_extract_spans_sql",
     "ep1_extract_sections",
     "ep3_tables_sql",
     "j3_tables_merged",

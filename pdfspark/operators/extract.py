@@ -24,7 +24,7 @@ import time
 from typing import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -248,6 +248,69 @@ def extract_spans_split(
         )
     )
     return small_out.unionByName(big_out)
+
+
+def extract_spans_relational(documents_in: DataFrame) -> DataFrame:
+    """Pure-SQL fast path for the flagship span extraction under the
+    reference's DEFAULT quirk configuration (matcher-always-fires +
+    broken dict-membership header/footer strip, start_page=0): every
+    surviving span's label depends only on its own text, so the whole
+    fold collapses to regex projections + one per-doc renumbering
+    window — no Python anywhere, whole-stage codegen end to end.
+
+    Exactly the relational semantics the DuckDB extract-spans oracle
+    encodes; pytest pins equality against the mapInPandas fold, which
+    remains the path for non-default configs and the sections
+    side-output (those are order-stateful).
+
+    Output: exploded (doc_id, offset, kind, text, media_ref).
+    """
+    bad = F.exists("spans", lambda s: s["kind"] == "DecodeError")
+    df = documents_in.filter(~bad).select(
+        "doc_id", F.explode("spans").alias("s")
+    ).select(
+        "doc_id",
+        F.col("s.offset").alias("pos"),
+        F.col("s.kind").alias("k"),
+        F.trim(F.col("s.text")).alias("content"),
+        F.col("s.media_ref").alias("mref"),
+    )
+    from pdfspark.functions import patterns as P
+    from pdfspark.functions.text import first_line, replace_extra_space
+
+    fl = replace_extra_space(first_line(F.col("content")))
+    nl = F.regexp_replace("content", "\n", "")
+    is_tb = F.col("k") == "TextBox"
+    keep_tb = (
+        is_tb
+        & ~nl.isin("header", "footer")
+        & ~F.col("content").rlike(P.JAVA_PAGE_NUMBER_MATCH)
+    )
+    keep_other = F.col("k").isin(
+        "TextLine", "Line", "Rectangle", "Figure", "Image"
+    )
+    df = df.filter(keep_tb | keep_other).withColumn("fl", fl)
+    label = (
+        F.when(F.col("k").isin("TextLine", "Line", "Rectangle"), F.col("k"))
+        .when(F.col("k").isin("Figure", "Image"), "media")
+        .when(
+            (F.trim("fl") != "") | F.col("fl").rlike(P.JAVA_SECTION),
+            "heading",
+        )
+        .when(F.col("fl").rlike(P.JAVA_APPENDIX), "appendix")
+        .when(F.col("fl").rlike(P.JAVA_FIGURE), "figure_caption")
+        .otherwise("paragraph")
+    )
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    return df.select(
+        "doc_id",
+        (F.row_number().over(w) - 1).cast("int").alias("offset"),
+        label.alias("kind"),
+        F.when(is_tb, F.col("content")).otherwise("").alias("text"),
+        F.when(F.col("k").isin("Figure", "Image"), F.col("mref")).alias(
+            "media_ref"
+        ),
+    )
 
 
 def lineage_table(extracted_full: DataFrame) -> DataFrame:

@@ -168,3 +168,22 @@ def test_skew_giant_doc_parallel_presplit(spark):
     # distinct chunk ids prove the fold work fans out over many tasks
     n_chunks = (len(spans) + 4095) // 4096
     assert n_chunks > 20
+
+
+def test_relational_spans_equal_fold_default_config(spark, documents_in,
+                                                    spans_geom):
+    """The pure-SQL fast path must equal the mapInPandas fold span-for-
+    span under the default quirk config (labels are text-local there)."""
+    from pdfspark.operators.extract import extract_spans_relational
+
+    hf_df = all_doc_headers_footers(spans_geom)
+    fold_out = extract_documents(documents_in, hf_df).filter(
+        "status = 'ok'"
+    ).select("doc_id", F.explode("spans").alias("s")).select(
+        "doc_id", "s.offset", "s.kind", "s.text", "s.media_ref"
+    )
+    a = {(r.doc_id, r.offset): (r.kind, r.text, r.media_ref)
+         for r in fold_out.collect()}
+    b = {(r.doc_id, r.offset): (r.kind, r.text, r.media_ref)
+         for r in extract_spans_relational(documents_in).collect()}
+    assert a == b

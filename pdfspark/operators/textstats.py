@@ -43,18 +43,24 @@ FP_K = 8  # char k-gram size
 FP_W = 4  # winnowing window (positions)
 
 
-def _tok_count(toks, words: list[str]):
-    arr = F.array(*[F.lit(w) for w in words])
-    return F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+def _tok_count(norm, words: list[str]):
+    """Occurrences of the marker words as whole tokens of the (single-
+    spaced) normalized text. Space-lookaround alternation over the
+    padded string instead of a filter/array_contains lambda: the HOF
+    form evaluates interpreted per token, the regex scan stays in
+    whole-stage codegen (same measured finding as word_shingles)."""
+    pat = "(?<= )(" + "|".join(words) + ")(?= )"
+    padded = F.concat(F.lit(" "), norm, F.lit(" "))
+    return F.size(F.regexp_extract_all(padded, F.lit(pat), 1))
 
 
 def language_id(docs: DataFrame) -> DataFrame:
     """Predict language by marker-token counts; argmax with a
     deterministic tie-break (first language in LANG_MARKERS order)."""
-    toks = F.split(normalized_text(F.col("text")), " ")
+    norm = normalized_text(F.col("text"))
     scored = docs.select(
         "doc_id",
-        *[_tok_count(toks, ws).alias(f"score_{lang}")
+        *[_tok_count(norm, ws).alias(f"score_{lang}")
           for lang, ws in LANG_MARKERS.items()],
     )
     langs = list(LANG_MARKERS)
@@ -74,11 +80,13 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     composite quality score (pure arithmetic — engine-portable)."""
     text = F.col("text")
     n_chars = F.length(text)
-    toks = F.split(normalized_text(text), " ")
-    n_words = F.size(F.filter(toks, lambda t: t != ""))
+    norm = normalized_text(text)
+    # norm is trimmed and single-spaced, so the only empty token is the
+    # empty string itself — no per-token lambda needed
+    n_words = F.when(norm == "", 0).otherwise(F.size(F.split(norm, " ")))
     n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^a-zA-Z0-9\s]"), 0))
     n_digit = F.size(F.regexp_extract_all(text, F.lit("[0-9]"), 0))
-    n_stop = _tok_count(toks, LANG_MARKERS["en"])
+    n_stop = _tok_count(norm, LANG_MARKERS["en"])
     safe_w = F.greatest(n_words, F.lit(1))
     safe_c = F.greatest(n_chars, F.lit(1))
     mean_wl = F.round(
@@ -120,7 +128,9 @@ def token_counts(docs: DataFrame) -> DataFrame:
     """Whitespace token count + BPE-ish regex token count + chars per
     BPE token (the usual tokens-per-doc budget metric)."""
     text = F.col("text")
-    ws = F.size(F.filter(F.split(F.trim(text), r"\s+"), lambda t: t != ""))
+    ws = F.when(F.trim(text) == "", 0).otherwise(
+        F.size(F.split(F.trim(text), r"\s+"))
+    )
     bpe = F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
     return docs.select(
         "doc_id",

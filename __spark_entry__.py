@@ -592,6 +592,34 @@ def _q_media_features(spark, sf_dir):
     return media_features(media_table(_docs_all(spark, sf_dir)))
 
 
+def _q_frame_sample(spark, sf_dir):
+    """M2: video frame sampling — one output row per sampled frame
+    (1->N mapInPandas shape), demux stubbed deterministically."""
+    from pdfspark.operators.media import media_table_video, sample_frames
+
+    return sample_frames(media_table_video(_docs_all(spark, sf_dir)))
+
+
+def _q_resize_plan(spark, sf_dir):
+    """M3: aspect-preserving image resize plan (decode dims stubbed;
+    integer-exact target arithmetic)."""
+    from pdfspark.operators.media import media_table, resize_plan
+
+    return resize_plan(media_table(_docs_all(spark, sf_dir)))
+
+
+def _q_audio_chunks(spark, sf_dir):
+    """M4: fixed-window audio chunking plan over fake-decoded sample
+    counts."""
+    from pdfspark.operators.media import audio_chunk_plan, media_table
+
+    m = media_table(_docs_all(spark, sf_dir)).withColumn(
+        "media_ref",
+        F.concat(F.lit("aud://"), F.regexp_replace("media_ref", "^img://", "")),
+    )
+    return audio_chunk_plan(m)
+
+
 def _q_text_cleanup(spark, sf_dir):
     """X11/F5-F8: the reference's scalar cleanup vocabulary
     (parse_util.py:117-168) as parallel columns."""
@@ -764,6 +792,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a9_sessionize": _q_sessionize,
         "s8_stream_windowed": _q_stream_windowed,
         "m1_media_features": _q_media_features,
+        "m2_frame_sample": _q_frame_sample,
+        "m3_resize_plan": _q_resize_plan,
+        "m4_audio_chunks": _q_audio_chunks,
         "x11_text_cleanup": _q_text_cleanup,
         "s1_binary_decode": _q_binary_decode,
         "s3_page_scan": _q_page_scan,
@@ -1110,6 +1141,9 @@ def oracle_sql() -> dict[str, str]:
             FROM lbld GROUP BY batch, label
         """,
         "m1_media_features": OP.media_features_sql(FIX01),
+        "m2_frame_sample": OP.frame_sample_sql(FIX01),
+        "m3_resize_plan": OP.resize_plan_sql(FIX01),
+        "m4_audio_chunks": OP.audio_chunks_sql(FIX01),
         "x11_text_cleanup": f"""
             SELECT doc_id, "offset" AS offset,
                    regexp_replace(text, '[^a-zA-Z0-9]', '', 'g') AS alnum_only,

@@ -98,3 +98,145 @@ def media_features(media: DataFrame) -> DataFrame:
             )
 
     return media.mapInPandas(featurize, MEDIA_FEATURE_SCHEMA)
+
+
+# --- video frame sampling ---------------------------------------------------
+
+FRAME_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("frame_idx", IntegerType()),
+        StructField("ts_ms", IntegerType()),
+        StructField("frame_md5", StringType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def media_table_video(docs: DataFrame) -> DataFrame:
+    """Opaque-binary video table (fake payload, as media_table)."""
+    return docs.select(
+        F.concat(F.lit("vid://"), F.col("doc_id").cast("string")).alias(
+            "media_ref"
+        ),
+        F.lit("video").alias("media_kind"),
+        F.encode(F.col("text"), "utf-8").alias("content"),
+    )
+
+
+def _fake_frame_count(payload: bytes) -> int:
+    """STUB for the container demuxer: frame count from the payload
+    hash (1..120). Replace with ffprobe/pyav in production."""
+    return 1 + hashlib.md5(payload).digest()[2] % 120
+
+
+def sample_frames(media: DataFrame, every_n: int = 5,
+                  fps: int = 25) -> DataFrame:
+    """Frame sampling: one OUTPUT row per sampled frame of each video
+    payload (the 1->N mapInPandas batch shape a real frame extractor
+    has; frame bytes stand in as a deterministic hash). Decode errors
+    quarantine as a single status row. Scale shape: Arrow batches in,
+    no shuffle — repartition big video tables by hash(media_ref)
+    upstream so demux cost spreads."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["content"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    n = _fake_frame_count(b)
+                    cmd5 = hashlib.md5(b).hexdigest()
+                    for i in range(0, n, every_n):
+                        fm = hashlib.md5(f"{cmd5}:{i}".encode()).hexdigest()
+                        rows.append((ref, i, i * 1000 // fps, fm, "ok"))
+                except Exception:
+                    rows.append((ref, None, None, None, "decode_error"))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
+            )
+
+    return media.select("media_ref", "content").mapInPandas(run, FRAME_SCHEMA)
+
+
+# --- image resize planning --------------------------------------------------
+
+RESIZE_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("width", IntegerType()),
+        StructField("height", IntegerType()),
+        StructField("out_w", IntegerType()),
+        StructField("out_h", IntegerType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def resize_plan(media: DataFrame, target: int = 224) -> DataFrame:
+    """Aspect-preserving resize plan per image: decode dims (stub) ->
+    integer-arithmetic target dims (floor((d*target)/max_dim), min 1 —
+    integer-exact in every engine). The actual pixel resample is the
+    stubbed codec step; the schema/batching is the production shape."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["content"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    w, h = _fake_decode(b)
+                    m = max(w, h)
+                    rows.append(
+                        (ref, w, h, max(1, (w * target) // m),
+                         max(1, (h * target) // m), "ok")
+                    )
+                except Exception:
+                    rows.append((ref, None, None, None, None, "decode_error"))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
+            )
+
+    return media.select("media_ref", "content").mapInPandas(run, RESIZE_SCHEMA)
+
+
+# --- audio chunking ---------------------------------------------------------
+
+AUDIO_SCHEMA = StructType(
+    [
+        StructField("media_ref", StringType()),
+        StructField("sample_rate", IntegerType()),
+        StructField("n_samples", LongType()),
+        StructField("n_chunks", IntegerType()),
+        StructField("last_chunk_samples", IntegerType()),
+        StructField("status", StringType()),
+    ]
+)
+
+
+def audio_chunk_plan(media: DataFrame, sample_rate: int = 16000,
+                     chunk_seconds: int = 1) -> DataFrame:
+    """Fixed-window audio chunking plan: fake decode maps payload bytes
+    to a sample count (4 samples per byte), then 1-second windows with
+    a ragged tail — the schema a streaming ASR feature extractor needs.
+    Integer arithmetic only (engine-portable)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        chunk = sample_rate * chunk_seconds
+        for pdf in batches:
+            rows = []
+            for ref, payload in zip(pdf["media_ref"], pdf["content"]):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    n = len(b) * 4
+                    n_chunks = max(1, -(-n // chunk))
+                    last = n - (n_chunks - 1) * chunk
+                    rows.append((ref, sample_rate, n, n_chunks, last, "ok"))
+                except Exception:
+                    rows.append((ref, sample_rate, None, None, None,
+                                 "decode_error"))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_SCHEMA.fields]
+            )
+
+    return media.select("media_ref", "content").mapInPandas(run, AUDIO_SCHEMA)

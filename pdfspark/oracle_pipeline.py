@@ -600,3 +600,57 @@ SELECT 'img://' || CAST(doc_id AS VARCHAR) AS media_ref,
        'ok' AS status
 FROM docs_all
 """
+
+
+def _media_hexdig(p: int) -> str:
+    return f"(strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1)"
+
+
+def frame_sample_sql(fix: str, every_n: int = 5) -> str:
+    b2 = f"({_media_hexdig(5)} * 16 + {_media_hexdig(6)})"
+    return f"""
+WITH {_docs_all(fix)},
+v AS (SELECT 'vid://' || CAST(doc_id AS VARCHAR) AS media_ref,
+             md5(text) AS cmd5, 1 + ({b2} % 120) AS n_frames
+      FROM docs_all),
+fr AS (SELECT media_ref, cmd5,
+              unnest(range(0, n_frames, {every_n})) AS frame_idx
+       FROM v)
+SELECT media_ref, CAST(frame_idx AS INT) AS frame_idx,
+       CAST(frame_idx * 40 AS INT) AS ts_ms,
+       md5(cmd5 || ':' || frame_idx) AS frame_md5, 'ok' AS status
+FROM fr
+"""
+
+
+def resize_plan_sql(fix: str, target: int = 224) -> str:
+    b0 = f"({_media_hexdig(1)} * 16 + {_media_hexdig(2)})"
+    b1 = f"({_media_hexdig(3)} * 16 + {_media_hexdig(4)})"
+    return f"""
+WITH {_docs_all(fix)},
+d AS (SELECT 'img://' || CAST(doc_id AS VARCHAR) AS media_ref,
+             16 + {b0} % 640 AS w, 16 + {b1} % 480 AS h
+      FROM docs_all)
+SELECT media_ref, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+       CAST(greatest(1, (w * {target}) // greatest(w, h)) AS INT) AS out_w,
+       CAST(greatest(1, (h * {target}) // greatest(w, h)) AS INT) AS out_h,
+       'ok' AS status
+FROM d
+"""
+
+
+def audio_chunks_sql(fix: str, sample_rate: int = 16000) -> str:
+    return f"""
+WITH {_docs_all(fix)},
+a AS (SELECT 'aud://' || CAST(doc_id AS VARCHAR) AS media_ref,
+             octet_length(encode(text)) * 4 AS n
+      FROM docs_all),
+c AS (SELECT *, greatest(1, CAST(ceil(n / {sample_rate}.0) AS INT))
+             AS n_chunks FROM a)
+SELECT media_ref, CAST({sample_rate} AS INT) AS sample_rate,
+       CAST(n AS BIGINT) AS n_samples, n_chunks,
+       CAST(n - (n_chunks - 1) * {sample_rate} AS INT)
+         AS last_chunk_samples,
+       'ok' AS status
+FROM c
+"""

@@ -36,9 +36,20 @@ def extract_payload_stream(
     checkpoint_dir: str,
     cfg: ExtractConfig = ExtractConfig(),
     max_files_per_trigger: int | None = None,
+    metrics_path: str | None = None,
 ) -> None:
     """Drain all unprocessed payload files into the parquet sink;
-    returns after the availableNow query terminates."""
+    returns after the availableNow query terminates.
+
+    With `metrics_path` the query runs through foreachBatch so each
+    micro-batch also appends its per-partition lineage rows
+    (partition_id, doc_count, bytes_in, spans_out, wall_ms, plus the
+    batch epoch) to the metrics table — the north rule's lineage
+    contract on the streaming ingest. The file-source checkpoint keeps
+    input exactly-once per file; foreachBatch output is at-least-once
+    on crash-during-write (standard Structured Streaming semantics —
+    dedupe by doc_id downstream or let the batch job's resume
+    anti-join reconcile)."""
     reader = (
         spark.readStream.format("binaryFile")
         # the binaryFile format's fixed schema, required explicitly for
@@ -74,14 +85,37 @@ def extract_payload_stream(
     folded = docs.repartition(F.xxhash64("doc_id")).mapInPandas(
         _fold_batches(cfg), EXTRACT_FULL
     )
-    out = folded.select("doc_id", "status", "spans", "spans_in", "spans_out")
 
-    q = (
-        out.writeStream.format("parquet")
-        .option("path", out_path)
-        .option("checkpointLocation", checkpoint_dir)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
+    if metrics_path is None:
+        out = folded.select("doc_id", "status", "spans", "spans_in",
+                            "spans_out")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", out_path)
+            .option("checkpointLocation", checkpoint_dir)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+    else:
+        from pdfspark.operators.extract import lineage_table
+
+        def sink(batch_df, epoch_id: int) -> None:
+            batch_df.persist()
+            try:
+                (batch_df.select("doc_id", "status", "spans", "spans_in",
+                                 "spans_out")
+                 .write.mode("append").parquet(out_path))
+                (lineage_table(batch_df)
+                 .withColumn("epoch_id", F.lit(epoch_id).cast("long"))
+                 .write.mode("append").parquet(metrics_path))
+            finally:
+                batch_df.unpersist()
+
+        q = (
+            folded.writeStream.foreachBatch(sink)
+            .option("checkpointLocation", checkpoint_dir)
+            .trigger(availableNow=True)
+            .start()
+        )
     q.awaitTermination()

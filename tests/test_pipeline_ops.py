@@ -394,3 +394,28 @@ def test_cosine_topk_np_equals_hof(spark, emb_all):
     b = {(r.query_id, r.rank): (r.vec_id, r.sim)
          for r in cosine_topk_np(emb_all, q).collect()}
     assert a == b
+
+
+def test_word_shingles_match_python_reference(spark, docs_all):
+    """The lookaround-regex shingle construction must equal a plain
+    Python n-gram reference on the whole fixture corpus (guards the
+    codegen optimization against regex edge cases)."""
+    import re as _re
+
+    from pdfspark.operators.dedup import SHINGLE_WORDS, word_shingles
+
+    got = {}
+    for r in word_shingles(docs_all).collect():
+        got.setdefault(r.doc_id, set()).add(r.shingle)
+
+    want = {}
+    for r in docs_all.collect():
+        norm = _re.sub(r"[^a-z0-9]+", " ", r.text.lower()).strip()
+        toks = norm.split(" ") if norm else []
+        n = SHINGLE_WORDS
+        sh = {
+            " ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)
+        } if len(toks) >= n else set()
+        if sh:
+            want[r.doc_id] = sh
+    assert got == want

@@ -139,3 +139,24 @@ def test_extract_payload_stream_matches_batch_and_resumes(spark, fixture_dir,
     got2 = spark.read.parquet(out)
     assert got2.count() == len(names)          # no reprocessing of old files
     assert got2.select("doc_id").distinct().count() == len(names)
+
+
+def test_extract_payload_stream_metrics(spark, fixture_dir, tmp_path):
+    """foreachBatch variant: the streaming ingest appends per-batch
+    lineage rows whose totals reconcile with the written documents."""
+    from pdfspark.streaming.extract_stream import extract_payload_stream
+
+    src = os.path.join(fixture_dir, "payloads")
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    metrics = str(tmp_path / "metrics")
+    extract_payload_stream(spark, src, out, cp, metrics_path=metrics,
+                           max_files_per_trigger=4)
+    docs = spark.read.parquet(out)
+    m = spark.read.parquet(metrics)
+    n_files = len(os.listdir(src))
+    assert docs.count() == n_files
+    assert m.groupBy().sum("doc_count").collect()[0][0] == n_files
+    assert m.select("epoch_id").distinct().count() >= 2  # multi-batch
+    assert {"partition_id", "doc_count", "bytes_in", "spans_out",
+            "wall_ms", "epoch_id"} <= set(m.columns)

@@ -1051,9 +1051,14 @@ _EXTRACT_SPANS_SQL = f"""
 WITH sg AS (SELECT * FROM {GEOM01}),
 bad AS (SELECT DISTINCT doc_id FROM sg WHERE kind = 'DecodeError'),
 tbx AS (
+  -- pytrim: Python str.strip() semantics (all ASCII whitespace incl.
+  -- \x0b), matching the engine's (?U)-trim; plain trim() = spaces only
   SELECT doc_id, kind, media_ref, "offset" AS o,
-         trim(text) AS content,
-         regexp_replace(split_part(trim(text), chr(10), 1), '\\s{{2,}}', ' ', 'g')
+         regexp_replace(text, '(^[\\s\\x0B]+)|([\\s\\x0B]+$)', '', 'g')
+           AS content,
+         regexp_replace(split_part(
+             regexp_replace(text, '(^[\\s\\x0B]+)|([\\s\\x0B]+$)', '', 'g'),
+             chr(10), 1), '\\s{{2,}}', ' ', 'g')
            AS first_line
   FROM sg WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
 surv AS (
@@ -1425,13 +1430,15 @@ def oracle_sql() -> dict[str, str]:
             hcand AS (
               SELECT doc_id, o,
                      coalesce(section_title, first_line) AS lookup,
+                     -- RE2 has no (?U): emulate Python's Unicode \W_
+                     -- with the complement of letter/number/underscore
                      regexp_replace(coalesce(section_title, first_line),
-                                    '[\\W_]+$', '') AS clean
+                                    '[^\\p{{L}}\\p{{N}}_]+$', '') AS clean
               FROM cursec WHERE is_heading),
             hsafe AS (
-              SELECT *, regexp_matches(clean,
-                '^[A-Za-z0-9_](?:[A-Za-z0-9_ ,;:''\\-]*[A-Za-z0-9_])?$')
-                AS is_safe
+              SELECT *, coalesce(regexp_matches(clean,
+                '^[A-Za-z0-9_](?:[A-Za-z0-9_ ,;:''\\-]*[A-Za-z0-9_])?$'),
+                false) AS is_safe
               FROM hcand),
             matched AS (
               SELECT s.doc_id, s.o, s.lookup, t.heading, t.line_no,

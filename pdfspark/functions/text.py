@@ -12,13 +12,17 @@ def strip_non_alphanumeric(c: Column) -> Column:
 
 
 def strip_non_alphanumeric_end(c: Column) -> Column:
-    """F6. Ref: src/utilities/parse_util.py:161-168."""
-    return F.regexp_replace(c, r"[\W_]+$", "")
+    """F6. Ref: src/utilities/parse_util.py:161-168. (?U) aligns
+    Java's ASCII \\W with Python re's Unicode semantics (see
+    functions/patterns.py and tests/test_patterns.py)."""
+    return F.regexp_replace(c, r"(?U)[\W_]+$", "")
 
 
 def replace_extra_space(c: Column) -> Column:
-    """F7. Ref: src/utilities/parse_util.py:136-143."""
-    return F.regexp_replace(c, r"\s{2,}", " ")
+    """F7. Ref: src/utilities/parse_util.py:136-143. (?U): the
+    reference's Python \\s collapses NBSP/em-space runs too; Java's
+    default \\s is ASCII-only."""
+    return F.regexp_replace(c, r"(?U)\s{2,}", " ")
 
 
 def strip_characters(c: Column, patterns) -> Column:

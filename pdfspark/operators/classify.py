@@ -233,12 +233,17 @@ def headings_to_toc(
     regex-escape the heading (X9): an invalid pattern raises re.error
     there, the caller's per-element try/except swallows it, and the
     observable result is "no section matched". With ``safe_only=True``
-    candidates whose cleaned text is not literal-safe keep a NULL
-    line_no — the same observable no-match — instead of feeding
-    java.util.regex a pattern that may throw at runtime; with
+    EVERY candidate whose cleaned text is not literal-safe keeps a
+    NULL line_no. For invalid patterns that is exactly the reference's
+    swallowed-raise observable; for VALID-metachar headings (e.g. one
+    containing '.') it is a documented deviation — the reference runs
+    them as regexes and may match — accepted because on the safe
+    subset Spark rlike, DuckDB RE2 and Python re provably agree
+    byte-for-byte, which is what the driver oracle certifies. With
     ``safe_only=False`` the unescaped text goes straight into rlike
     (valid-metachar headings then match exactly like the reference,
-    invalid ones fail the task instead of being swallowed).
+    invalid ones fail the task instead of being swallowed) — use the
+    exact-parity fold when full X9 semantics matter.
 
     Scale shape: candidates are heading spans only (a tiny projection)
     and the TOC side is broadcast; the theta join never sees body text.
@@ -249,8 +254,12 @@ def headings_to_toc(
         F.coalesce(F.col("section_title"), F.col("first_line")).alias("lookup"),
     )
     clean = F.regexp_replace("lookup", r"(?U)[\W_]+$", "")
+    # coalesce: a NULL lookup must flow to the unsafe branch (emitted
+    # with a NULL match, like the reference's heading-with-no-section),
+    # not vanish from BOTH filters
     cand = cand.withColumn("clean", clean).withColumn(
-        "is_safe", F.col("clean").rlike(SAFE_HEADING)
+        "is_safe",
+        F.coalesce(F.col("clean").rlike(SAFE_HEADING), F.lit(False)),
     )
     if safe_only:
         probe = cand.filter(F.col("is_safe"))

@@ -23,6 +23,13 @@ Reference basis: the reference deduplicates only boilerplate lines by
 substring containment (src/utilities/parse_util.py:436-440); corpus-
 level dedup is the standard extension a training-data pipeline needs
 (MinHash/LSH per Broder '97, SimHash per Charikar '02).
+
+Persist lifecycle: the .persist() calls here (and in similarity/
+tables) cover multi-consumer diamonds inside ONE query; the cached
+blocks are reclaimed asynchronously by Spark's ContextCleaner once
+the DataFrame becomes unreachable after the query completes
+(spark.cleaner.referenceTracking, on by default) — callers that want
+deterministic release can unpersist the returned lineage explicitly.
 """
 
 from __future__ import annotations

@@ -117,6 +117,34 @@ def extract_documents(
     return df.mapInPandas(_fold_batches(cfg), EXTRACT_FULL)
 
 
+def chunk_exploded_spans(exploded: DataFrame, cfg: ExtractConfig,
+                         spans_per_chunk: int) -> DataFrame:
+    """Front-matter cutoff + chunk assignment for exploded big-doc
+    spans — windowless (see extract_spans_split docstring). Split out
+    so tests can assert the REAL chunk ids fan out (not re-derive them
+    arithmetically)."""
+    if cfg.start_page > 0:
+        # cutoff = pos of the (start_page+1)-th PageStart marker; a doc
+        # with fewer pages keeps only its TOC spans (page_index never
+        # reaches start_page), exactly like the sequential fold
+        cut = (
+            exploded.filter(F.col("s.kind") == "PageStart")
+            .groupBy("doc_id")
+            .agg(
+                F.element_at(
+                    F.sort_array(F.collect_list("pos")), cfg.start_page + 1
+                ).alias("cut")
+            )
+        )
+        exploded = exploded.join(F.broadcast(cut), "doc_id", "left").filter(
+            (F.col("s.kind") == "TOC")
+            | (F.col("cut").isNotNull() & (F.col("pos") >= F.col("cut")))
+        ).drop("cut")
+    return exploded.withColumn(
+        "chunk", (F.col("pos") / F.lit(spans_per_chunk)).cast("int")
+    )
+
+
 CHUNKED_SPANS = T.StructType(
     [
         T.StructField("doc_id", T.StringType()),
@@ -154,8 +182,18 @@ def extract_spans_split(
     """
     df = _with_hf(documents_in, header_footer_df)
     is_big = F.size("spans") > F.lit(skew_threshold)
+    is_bad = F.exists("spans", lambda s: s["kind"] == "DecodeError")
     small = df.filter(~is_big)
-    big = df.filter(is_big)
+    # a pathologically large doc can still carry a DecodeError marker:
+    # the sequential fold quarantines the WHOLE document, so the skew
+    # path must not chunk-fold its clean parts — route it straight to
+    # an empty span list (same observable output as the small path's
+    # quarantined rows)
+    big = df.filter(is_big & ~is_bad)
+    big_bad = df.filter(is_big & is_bad).select(
+        "doc_id",
+        F.array().cast(T.ArrayType(SPAN)).alias("spans"),
+    )
 
     small_out = (
         small.repartition(F.xxhash64("doc_id"))
@@ -167,26 +205,7 @@ def extract_spans_split(
     exploded = big.select(
         "doc_id", "header", "footer", F.posexplode("spans").alias("pos", "s")
     )
-    if cfg.start_page > 0:
-        # cutoff = pos of the (start_page+1)-th PageStart marker; a doc
-        # with fewer pages keeps only its TOC spans (page_index never
-        # reaches start_page), exactly like the sequential fold
-        cut = (
-            exploded.filter(F.col("s.kind") == "PageStart")
-            .groupBy("doc_id")
-            .agg(
-                F.element_at(
-                    F.sort_array(F.collect_list("pos")), cfg.start_page + 1
-                ).alias("cut")
-            )
-        )
-        exploded = exploded.join(F.broadcast(cut), "doc_id", "left").filter(
-            (F.col("s.kind") == "TOC")
-            | (F.col("cut").isNotNull() & (F.col("pos") >= F.col("cut")))
-        ).drop("cut")
-    exploded = exploded.withColumn(
-        "chunk", (F.col("pos") / F.lit(spans_per_chunk)).cast("int")
-    )
+    exploded = chunk_exploded_spans(exploded, cfg, spans_per_chunk)
 
     import dataclasses
 
@@ -247,7 +266,7 @@ def extract_spans_split(
             ).alias("spans"),
         )
     )
-    return small_out.unionByName(big_out)
+    return small_out.unionByName(big_out).unionByName(big_bad)
 
 
 def extract_spans_relational(documents_in: DataFrame) -> DataFrame:
@@ -266,13 +285,21 @@ def extract_spans_relational(documents_in: DataFrame) -> DataFrame:
     Output: exploded (doc_id, offset, kind, text, media_ref).
     """
     bad = F.exists("spans", lambda s: s["kind"] == "DecodeError")
+    # Python str.strip() strips ALL whitespace (tabs/newlines/unicode),
+    # Spark's trim() only spaces: (?U)\s anchored replace matches the
+    # fold for everything but the exotic \x1c-\x1f separators (Python-
+    # space, not Unicode White_Space) — pinned by the adversarial-
+    # padding case in the fold-equality test.
+    pytrim = F.regexp_replace(
+        F.col("s.text"), r"(?U)^\s+|\s+$", ""
+    )
     df = documents_in.filter(~bad).select(
         "doc_id", F.explode("spans").alias("s")
     ).select(
         "doc_id",
         F.col("s.offset").alias("pos"),
         F.col("s.kind").alias("k"),
-        F.trim(F.col("s.text")).alias("content"),
+        pytrim.alias("content"),
         F.col("s.media_ref").alias("mref"),
     )
     from pdfspark.functions import patterns as P

@@ -309,9 +309,14 @@ def fit_ivf_centroids(
     per-(cell, dim) sum/count groupBy → driver-side mean update of the
     k x dim model (k*dim rows collected per iteration — model-sized,
     never data-sized; this is the standard Spark ML shape, the data
-    itself never leaves the executors). Empty cells keep their previous
-    centroid. In production the result is checkpointed to a centroids
-    table and read by ivf_topk_* via the `centroids` parameter.
+    itself never leaves the executors). The per-dim sums accumulate in
+    DECIMAL(38,18) — decimal addition is exact and associative, so the
+    result is bit-identical under ANY partitioning/combine order
+    (double sums would drift in the last ulp and could flip a
+    near-tie assignment in a later iteration). Empty cells keep their
+    previous centroid. In production the result is checkpointed to a
+    centroids table and read by ivf_topk_* via the `centroids`
+    parameter.
     """
     cents = [list(c) for c in (init if init is not None else CENTROIDS[:k])]
     e = emb.select(_as_double(F.col("embedding")).alias("v"))
@@ -324,7 +329,10 @@ def fit_ivf_centroids(
             stats = (
                 assigned.select("cell", F.posexplode("v").alias("pos", "x"))
                 .groupBy("cell", "pos")
-                .agg(F.sum("x").alias("s"), F.count("*").alias("n"))
+                .agg(
+                    F.sum(F.col("x").cast("decimal(38,18)")).alias("s"),
+                    F.count("*").alias("n"),
+                )
                 .collect()
             )
             sums: dict[int, list[float]] = {}
@@ -334,7 +342,7 @@ def fit_ivf_centroids(
                 sums.setdefault(r.cell, [0.0] * dim)[r.pos] = r.s
                 counts[r.cell] = r.n
             cents = [
-                ([x / counts[c] for x in sums[c]] if counts.get(c)
+                ([float(x) / counts[c] for x in sums[c]] if counts.get(c)
                  else cents[c])
                 for c in range(len(cents))
             ]

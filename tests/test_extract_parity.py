@@ -165,19 +165,75 @@ def test_skew_giant_doc_parallel_presplit(spark):
     got = [t.asDict() for t in out.collect()[0].spans]
     want = fold_document(spans, "", "", ExtractConfig())["out_spans"]
     assert got == want
-    # distinct chunk ids prove the fold work fans out over many tasks
-    n_chunks = (len(spans) + 4095) // 4096
-    assert n_chunks > 20
+    # the REAL chunk assignment (same helper the split path runs) must
+    # fan the doc out over many chunk ids — not arithmetic on len()
+    from pdfspark.operators.extract import chunk_exploded_spans
+
+    exploded = df.withColumn("header", F.lit("")).withColumn(
+        "footer", F.lit("")
+    ).select("doc_id", "header", "footer",
+             F.posexplode("spans").alias("pos", "s"))
+    chunked = chunk_exploded_spans(exploded, ExtractConfig(), 4096)
+    n_chunks = chunked.select("chunk").distinct().count()
+    assert n_chunks > 20, n_chunks
+
+
+def test_skew_big_doc_with_decode_error_is_quarantined(spark):
+    """A doc ABOVE the skew threshold that contains a DecodeError span
+    must come out empty from the split path exactly like the
+    sequential fold quarantines it — not as partial spans from its
+    clean chunks."""
+    from pdfspark.synth import DocBuilder, gen_skew
+    import random
+
+    b = DocBuilder("bigbad-00000")
+    gen_skew(b, random.Random("42|bigbad"), 3000)
+    b.spans.append(dict(page_id=99, kind="DecodeError", text="enc",
+                        media_ref=None, x0=0.0, y0=0.0, x1=0.0, y1=0.0))
+    b.finish()
+    spans = [dict(kind=s["kind"], text=s["text"], media_ref=s["media_ref"],
+                  offset=s["offset"]) for s in b.spans]
+    df = spark.createDataFrame(
+        [(b.doc_id, spans)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    out = extract_spans_split(df, None, skew_threshold=500,
+                              spans_per_chunk=200).collect()
+    assert len(out) == 1
+    assert out[0].doc_id == b.doc_id
+    assert list(out[0].spans) == []
+    seq = extract_documents(df, None).collect()[0]
+    assert seq.status == "quarantined" and list(seq.spans) == []
 
 
 def test_relational_spans_equal_fold_default_config(spark, documents_in,
                                                     spans_geom):
     """The pure-SQL fast path must equal the mapInPandas fold span-for-
-    span under the default quirk config (labels are text-local there)."""
+    span under the default quirk config (labels are text-local there),
+    including on adversarially padded text (tabs/newlines around page
+    numbers and headings — Python strip() vs Spark trim territory)."""
     from pdfspark.operators.extract import extract_spans_relational
 
+    pad_spans = [
+        dict(kind="TextBox", text="\tPage 3", media_ref=None, offset=0),
+        dict(kind="TextBox", text="\n1. Intro\nbody text", media_ref=None,
+             offset=1),
+        dict(kind="TextBox", text="  Figure 2 padded  \t", media_ref=None,
+             offset=2),
+        dict(kind="TextBox", text="\x0bpg iv\n", media_ref=None, offset=3),
+        dict(kind="TextBox", text="plain\ttabbed body", media_ref=None,
+             offset=4),
+    ]
+    pad_doc = spark.createDataFrame(
+        [("pad-00000", pad_spans)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    docs = documents_in.unionByName(pad_doc)
+
     hf_df = all_doc_headers_footers(spans_geom)
-    fold_out = extract_documents(documents_in, hf_df).filter(
+    fold_out = extract_documents(docs, hf_df).filter(
         "status = 'ok'"
     ).select("doc_id", F.explode("spans").alias("s")).select(
         "doc_id", "s.offset", "s.kind", "s.text", "s.media_ref"
@@ -185,5 +241,6 @@ def test_relational_spans_equal_fold_default_config(spark, documents_in,
     a = {(r.doc_id, r.offset): (r.kind, r.text, r.media_ref)
          for r in fold_out.collect()}
     b = {(r.doc_id, r.offset): (r.kind, r.text, r.media_ref)
-         for r in extract_spans_relational(documents_in).collect()}
+         for r in extract_spans_relational(docs).collect()}
     assert a == b
+    assert any(k[0] == "pad-00000" for k in a)  # padded doc exercised

@@ -244,3 +244,57 @@ def test_relational_spans_equal_fold_default_config(spark, documents_in,
          for r in extract_spans_relational(docs).collect()}
     assert a == b
     assert any(k[0] == "pad-00000" for k in a)  # padded doc exercised
+
+
+def _unicode_doc_spans():
+    """Non-ASCII headings, NBSP/em-space whitespace, unicode word
+    chars — the divergence class the (?U) regex alignment exists for."""
+    spans = [
+        dict(kind="TOC", text="Résumé", media_ref=None, offset=0),
+        dict(kind="PageStart", text="pageid:1", media_ref=None, offset=1),
+        dict(kind="TextBox", text="2. Résumé\nCorps du texte",
+             media_ref=None, offset=2),
+        dict(kind="TextBox", text="3. Überblick und Kontext",
+             media_ref=None, offset=3),
+        dict(kind="TextBox", text="Appendix B. em-space annex",
+             media_ref=None, offset=4),
+        dict(kind="TextBox", text="Figure 7 caption nbsp",
+             media_ref=None, offset=5),
+        dict(kind="TextBox", text="plain körper paragraph",
+             media_ref=None, offset=6),
+        dict(kind="TextBox", text="page 12", media_ref=None, offset=7),
+    ]
+    return spans
+
+
+def test_fold_matches_oracle_on_unicode_doc():
+    """fold.py vs the independent transliteration on the unicode doc,
+    across quirk configs (pure-Python both sides — the ground truth)."""
+    from pdfspark.oracle import oracle_extract
+
+    spans = _unicode_doc_spans()
+    for cfg in CONFIGS:
+        got = fold_document(list(spans), "", "", cfg)
+        want = oracle_extract(list(spans), "", "", cfg)
+        assert got["out_spans"] == want["out_spans"], cfg
+        assert got["sections"] == want["sections"], cfg
+
+
+def test_relational_spans_equal_fold_on_unicode_doc(spark):
+    """The (?U)-aligned SQL fast path must agree with the Python-re
+    fold on non-ASCII text too (default config)."""
+    from pdfspark.operators.extract import extract_spans_relational
+
+    spans = _unicode_doc_spans()
+    df = spark.createDataFrame(
+        [("uni-00000", spans)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    want = fold_document(spans, "", "", ExtractConfig())["out_spans"]
+    got = [
+        dict(kind=r.kind, text=r.text, media_ref=r.media_ref,
+             offset=r.offset)
+        for r in extract_spans_relational(df).orderBy("offset").collect()
+    ]
+    assert got == want

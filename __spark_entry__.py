@@ -381,14 +381,18 @@ def _q_extract_spans_sql(spark, sf_dir):
 
 
 def _q_extract_sections(spark, sf_dir):
-    """Sections side output of the exact fold (rows-only; parity vs the
-    reference transliteration is pytest-gated, tests/test_extract_parity)."""
+    """Sections side output of the exact fold, via the SKEW-SAFE full
+    path (chunk-parallel classification + sequential event replay for
+    the big fixture doc) — oracle = materialized output of the
+    independent reference transliteration; parity is additionally
+    pytest-gated (tests/test_extract_parity)."""
     from pdfspark.operators.boilerplate import all_doc_headers_footers
-    from pdfspark.operators.extract import extract_documents
+    from pdfspark.operators.extract import extract_documents_split
 
     geom = _geom(spark, sf_dir)
     hf = all_doc_headers_footers(geom)
-    out = extract_documents(_docs_in(spark, sf_dir), hf)
+    out = extract_documents_split(_docs_in(spark, sf_dir), hf,
+                                  skew_threshold=2000, spans_per_chunk=512)
     return out.select(
         "doc_id", "status", F.posexplode("sections").alias("section_id", "sec")
     ).select(

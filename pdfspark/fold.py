@@ -62,67 +62,144 @@ def _find_section_index(heading, section_headings):
     return P.find_section_by_heading(heading, section_headings)
 
 
+class SectionState:
+    """The order-stateful half of the fold: the TOC-skeleton sections
+    list, the memoized first-match-wins heading lookup (cache cleared
+    on every in-place rewrite; re.error results cached too — the
+    reference raises deterministically per heading), and the per-label
+    attachment transitions of element_processors.py:114-179. Shared by
+    fold_document and replay_sections so the chunked skew path cannot
+    drift from the sequential fold.
+
+    Memoization note: between heading rewrites the headings list is
+    immutable, so a given heading string always resolves to the same
+    index; cost drops from O(spans x sections) to O(distinct headings
+    x sections) — 0.13 ms/span vs 5 us/span on a 20k-span document.
+    """
+
+    _RAISES = object()
+
+    def __init__(self, toc_lines, cfg: ExtractConfig):
+        headings = [clean_toc_line(l, cfg.patterns_to_strip)
+                    for l in toc_lines]
+        self.sections = [
+            dict(heading=h, paragraphs=[], figures=[], tables=[])
+            for h in headings
+        ]
+        self._cache: dict[str, object] = {}
+
+    def lookup(self, h):
+        if h in self._cache:
+            idx = self._cache[h]
+            if idx is SectionState._RAISES:
+                raise re.error("cached re.error for heading lookup")
+        else:
+            try:
+                idx = _find_section_index(
+                    h, [s["heading"] for s in self.sections]
+                )
+            except re.error:
+                self._cache[h] = SectionState._RAISES
+                raise
+            self._cache[h] = idx
+        return None if idx is None else self.sections[idx]
+
+    def apply(self, label, content, first_line, line_count,
+              current_header):
+        """State update for one classified TextBox (may raise re.error
+        — the CALLER keeps the old current_header, reproducing the
+        reference's swallowed-exception rollback). Returns the new
+        current_header."""
+        if label == "heading":
+            new_header = first_line
+            section_match = P.RE_SECTION_GROUPS.match(new_header)
+            current_section = None
+            if section_match is not None:
+                g2 = section_match.group(2)
+                if g2 is not None:
+                    current_section = self.lookup(g2.lstrip().rstrip())
+                    if current_section is not None:
+                        new_header = (
+                            f"{section_match.group(1).strip()} "
+                            f"{section_match.group(2).strip()}"
+                        )
+                        if current_section["heading"] != new_header:
+                            current_section["heading"] = new_header
+                            self._cache.clear()  # headings changed
+            else:
+                current_section = self.lookup(new_header)
+            if line_count > 1 and current_section is not None:
+                current_section["paragraphs"].append(content)
+            return new_header
+        if label == "appendix":
+            new_header = first_line.strip()
+            current_section = self.lookup(new_header)
+            if current_section is not None:
+                current_section["paragraphs"].append(content)
+            return new_header
+        if label == "figure_caption":
+            current_section = self.lookup(current_header)
+            if current_section is not None:
+                current_section["figures"].append(content)
+            return current_header  # no reassignment in the reference
+        # paragraph
+        if current_header != "":
+            current_section = self.lookup(current_header)
+            if current_section is not None:
+                current_section["paragraphs"].append(content)
+        return current_header
+
+
 def fold_document(
     spans: list[dict],
     header: str,
     footer: str,
     cfg: ExtractConfig = ExtractConfig(),
+    collect_events: bool = False,
 ) -> dict:
     """Run the extraction fold over one document's spans (offset order).
 
-    Returns dict(status, out_spans, sections, spans_in, spans_out).
-    TOC spans (kind='TOC') inside `spans` build the section skeleton;
-    a DecodeError span quarantines the document (ref
+    Returns dict(status, out_spans, sections, spans_in, spans_out[,
+    events]). TOC spans (kind='TOC') inside `spans` build the section
+    skeleton; a DecodeError span quarantines the document (ref
     src/pdf_extractor.py:185,211-212 is_extractable guard).
+
+    With ``collect_events=True`` the result also carries the ordered
+    classification event list ('W' wipe / 'H' / 'A' / 'F' / 'P' with
+    content, first_line, line_count) that replay_sections consumes —
+    the chunk-parallel skew path runs THIS (regex-heavy) part per
+    chunk and replays only the lightweight attachment sequentially.
     """
     spans = sorted(spans, key=lambda s: s["offset"])
     n_in = len(spans)
 
     if any(s["kind"] == "DecodeError" for s in spans):
         return dict(status="quarantined", out_spans=[], sections=[],
-                    spans_in=n_in, spans_out=0)
+                    spans_in=n_in, spans_out=0, events=[])
     if not spans:
         return dict(status="empty", out_spans=[], sections=[],
-                    spans_in=0, spans_out=0)
+                    spans_in=0, spans_out=0, events=[])
 
     toc_lines = [s["text"] for s in spans if s["kind"] == "TOC"]
-    headings = [clean_toc_line(l, cfg.patterns_to_strip) for l in toc_lines]
-    sections = [
-        dict(heading=h, paragraphs=[], figures=[], tables=[]) for h in headings
-    ]
-
-    # Memoized section lookup: between heading rewrites the headings
-    # list is immutable, so a given heading string always resolves to
-    # the same index (first-match-wins). The cache is cleared on every
-    # in-place rewrite; re.error results are cached too (the reference
-    # raises deterministically per heading). Semantics identical to the
-    # per-call scan, cost drops from O(spans x sections) to O(distinct
-    # headings x sections) — the difference between 0.13 ms/span and
-    # 5 us/span on a 20k-span document.
-    _RAISES = object()
-    lookup_cache: dict[str, object] = {}
-
-    def lookup(h):
-        if h in lookup_cache:
-            idx = lookup_cache[h]
-            if idx is _RAISES:
-                raise re.error("cached re.error for heading lookup")
-        else:
-            try:
-                idx = _find_section_index(h, [s["heading"] for s in sections])
-            except re.error:
-                lookup_cache[h] = _RAISES
-                raise
-            lookup_cache[h] = idx
-        return None if idx is None else sections[idx]
+    state = SectionState(toc_lines, cfg)
+    sections = state.sections
+    lookup = state.lookup
 
     current_header: str | None = ""
     out: list[dict] = []
+    events: list[tuple] = []
     page_index = -1  # counts PageStart markers; pages < start_page skipped
 
     def emit(kind, text, media_ref):
         out.append(dict(kind=kind, text=text, media_ref=media_ref,
                         offset=len(out)))
+
+    EV = {"heading": "H", "appendix": "A", "figure_caption": "F",
+          "paragraph": "P"}
+
+    def event(code, content=None, first_line=None, line_count=0):
+        if collect_events:
+            events.append((code, content, first_line, line_count))
 
     for s in spans:
         kind = s["kind"]
@@ -136,14 +213,17 @@ def fold_document(
 
         if kind in DROP_KINDS:
             current_header = None  # processor returns None -> state wipe
+            event("W")
             continue
         if kind in MEDIA_KINDS:
             emit("media", "", s.get("media_ref"))
             current_header = None
+            event("W")
             continue
         if kind in GEOM_KINDS:
             emit(kind, "", None)
             current_header = None
+            event("W")
             continue
         if kind != "TextBox":
             # unsupported element type: ValueError swallowed by caller
@@ -160,10 +240,12 @@ def fold_document(
             stripped = bool((header and nl in header) or (footer and nl in footer))
         if stripped:
             current_header = None
+            event("W")
             continue
         # F3 page-number strip
         if P.RE_PAGE_NUMBER.match(content):
             current_header = None
+            event("W")
             continue
 
         first_line = ""
@@ -191,45 +273,12 @@ def fold_document(
         else:
             label = "paragraph"
         emit(label, content, None)
+        event(EV[label], content, first_line, line_count)
 
         try:
-            if label == "heading":
-                new_header = first_line
-                section_match = P.RE_SECTION_GROUPS.match(new_header)
-                current_section = None
-                if section_match is not None:
-                    g2 = section_match.group(2)
-                    if g2 is not None:
-                        current_section = lookup(g2.lstrip().rstrip())
-                        if current_section is not None:
-                            new_header = (
-                                f"{section_match.group(1).strip()} "
-                                f"{section_match.group(2).strip()}"
-                            )
-                            if current_section["heading"] != new_header:
-                                current_section["heading"] = new_header
-                                lookup_cache.clear()  # headings changed
-                else:
-                    current_section = lookup(new_header)
-                if line_count > 1 and current_section is not None:
-                    current_section["paragraphs"].append(content)
-                current_header = new_header
-            elif label == "appendix":
-                new_header = first_line.strip()
-                current_section = lookup(new_header)
-                if current_section is not None:
-                    current_section["paragraphs"].append(content)
-                current_header = new_header
-            elif label == "figure_caption":
-                current_section = lookup(current_header)
-                if current_section is not None:
-                    current_section["figures"].append(content)
-                # no reassignment: returns incoming header unchanged
-            else:
-                if current_header != "":
-                    current_section = lookup(current_header)
-                    if current_section is not None:
-                        current_section["paragraphs"].append(content)
+            current_header = state.apply(
+                label, content, first_line, line_count, current_header
+            )
         except re.error:
             pass  # state rollback; span already emitted
 
@@ -239,4 +288,33 @@ def fold_document(
         sections=sections,
         spans_in=n_in,
         spans_out=len(out),
+        events=events,
     )
+
+
+REPLAY_LABEL = {"H": "heading", "A": "appendix", "F": "figure_caption",
+                "P": "paragraph"}
+
+
+def replay_sections(events, toc_lines, cfg: ExtractConfig = ExtractConfig()):
+    """Rebuild the sections side-output from an ordered classification
+    event stream (fold_document(collect_events=True) / the chunked
+    skew path). Runs ONLY the attachment state machine — all regex
+    classification already happened, in parallel, when the events were
+    produced — so this sequential pass is pointer-chasing over the
+    shared SectionState and is identical to the sequential fold by
+    construction (same class, pinned by tests)."""
+    state = SectionState(toc_lines, cfg)
+    current_header: str | None = ""
+    for code, content, first_line, line_count in events:
+        if code == "W":
+            current_header = None
+            continue
+        try:
+            current_header = state.apply(
+                REPLAY_LABEL[code], content, first_line, line_count,
+                current_header,
+            )
+        except re.error:
+            pass  # rollback, exactly like the fold
+    return state.sections

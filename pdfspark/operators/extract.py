@@ -269,6 +269,189 @@ def extract_spans_split(
     return small_out.unionByName(big_out).unionByName(big_bad)
 
 
+EVENT = T.StructType(
+    [
+        T.StructField("code", T.StringType()),
+        T.StructField("content", T.StringType()),
+        T.StructField("first_line", T.StringType()),
+        T.StructField("line_count", T.IntegerType()),
+    ]
+)
+
+CHUNKED_FULL = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("chunk", T.IntegerType()),
+        T.StructField("spans", T.ArrayType(SPAN)),
+        T.StructField("events", T.ArrayType(EVENT)),
+    ]
+)
+
+DOC_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("spans", T.ArrayType(SPAN)),
+        T.StructField("sections", T.ArrayType(SECTION_STRUCT)),
+    ]
+)
+
+
+def extract_documents_split(
+    documents_in: DataFrame,
+    header_footer_df: DataFrame | None = None,
+    cfg: ExtractConfig = ExtractConfig(),
+    skew_threshold: int = SKEW_SPAN_THRESHOLD,
+    spans_per_chunk: int = 1024,
+) -> DataFrame:
+    """FULL skew-safe extraction: spans AND the order-stateful sections
+    side-output, with pathological documents chunk-parallelized.
+
+    The fold splits into two halves (see fold.SectionState):
+
+    * the regex-heavy classification (matcher, section/appendix/figure
+      patterns, cleanup) is text-local — chunk folds run it in
+      parallel and emit, besides their output spans, an ordered event
+      stream ('W' wipe / 'H' / 'A' / 'F' / 'P' + content/first_line/
+      line_count);
+    * the attachment state machine (current-header thread, first-match
+      -wins lookups, in-place heading rewrites) is irreducibly
+      sequential — replay_sections runs it per doc over the
+      reassembled event stream, through the SAME SectionState class
+      the sequential fold uses, so equality holds by construction
+      (and is pinned by tests).
+
+    Amdahl's split: the replay is pointer-chasing over pre-classified
+    events (~an order of magnitude lighter than the full fold), so a
+    10M-span pathology parallelizes everything except that thin tail.
+
+    Output: (doc_id, status, spans, sections) — same contract as
+    extract_documents.
+    """
+    import dataclasses
+
+    df = _with_hf(documents_in, header_footer_df)
+    is_big = F.size("spans") > F.lit(skew_threshold)
+    is_bad = F.exists("spans", lambda s: s["kind"] == "DecodeError")
+    small = df.filter(~is_big)
+    big = df.filter(is_big & ~is_bad)
+    big_bad = df.filter(is_big & is_bad).select(
+        "doc_id",
+        F.lit("quarantined").alias("status"),
+        F.array().cast(T.ArrayType(SPAN)).alias("spans"),
+        F.array().cast(T.ArrayType(SECTION_STRUCT)).alias("sections"),
+    )
+
+    small_out = (
+        small.repartition(F.xxhash64("doc_id"))
+        .mapInPandas(_fold_batches(cfg), EXTRACT_FULL)
+        .select("doc_id", "status", "spans", "sections")
+    )
+
+    exploded = big.select(
+        "doc_id", "header", "footer", F.posexplode("spans").alias("pos", "s")
+    )
+    toc = (
+        exploded.filter(F.col("s.kind") == "TOC")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda x: x["s"]["text"],
+            ).alias("toc_lines")
+        )
+    )
+    chunked = chunk_exploded_spans(exploded, cfg, spans_per_chunk)
+    chunk_cfg = dataclasses.replace(cfg, start_page=0)
+    chunks = chunked.groupBy("doc_id", "chunk", "header", "footer").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "s"))).alias("ps")
+    ).select(
+        "doc_id", "chunk", "header", "footer",
+        F.transform(
+            "ps",
+            lambda x: F.struct(
+                x["s"]["kind"].alias("kind"),
+                x["s"]["text"].alias("text"),
+                x["s"]["media_ref"].alias("media_ref"),
+                x["pos"].cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+
+    def run_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                spans = [dict(kind=s["kind"], text=s["text"],
+                              media_ref=s["media_ref"], offset=s["offset"])
+                         for s in r.spans]
+                res = fold_document(spans, r.header or "", r.footer or "",
+                                    chunk_cfg, collect_events=True)
+                rows.append(dict(
+                    doc_id=r.doc_id, chunk=r.chunk, spans=res["out_spans"],
+                    events=[dict(code=c, content=ct, first_line=fl,
+                                 line_count=lc)
+                            for c, ct, fl, lc in res["events"]],
+                ))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "chunk", "spans", "events"]
+            )
+
+    folded = chunks.repartition(F.xxhash64("doc_id", "chunk")).mapInPandas(
+        run_chunks, CHUNKED_FULL
+    )
+    assembled = (
+        folded.groupBy("doc_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk", "spans"))),
+                    lambda x: x["spans"],
+                )
+            ).alias("raw"),
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk", "events"))),
+                    lambda x: x["events"],
+                )
+            ).alias("events"),
+        )
+        .select(
+            "doc_id",
+            F.transform(
+                "raw",
+                lambda s, i: F.struct(
+                    s["kind"].alias("kind"),
+                    s["text"].alias("text"),
+                    s["media_ref"].alias("media_ref"),
+                    i.cast("int").alias("offset"),
+                ),
+            ).alias("spans"),
+            "events",
+        )
+        .join(toc, "doc_id", "left")
+    )
+
+    def run_replay(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdfspark.fold import replay_sections
+
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                events = [(e["code"], e["content"], e["first_line"],
+                           e["line_count"]) for e in r.events]
+                toc_lines = list(r.toc_lines) if r.toc_lines is not None else []
+                sections = replay_sections(events, toc_lines, cfg)
+                rows.append(dict(doc_id=r.doc_id, status="ok",
+                                 spans=list(r.spans), sections=sections))
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "status", "spans", "sections"]
+            )
+
+    big_out = assembled.mapInPandas(run_replay, DOC_OUT)
+    return small_out.unionByName(big_out).unionByName(big_bad)
+
+
 def extract_spans_relational(documents_in: DataFrame) -> DataFrame:
     """Pure-SQL fast path for the flagship span extraction under the
     reference's DEFAULT quirk configuration (matcher-always-fires +

@@ -298,3 +298,32 @@ def test_relational_spans_equal_fold_on_unicode_doc(spark):
         for r in extract_spans_relational(df).orderBy("offset").collect()
     ]
     assert got == want
+
+
+@pytest.mark.parametrize("cfg", [ExtractConfig(), ExtractConfig(start_page=3)],
+                         ids=["default", "sp3"])
+def test_full_split_extraction_equals_sequential(spark, documents_in,
+                                                 spans_geom, cfg):
+    """extract_documents_split (chunk-parallel classification + event
+    replay) must equal extract_documents on status, spans AND the
+    order-stateful sections side-output — the skew path is now
+    feature-complete."""
+    from pdfspark.operators.extract import extract_documents_split
+
+    hf_df = all_doc_headers_footers(spans_geom)
+    split = extract_documents_split(documents_in, hf_df, cfg,
+                                    skew_threshold=500, spans_per_chunk=200)
+    seq = extract_documents(documents_in, hf_df, cfg)
+    ks = {r.doc_id: (r.status, [t.asDict() for t in r.spans],
+                     [t.asDict() for t in r.sections])
+          for r in split.collect()}
+    ku = {r.doc_id: (r.status, [t.asDict() for t in r.spans],
+                     [t.asDict() for t in r.sections])
+          for r in seq.collect()}
+    assert set(ks) == set(ku)
+    for d in ku:
+        assert ks[d][0] == ku[d][0], d
+        assert ks[d][1] == ku[d][1], d
+        assert ks[d][2] == ku[d][2], d
+    # the skew doc actually exercised the chunked branch
+    assert ks["skew-00000"][2] == ku["skew-00000"][2]

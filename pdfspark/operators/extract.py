@@ -452,6 +452,126 @@ def extract_documents_split(
     return small_out.unionByName(big_out).unionByName(big_bad)
 
 
+SPAN_ROWS = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("chunk", T.IntegerType()),
+        T.StructField("within_off", T.IntegerType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("media_ref", T.StringType()),
+    ]
+)
+
+
+def extract_spans_split_rows(
+    documents_in: DataFrame,
+    header_footer_df: DataFrame | None = None,
+    cfg: ExtractConfig = ExtractConfig(),
+    skew_threshold: int = SKEW_SPAN_THRESHOLD,
+    spans_per_chunk: int = 1024,
+) -> DataFrame:
+    """Exploded-row skew path: (doc_id, offset, kind, text, media_ref)
+    with NO nested-array reassembly anywhere.
+
+    Measured motivation: on a 1M-span pathological doc, BOTH the
+    sequential fold and the array-reassembling split path spend ~95%
+    of their ~80 s in materializing the one-row million-element span
+    array (collect_list + Arrow transfer of a single fat row), not in
+    fold compute (~5 s). This variant keeps spans as ROWS end to end:
+    chunk folds yield one output row per span, and global offsets come
+    from a per-(doc, chunk) size aggregation (tiny) prefix-summed over
+    #chunks rows and joined back — no giant row ever exists after the
+    initial input explode. This is the shape a 10^12-doc table uses
+    anyway (the driver contract's nested arrays are re-exploded by
+    every consumer).
+    """
+    df = _with_hf(documents_in, header_footer_df)
+    is_big = F.size("spans") > F.lit(skew_threshold)
+    is_bad = F.exists("spans", lambda s: s["kind"] == "DecodeError")
+    small = df.filter(~is_big)
+    big = df.filter(is_big & ~is_bad)
+    # big+bad docs: quarantined, no span rows at all
+
+    small_out = (
+        small.repartition(F.xxhash64("doc_id"))
+        .mapInPandas(_fold_batches(cfg), EXTRACT_FULL)
+        .select("doc_id", F.posexplode("spans").alias("_i", "s"))
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+
+    exploded = big.select(
+        "doc_id", "header", "footer", F.posexplode("spans").alias("pos", "s")
+    )
+    chunked = chunk_exploded_spans(exploded, cfg, spans_per_chunk)
+    import dataclasses
+
+    chunk_cfg = dataclasses.replace(cfg, start_page=0)
+    chunks = chunked.groupBy("doc_id", "chunk", "header", "footer").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "s"))).alias("ps")
+    ).select(
+        "doc_id", "chunk", "header", "footer",
+        F.transform(
+            "ps",
+            lambda x: F.struct(
+                x["s"]["kind"].alias("kind"),
+                x["s"]["text"].alias("text"),
+                x["s"]["media_ref"].alias("media_ref"),
+                x["pos"].cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+
+    def run_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                spans = [dict(kind=s["kind"], text=s["text"],
+                              media_ref=s["media_ref"], offset=s["offset"])
+                         for s in r.spans]
+                res = fold_document(spans, r.header or "", r.footer or "",
+                                    chunk_cfg)
+                for o in res["out_spans"]:
+                    rows.append(dict(
+                        doc_id=r.doc_id, chunk=r.chunk,
+                        within_off=o["offset"], kind=o["kind"],
+                        text=o["text"], media_ref=o["media_ref"],
+                    ))
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in SPAN_ROWS.fields]
+            )
+
+    rows = chunks.repartition(F.xxhash64("doc_id", "chunk")).mapInPandas(
+        run_chunks, SPAN_ROWS
+    ).persist()
+    # global offsets: prefix-sum of chunk output sizes (#chunks rows
+    # per doc — model-sized, windowed over that tiny frame only)
+    sizes = rows.groupBy("doc_id", "chunk").agg(F.count("*").alias("n"))
+    w = (
+        Window.partitionBy("doc_id")
+        .orderBy("chunk")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    base = sizes.withColumn(
+        "base", F.sum("n").over(w) - F.col("n")
+    ).select("doc_id", "chunk", "base")
+    big_out = (
+        rows.join(F.broadcast(base), ["doc_id", "chunk"])
+        .select(
+            "doc_id",
+            (F.col("base") + F.col("within_off")).cast("int").alias("offset"),
+            "kind", "text", "media_ref",
+        )
+    )
+    return small_out.unionByName(big_out)
+
+
 def extract_spans_relational(documents_in: DataFrame) -> DataFrame:
     """Pure-SQL fast path for the flagship span extraction under the
     reference's DEFAULT quirk configuration (matcher-always-fires +

@@ -327,3 +327,29 @@ def test_full_split_extraction_equals_sequential(spark, documents_in,
         assert ks[d][2] == ku[d][2], d
     # the skew doc actually exercised the chunked branch
     assert ks["skew-00000"][2] == ku["skew-00000"][2]
+
+
+@pytest.mark.parametrize("cfg", [ExtractConfig(), ExtractConfig(start_page=3)],
+                         ids=["default", "sp3"])
+def test_exploded_rows_split_equals_sequential(spark, documents_in,
+                                               spans_geom, cfg):
+    """extract_spans_split_rows (no nested-array reassembly; offsets
+    from chunk-size prefix sums) must equal the sequential fold span-
+    for-span on the fixture, skew path forced."""
+    from pdfspark.operators.extract import extract_spans_split_rows
+
+    hf_df = all_doc_headers_footers(spans_geom)
+    got = {}
+    for r in extract_spans_split_rows(documents_in, hf_df, cfg,
+                                      skew_threshold=500,
+                                      spans_per_chunk=200).collect():
+        got.setdefault(r.doc_id, {})[r.offset] = (r.kind, r.text, r.media_ref)
+    seq = extract_documents(documents_in, hf_df, cfg)
+    want = {}
+    for r in seq.collect():
+        want[r.doc_id] = {s.offset: (s.kind, s.text, s.media_ref)
+                          for s in r.spans}
+    # docs with zero output spans have no rows in the exploded shape
+    want = {d: v for d, v in want.items() if v}
+    assert got == want
+    assert "skew-00000" in got  # the chunked branch ran

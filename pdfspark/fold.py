@@ -156,6 +156,7 @@ def fold_document(
     footer: str,
     cfg: ExtractConfig = ExtractConfig(),
     collect_events: bool = False,
+    skip_sections: bool = False,
 ) -> dict:
     """Run the extraction fold over one document's spans (offset order).
 
@@ -165,10 +166,14 @@ def fold_document(
     src/pdf_extractor.py:185,211-212 is_extractable guard).
 
     With ``collect_events=True`` the result also carries the ordered
-    classification event list ('W' wipe / 'H' / 'A' / 'F' / 'P' with
-    content, first_line, line_count) that replay_sections consumes —
-    the chunk-parallel skew path runs THIS (regex-heavy) part per
-    chunk and replays only the lightweight attachment sequentially.
+    classification event list — 'W' wipes, and 'H'/'A'/'F'/'P' rows
+    that reference their emitted span by OFFSET (the span already
+    carries the content; events stay metadata-sized) — which
+    replay_sections consumes: the chunk-parallel skew path runs THIS
+    (regex-heavy) part per chunk and replays only the lightweight
+    attachment sequentially. ``skip_sections=True`` skips the
+    attachment state machine entirely (chunk folds discard their
+    chunk-local sections anyway; span labels never depend on it).
     """
     spans = sorted(spans, key=lambda s: s["offset"])
     n_in = len(spans)
@@ -197,10 +202,6 @@ def fold_document(
     EV = {"heading": "H", "appendix": "A", "figure_caption": "F",
           "paragraph": "P"}
 
-    def event(code, content=None, first_line=None, line_count=0):
-        if collect_events:
-            events.append((code, content, first_line, line_count))
-
     for s in spans:
         kind = s["kind"]
         if kind == "TOC":
@@ -213,17 +214,20 @@ def fold_document(
 
         if kind in DROP_KINDS:
             current_header = None  # processor returns None -> state wipe
-            event("W")
+            if collect_events:
+                events.append(("W", -1))
             continue
         if kind in MEDIA_KINDS:
             emit("media", "", s.get("media_ref"))
             current_header = None
-            event("W")
+            if collect_events:
+                events.append(("W", -1))
             continue
         if kind in GEOM_KINDS:
             emit(kind, "", None)
             current_header = None
-            event("W")
+            if collect_events:
+                events.append(("W", -1))
             continue
         if kind != "TextBox":
             # unsupported element type: ValueError swallowed by caller
@@ -240,12 +244,14 @@ def fold_document(
             stripped = bool((header and nl in header) or (footer and nl in footer))
         if stripped:
             current_header = None
-            event("W")
+            if collect_events:
+                events.append(("W", -1))
             continue
         # F3 page-number strip
         if P.RE_PAGE_NUMBER.match(content):
             current_header = None
-            event("W")
+            if collect_events:
+                events.append(("W", -1))
             continue
 
         first_line = ""
@@ -273,8 +279,11 @@ def fold_document(
         else:
             label = "paragraph"
         emit(label, content, None)
-        event(EV[label], content, first_line, line_count)
+        if collect_events:
+            events.append((EV[label], len(out) - 1))
 
+        if skip_sections:
+            continue
         try:
             current_header = state.apply(
                 label, content, first_line, line_count, current_header
@@ -296,20 +305,32 @@ REPLAY_LABEL = {"H": "heading", "A": "appendix", "F": "figure_caption",
                 "P": "paragraph"}
 
 
-def replay_sections(events, toc_lines, cfg: ExtractConfig = ExtractConfig()):
+def replay_sections(events, span_texts, toc_lines,
+                    cfg: ExtractConfig = ExtractConfig()):
     """Rebuild the sections side-output from an ordered classification
     event stream (fold_document(collect_events=True) / the chunked
-    skew path). Runs ONLY the attachment state machine — all regex
-    classification already happened, in parallel, when the events were
-    produced — so this sequential pass is pointer-chasing over the
-    shared SectionState and is identical to the sequential fold by
-    construction (same class, pinned by tests)."""
+    skew path). Events are metadata-sized — ('W', -1) wipes and
+    (label, span_offset) references into ``span_texts`` (the already-
+    reassembled output spans), so the document text is never shipped
+    twice. Runs ONLY the attachment state machine — all regex
+    classification already happened, in parallel, when the events
+    were produced (first_line/line_count are cheap derivations of the
+    referenced content) — so this sequential pass is pointer-chasing
+    over the shared SectionState and is identical to the sequential
+    fold by construction (same class, pinned by tests)."""
     state = SectionState(toc_lines, cfg)
     current_header: str | None = ""
-    for code, content, first_line, line_count in events:
+    for code, span_off in events:
         if code == "W":
             current_header = None
             continue
+        content = span_texts[span_off]
+        if content:
+            lines = content.split("\n")
+            first_line = P.RE_EXTRA_SPACE.sub(" ", lines[0])
+            line_count = len(lines)
+        else:
+            first_line, line_count = "", 0
         try:
             current_header = state.apply(
                 REPLAY_LABEL[code], content, first_line, line_count,

@@ -154,6 +154,79 @@ CHUNKED_SPANS = T.StructType(
 )
 
 
+def _split_inputs(documents_in, header_footer_df, skew_threshold):
+    """(small, big, big_bad) partition of the input by size and the
+    DecodeError quarantine marker. A pathologically large doc can
+    still carry a DecodeError: the sequential fold quarantines the
+    WHOLE document, so the skew path must not chunk-fold its clean
+    parts — callers emit it as an empty row directly."""
+    df = _with_hf(documents_in, header_footer_df)
+    is_big = F.size("spans") > F.lit(skew_threshold)
+    is_bad = F.exists("spans", lambda s: s["kind"] == "DecodeError")
+    return (
+        df.filter(~is_big),
+        df.filter(is_big & ~is_bad),
+        df.filter(is_big & is_bad),
+    )
+
+
+def _fold_big_chunks(big: DataFrame, cfg: ExtractConfig,
+                     spans_per_chunk: int,
+                     collect_events: bool = False) -> DataFrame:
+    """Shared chunk machinery of every skew path: explode -> windowless
+    cutoff/chunk ids -> per-chunk re-pack -> parallel fold (sections
+    state machine skipped — chunk-local sections are discarded; span
+    labels never depend on it). Returns CHUNKED_SPANS, or CHUNKED_FULL
+    with chunk-local classification events when ``collect_events``."""
+    import dataclasses
+
+    exploded = big.select(
+        "doc_id", "header", "footer", F.posexplode("spans").alias("pos", "s")
+    )
+    chunked = chunk_exploded_spans(exploded, cfg, spans_per_chunk)
+    chunk_cfg = dataclasses.replace(cfg, start_page=0)  # skip already applied
+    chunks = chunked.groupBy("doc_id", "chunk", "header", "footer").agg(
+        F.sort_array(F.collect_list(F.struct("pos", "s"))).alias("ps")
+    ).select(
+        "doc_id", "chunk", "header", "footer",
+        F.transform(
+            "ps",
+            lambda x: F.struct(
+                x["s"]["kind"].alias("kind"),
+                x["s"]["text"].alias("text"),
+                x["s"]["media_ref"].alias("media_ref"),
+                x["pos"].cast("int").alias("offset"),
+            ),
+        ).alias("spans"),
+    )
+
+    def run_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                spans = [dict(kind=s["kind"], text=s["text"],
+                              media_ref=s["media_ref"], offset=s["offset"])
+                         for s in r.spans]
+                res = fold_document(spans, r.header or "", r.footer or "",
+                                    chunk_cfg, collect_events=collect_events,
+                                    skip_sections=True)
+                row = dict(doc_id=r.doc_id, chunk=r.chunk,
+                           spans=res["out_spans"])
+                if collect_events:
+                    row["events"] = [dict(code=c, off=o)
+                                     for c, o in res["events"]]
+                rows.append(row)
+            cols = ["doc_id", "chunk", "spans"] + (
+                ["events"] if collect_events else []
+            )
+            yield pd.DataFrame(rows, columns=cols)
+
+    schema = CHUNKED_FULL if collect_events else CHUNKED_SPANS
+    return chunks.repartition(F.xxhash64("doc_id", "chunk")).mapInPandas(
+        run_chunks, schema
+    )
+
+
 def extract_spans_split(
     documents_in: DataFrame,
     header_footer_df: DataFrame | None = None,
@@ -177,23 +250,13 @@ def extract_spans_split(
       folds run with start_page=0, PageStart markers are pure
       pass-throughs, and every output span label depends only on its
       own text (see fold.py) — so a chunk boundary mid-page is safe.
-      The sections side-output, which IS order-stateful, stays on the
-      sequential path by design.
+      For sections on the skew path see extract_documents_split; for
+      the nested-array-free row shape see extract_spans_split_rows.
     """
-    df = _with_hf(documents_in, header_footer_df)
-    is_big = F.size("spans") > F.lit(skew_threshold)
-    is_bad = F.exists("spans", lambda s: s["kind"] == "DecodeError")
-    small = df.filter(~is_big)
-    # a pathologically large doc can still carry a DecodeError marker:
-    # the sequential fold quarantines the WHOLE document, so the skew
-    # path must not chunk-fold its clean parts — route it straight to
-    # an empty span list (same observable output as the small path's
-    # quarantined rows)
-    big = df.filter(is_big & ~is_bad)
-    big_bad = df.filter(is_big & is_bad).select(
-        "doc_id",
-        F.array().cast(T.ArrayType(SPAN)).alias("spans"),
-    )
+    small, big, bad = _split_inputs(documents_in, header_footer_df,
+                                    skew_threshold)
+    empty_spans = F.array().cast(T.ArrayType(SPAN)).alias("spans")
+    big_bad = bad.select("doc_id", empty_spans)
 
     small_out = (
         small.repartition(F.xxhash64("doc_id"))
@@ -201,46 +264,7 @@ def extract_spans_split(
         .select("doc_id", "spans")
     )
 
-    # --- skew path -------------------------------------------------------
-    exploded = big.select(
-        "doc_id", "header", "footer", F.posexplode("spans").alias("pos", "s")
-    )
-    exploded = chunk_exploded_spans(exploded, cfg, spans_per_chunk)
-
-    import dataclasses
-
-    chunk_cfg = dataclasses.replace(cfg, start_page=0)  # skip already applied
-    chunks = exploded.groupBy("doc_id", "chunk", "header", "footer").agg(
-        F.sort_array(F.collect_list(F.struct("pos", "s"))).alias("ps")
-    ).select(
-        "doc_id", "chunk", "header", "footer",
-        F.transform(
-            "ps",
-            lambda x: F.struct(
-                x["s"]["kind"].alias("kind"),
-                x["s"]["text"].alias("text"),
-                x["s"]["media_ref"].alias("media_ref"),
-                x["pos"].cast("int").alias("offset"),
-            ),
-        ).alias("spans"),
-    )
-
-    def run_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                spans = [dict(kind=s["kind"], text=s["text"],
-                              media_ref=s["media_ref"], offset=s["offset"])
-                         for s in r.spans]
-                res = fold_document(spans, r.header or "", r.footer or "",
-                                    chunk_cfg)
-                rows.append(dict(doc_id=r.doc_id, chunk=r.chunk,
-                                 spans=res["out_spans"]))
-            yield pd.DataFrame(rows, columns=["doc_id", "chunk", "spans"])
-
-    folded = chunks.repartition(F.xxhash64("doc_id", "chunk")).mapInPandas(
-        run_chunks, CHUNKED_SPANS
-    )
+    folded = _fold_big_chunks(big, cfg, spans_per_chunk)
     big_out = (
         folded.groupBy("doc_id")
         .agg(
@@ -266,15 +290,27 @@ def extract_spans_split(
             ).alias("spans"),
         )
     )
-    return small_out.unionByName(big_out).unionByName(big_bad)
+    out = small_out.unionByName(big_out).unionByName(big_bad)
+    if cfg.start_page > 0:
+        # only the front-matter cutoff can remove EVERY span of a big
+        # doc (no TOC, too few pages) so it produces no chunks at all —
+        # re-add it as an empty row, exactly like the sequential fold.
+        # (Guarded: the anti-join probe recomputes the chunk subtree,
+        # pointless in the start_page=0 common case where no doc can
+        # go missing.)
+        missing = big.select("doc_id").join(
+            folded.select("doc_id").distinct(), "doc_id", "left_anti"
+        ).select("doc_id", empty_spans)
+        out = out.unionByName(missing)
+    return out
 
 
+# metadata-sized: a code plus the CHUNK-LOCAL offset of the referenced
+# output span (-1 for wipes); the replay rebases offsets per chunk
 EVENT = T.StructType(
     [
         T.StructField("code", T.StringType()),
-        T.StructField("content", T.StringType()),
-        T.StructField("first_line", T.StringType()),
-        T.StructField("line_count", T.IntegerType()),
+        T.StructField("off", T.IntegerType()),
     ]
 )
 
@@ -311,31 +347,33 @@ def extract_documents_split(
 
     * the regex-heavy classification (matcher, section/appendix/figure
       patterns, cleanup) is text-local — chunk folds run it in
-      parallel and emit, besides their output spans, an ordered event
-      stream ('W' wipe / 'H' / 'A' / 'F' / 'P' + content/first_line/
-      line_count);
+      parallel and emit, besides their output spans, an ordered
+      METADATA-SIZED event stream ('W' wipes and label events that
+      reference their emitted span by chunk-local offset — the
+      document text is never shipped twice);
     * the attachment state machine (current-header thread, first-match
       -wins lookups, in-place heading rewrites) is irreducibly
       sequential — replay_sections runs it per doc over the
-      reassembled event stream, through the SAME SectionState class
-      the sequential fold uses, so equality holds by construction
-      (and is pinned by tests).
+      chunk-ordered event stream (offsets rebased by per-chunk span
+      counts), through the SAME SectionState class the sequential
+      fold uses, so equality holds by construction (pinned by tests).
 
     Amdahl's split: the replay is pointer-chasing over pre-classified
     events (~an order of magnitude lighter than the full fold), so a
     10M-span pathology parallelizes everything except that thin tail.
 
     Output: (doc_id, status, spans, sections) — same contract as
-    extract_documents.
+    extract_documents. NOTE the nested per-doc (spans, sections) row
+    is itself the bottleneck at extreme pathology (measured at 1M
+    spans: most wall time is fat-row materialization on ANY path that
+    emits it); at that scale consume the pair
+    extract_spans_split_rows + extract_sections_split instead, which
+    keep everything row-shaped (22 s + 47 s vs ~80 s sequential /
+    161 s for this nested variant at 1M spans).
     """
-    import dataclasses
-
-    df = _with_hf(documents_in, header_footer_df)
-    is_big = F.size("spans") > F.lit(skew_threshold)
-    is_bad = F.exists("spans", lambda s: s["kind"] == "DecodeError")
-    small = df.filter(~is_big)
-    big = df.filter(is_big & ~is_bad)
-    big_bad = df.filter(is_big & is_bad).select(
+    small, big, bad = _split_inputs(documents_in, header_footer_df,
+                                    skew_threshold)
+    big_bad = bad.select(
         "doc_id",
         F.lit("quarantined").alias("status"),
         F.array().cast(T.ArrayType(SPAN)).alias("spans"),
@@ -348,11 +386,9 @@ def extract_documents_split(
         .select("doc_id", "status", "spans", "sections")
     )
 
-    exploded = big.select(
-        "doc_id", "header", "footer", F.posexplode("spans").alias("pos", "s")
-    )
     toc = (
-        exploded.filter(F.col("s.kind") == "TOC")
+        big.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+        .filter(F.col("s.kind") == "TOC")
         .groupBy("doc_id")
         .agg(
             F.transform(
@@ -361,45 +397,8 @@ def extract_documents_split(
             ).alias("toc_lines")
         )
     )
-    chunked = chunk_exploded_spans(exploded, cfg, spans_per_chunk)
-    chunk_cfg = dataclasses.replace(cfg, start_page=0)
-    chunks = chunked.groupBy("doc_id", "chunk", "header", "footer").agg(
-        F.sort_array(F.collect_list(F.struct("pos", "s"))).alias("ps")
-    ).select(
-        "doc_id", "chunk", "header", "footer",
-        F.transform(
-            "ps",
-            lambda x: F.struct(
-                x["s"]["kind"].alias("kind"),
-                x["s"]["text"].alias("text"),
-                x["s"]["media_ref"].alias("media_ref"),
-                x["pos"].cast("int").alias("offset"),
-            ),
-        ).alias("spans"),
-    )
-
-    def run_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                spans = [dict(kind=s["kind"], text=s["text"],
-                              media_ref=s["media_ref"], offset=s["offset"])
-                         for s in r.spans]
-                res = fold_document(spans, r.header or "", r.footer or "",
-                                    chunk_cfg, collect_events=True)
-                rows.append(dict(
-                    doc_id=r.doc_id, chunk=r.chunk, spans=res["out_spans"],
-                    events=[dict(code=c, content=ct, first_line=fl,
-                                 line_count=lc)
-                            for c, ct, fl, lc in res["events"]],
-                ))
-            yield pd.DataFrame(
-                rows, columns=["doc_id", "chunk", "spans", "events"]
-            )
-
-    folded = chunks.repartition(F.xxhash64("doc_id", "chunk")).mapInPandas(
-        run_chunks, CHUNKED_FULL
-    )
+    folded = _fold_big_chunks(big, cfg, spans_per_chunk,
+                              collect_events=True)
     assembled = (
         folded.groupBy("doc_id")
         .agg(
@@ -409,12 +408,17 @@ def extract_documents_split(
                     lambda x: x["spans"],
                 )
             ).alias("raw"),
-            F.flatten(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("chunk", "events"))),
-                    lambda x: x["events"],
+            # events stay grouped per chunk with the chunk's span count
+            # so the replay can rebase chunk-local span offsets
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        "chunk",
+                        F.size("spans").alias("n"),
+                        "events",
+                    )
                 )
-            ).alias("events"),
+            ).alias("ev_chunks"),
         )
         .select(
             "doc_id",
@@ -427,7 +431,7 @@ def extract_documents_split(
                     i.cast("int").alias("offset"),
                 ),
             ).alias("spans"),
-            "events",
+            "ev_chunks",
         )
         .join(toc, "doc_id", "left")
     )
@@ -438,10 +442,18 @@ def extract_documents_split(
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                events = [(e["code"], e["content"], e["first_line"],
-                           e["line_count"]) for e in r.events]
+                span_texts = [s["text"] for s in r.spans]
+                events = []
+                base = 0
+                for ch in r.ev_chunks:  # already chunk-sorted
+                    for e in ch["events"]:
+                        off = e["off"]
+                        events.append(
+                            (e["code"], off + base if off >= 0 else -1)
+                        )
+                    base += ch["n"]
                 toc_lines = list(r.toc_lines) if r.toc_lines is not None else []
-                sections = replay_sections(events, toc_lines, cfg)
+                sections = replay_sections(events, span_texts, toc_lines, cfg)
                 rows.append(dict(doc_id=r.doc_id, status="ok",
                                  spans=list(r.spans), sections=sections))
             yield pd.DataFrame(
@@ -449,19 +461,118 @@ def extract_documents_split(
             )
 
     big_out = assembled.mapInPandas(run_replay, DOC_OUT)
-    return small_out.unionByName(big_out).unionByName(big_bad)
+    out = small_out.unionByName(big_out).unionByName(big_bad)
+    if cfg.start_page > 0:
+        # big docs with zero surviving chunks (cutoff removed every
+        # span: no TOC, too few pages) emit the same empty 'ok' row the
+        # sequential fold produces; only possible under start_page>0
+        missing = big.select("doc_id").join(
+            folded.select("doc_id").distinct(), "doc_id", "left_anti"
+        ).select(
+            "doc_id",
+            F.lit("ok").alias("status"),
+            F.array().cast(T.ArrayType(SPAN)).alias("spans"),
+            F.array().cast(T.ArrayType(SECTION_STRUCT)).alias("sections"),
+        )
+        out = out.unionByName(missing)
+    return out
 
 
-SPAN_ROWS = T.StructType(
+SECTIONS_OUT = T.StructType(
     [
         T.StructField("doc_id", T.StringType()),
-        T.StructField("chunk", T.IntegerType()),
-        T.StructField("within_off", T.IntegerType()),
-        T.StructField("kind", T.StringType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("media_ref", T.StringType()),
+        T.StructField("status", T.StringType()),
+        T.StructField("sections", T.ArrayType(SECTION_STRUCT)),
     ]
 )
+
+
+def extract_sections_split(
+    documents_in: DataFrame,
+    header_footer_df: DataFrame | None = None,
+    cfg: ExtractConfig = ExtractConfig(),
+    skew_threshold: int = SKEW_SPAN_THRESHOLD,
+    spans_per_chunk: int = 1024,
+) -> DataFrame:
+    """Sections-only skew path with NO doc-sized arrays: the event
+    replay consumes the chunk folds' output as chunk-level rows
+    (bounded arrays of <= spans_per_chunk texts + metadata events) via
+    applyInPandas per doc_id — the group arrives as columnar Arrow
+    batches, never as one collect_list'ed million-element row. Pair
+    with extract_spans_split_rows for the span stream: together they
+    cover the full extraction contract at pathology scale without the
+    fat-row cost extract_documents_split's nested (spans, sections)
+    row carries (measured: that shape spends most of its wall time
+    materializing the single fat row).
+
+    Output: (doc_id, status, sections).
+    """
+    small, big, bad = _split_inputs(documents_in, header_footer_df,
+                                    skew_threshold)
+    bad_out = bad.select(
+        "doc_id",
+        F.lit("quarantined").alias("status"),
+        F.array().cast(T.ArrayType(SECTION_STRUCT)).alias("sections"),
+    )
+    small_out = (
+        small.repartition(F.xxhash64("doc_id"))
+        .mapInPandas(_fold_batches(cfg), EXTRACT_FULL)
+        .select("doc_id", "status", "sections")
+    )
+
+    toc = (
+        big.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+        .filter(F.col("s.kind") == "TOC")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda x: x["s"]["text"],
+            ).alias("toc_lines")
+        )
+    )
+    folded = _fold_big_chunks(big, cfg, spans_per_chunk,
+                              collect_events=True)
+    slim = folded.select(
+        "doc_id", "chunk",
+        F.transform("spans", lambda s: s["text"]).alias("texts"),
+        "events",
+    ).join(F.broadcast(toc), "doc_id", "left")
+
+    def replay_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pdfspark.fold import replay_sections
+
+        pdf = pdf.sort_values("chunk")
+        texts: list = []
+        events: list = []
+        toc_lines: list = []
+        for r in pdf.itertuples(index=False):
+            if r.toc_lines is not None and len(r.toc_lines):
+                toc_lines = list(r.toc_lines)
+            base = len(texts)
+            for e in r.events:
+                off = e["off"]
+                events.append((e["code"], off + base if off >= 0 else -1))
+            texts.extend(r.texts)
+        sections = replay_sections(events, texts, toc_lines, cfg)
+        return pd.DataFrame(
+            [dict(doc_id=pdf["doc_id"].iloc[0], status="ok",
+                  sections=sections)],
+            columns=["doc_id", "status", "sections"],
+        )
+
+    big_out = slim.groupBy("doc_id").applyInPandas(replay_group, SECTIONS_OUT)
+    out = small_out.unionByName(big_out).unionByName(bad_out)
+    if cfg.start_page > 0:
+        missing = big.select("doc_id").join(
+            folded.select("doc_id").distinct(), "doc_id", "left_anti"
+        ).select(
+            "doc_id",
+            F.lit("ok").alias("status"),
+            F.array().cast(T.ArrayType(SECTION_STRUCT)).alias("sections"),
+        )
+        out = out.unionByName(missing)
+    return out
 
 
 def extract_spans_split_rows(
@@ -486,12 +597,10 @@ def extract_spans_split_rows(
     anyway (the driver contract's nested arrays are re-exploded by
     every consumer).
     """
-    df = _with_hf(documents_in, header_footer_df)
-    is_big = F.size("spans") > F.lit(skew_threshold)
-    is_bad = F.exists("spans", lambda s: s["kind"] == "DecodeError")
-    small = df.filter(~is_big)
-    big = df.filter(is_big & ~is_bad)
-    # big+bad docs: quarantined, no span rows at all
+    small, big, _bad = _split_inputs(documents_in, header_footer_df,
+                                     skew_threshold)
+    # big+bad docs: quarantined, no span rows at all (exploded shape
+    # has no empty-doc rows by definition)
 
     small_out = (
         small.repartition(F.xxhash64("doc_id"))
@@ -506,50 +615,17 @@ def extract_spans_split_rows(
         )
     )
 
-    exploded = big.select(
-        "doc_id", "header", "footer", F.posexplode("spans").alias("pos", "s")
-    )
-    chunked = chunk_exploded_spans(exploded, cfg, spans_per_chunk)
-    import dataclasses
-
-    chunk_cfg = dataclasses.replace(cfg, start_page=0)
-    chunks = chunked.groupBy("doc_id", "chunk", "header", "footer").agg(
-        F.sort_array(F.collect_list(F.struct("pos", "s"))).alias("ps")
+    folded = _fold_big_chunks(big, cfg, spans_per_chunk)
+    rows = folded.select(
+        "doc_id", "chunk", F.posexplode("spans").alias("_i", "o")
     ).select(
-        "doc_id", "chunk", "header", "footer",
-        F.transform(
-            "ps",
-            lambda x: F.struct(
-                x["s"]["kind"].alias("kind"),
-                x["s"]["text"].alias("text"),
-                x["s"]["media_ref"].alias("media_ref"),
-                x["pos"].cast("int").alias("offset"),
-            ),
-        ).alias("spans"),
-    )
-
-    def run_chunks(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for r in pdf.itertuples(index=False):
-                spans = [dict(kind=s["kind"], text=s["text"],
-                              media_ref=s["media_ref"], offset=s["offset"])
-                         for s in r.spans]
-                res = fold_document(spans, r.header or "", r.footer or "",
-                                    chunk_cfg)
-                for o in res["out_spans"]:
-                    rows.append(dict(
-                        doc_id=r.doc_id, chunk=r.chunk,
-                        within_off=o["offset"], kind=o["kind"],
-                        text=o["text"], media_ref=o["media_ref"],
-                    ))
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in SPAN_ROWS.fields]
-            )
-
-    rows = chunks.repartition(F.xxhash64("doc_id", "chunk")).mapInPandas(
-        run_chunks, SPAN_ROWS
-    ).persist()
+        "doc_id", "chunk",
+        F.col("o.offset").alias("within_off"),
+        F.col("o.kind").alias("kind"),
+        F.col("o.text").alias("text"),
+        F.col("o.media_ref").alias("media_ref"),
+    ).persist()  # diamond: rows feed sizes AND the final join
+    # (cached blocks reclaimed by the ContextCleaner once unreferenced)
     # global offsets: prefix-sum of chunk output sizes (#chunks rows
     # per doc — model-sized, windowed over that tiny frame only)
     sizes = rows.groupBy("doc_id", "chunk").agg(F.count("*").alias("n"))

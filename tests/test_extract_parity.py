@@ -339,11 +339,14 @@ def test_exploded_rows_split_equals_sequential(spark, documents_in,
     from pdfspark.operators.extract import extract_spans_split_rows
 
     hf_df = all_doc_headers_footers(spans_geom)
+    collected = extract_spans_split_rows(documents_in, hf_df, cfg,
+                                         skew_threshold=500,
+                                         spans_per_chunk=200).collect()
     got = {}
-    for r in extract_spans_split_rows(documents_in, hf_df, cfg,
-                                      skew_threshold=500,
-                                      spans_per_chunk=200).collect():
+    for r in collected:
         got.setdefault(r.doc_id, {})[r.offset] = (r.kind, r.text, r.media_ref)
+    # no duplicate (doc_id, offset) rows hiding behind the dict
+    assert len(collected) == sum(len(v) for v in got.values())
     seq = extract_documents(documents_in, hf_df, cfg)
     want = {}
     for r in seq.collect():
@@ -353,3 +356,21 @@ def test_exploded_rows_split_equals_sequential(spark, documents_in,
     want = {d: v for d, v in want.items() if v}
     assert got == want
     assert "skew-00000" in got  # the chunked branch ran
+
+
+@pytest.mark.parametrize("cfg", [ExtractConfig(), ExtractConfig(start_page=3)],
+                         ids=["default", "sp3"])
+def test_sections_split_rows_equals_sequential(spark, documents_in,
+                                               spans_geom, cfg):
+    """extract_sections_split (chunk-row applyInPandas replay, no
+    doc-sized arrays) must equal the sequential fold's sections."""
+    from pdfspark.operators.extract import extract_sections_split
+
+    hf_df = all_doc_headers_footers(spans_geom)
+    got = {r.doc_id: (r.status, [t.asDict() for t in r.sections])
+           for r in extract_sections_split(documents_in, hf_df, cfg,
+                                           skew_threshold=500,
+                                           spans_per_chunk=200).collect()}
+    want = {r.doc_id: (r.status, [t.asDict() for t in r.sections])
+            for r in extract_documents(documents_in, hf_df, cfg).collect()}
+    assert got == want

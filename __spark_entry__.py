@@ -376,13 +376,14 @@ def _q_extract_spans_sql(spark, sf_dir):
 
 
 def _q_extract_sections(spark, sf_dir):
-    """Sections side output of the exact fold, via the SKEW-SAFE full
-    path (chunk-parallel classification + sequential event replay for
-    the big fixture doc) — oracle = materialized output of the
-    independent reference transliteration; parity is additionally
-    pytest-gated (tests/test_extract_parity)."""
+    """Sections side output of the exact fold, via the SKEW-SAFE
+    sections-only path (chunk-parallel classification + chunk-row
+    event replay; this query never reads spans, so the nested
+    (spans, sections) row is never built) — oracle = materialized
+    output of the independent reference transliteration; parity is
+    additionally pytest-gated (tests/test_extract_parity)."""
     from pdfspark.operators.boilerplate import all_doc_headers_footers
-    from pdfspark.operators.extract import extract_documents_split
+    from pdfspark.operators.extract import extract_sections_split
 
     geom = _geom(spark, sf_dir)
     hf = all_doc_headers_footers(geom)
@@ -390,9 +391,9 @@ def _q_extract_sections(spark, sf_dir):
     # time rivals a whole partition); chunking a doc that folds in
     # 0.1 s just pays the chunk machinery. The chunked branch itself
     # is equality-pinned by tests at a forced low threshold.
-    out = extract_documents_split(_docs_in(spark, sf_dir), hf,
-                                  skew_threshold=15_000,
-                                  spans_per_chunk=1024)
+    out = extract_sections_split(_docs_in(spark, sf_dir), hf,
+                                 skew_threshold=15_000,
+                                 spans_per_chunk=1024)
     return out.select(
         "doc_id", "status", F.posexplode("sections").alias("section_id", "sec")
     ).select(

@@ -1058,11 +1058,15 @@ bad AS (SELECT DISTINCT doc_id FROM sg WHERE kind = 'DecodeError'),
 tbx AS (
   -- pytrim: Python str.strip() semantics (all ASCII whitespace incl.
   -- \x0b), matching the engine's (?U)-trim; plain trim() = spaces only
+  -- coalesce: the fold coerces NULL text to '' and still emits the
+  -- span (same as the engine's SQL fast path)
   SELECT doc_id, kind, media_ref, "offset" AS o,
-         regexp_replace(text, '(^[\\s\\x0B]+)|([\\s\\x0B]+$)', '', 'g')
+         regexp_replace(coalesce(text, ''),
+                        '(^[\\s\\x0B]+)|([\\s\\x0B]+$)', '', 'g')
            AS content,
          regexp_replace(split_part(
-             regexp_replace(text, '(^[\\s\\x0B]+)|([\\s\\x0B]+$)', '', 'g'),
+             regexp_replace(coalesce(text, ''),
+                            '(^[\\s\\x0B]+)|([\\s\\x0B]+$)', '', 'g'),
              chr(10), 1), '\\s{{2,}}', ' ', 'g')
            AS first_line
   FROM sg WHERE doc_id NOT IN (SELECT doc_id FROM bad)),

@@ -45,7 +45,9 @@ MATCHER_TERMS = (
     ("bibliography",),
     ("references",),
 )
-MATCHER_PREFIX = r"(?iU)^(executive\s+summary|foreword|introduction|summary|bibliography|references)\b"
+# Java-dialect ONLY ((?U) is not a Python re flag): for Spark rlike,
+# never re.compile — hence the JAVA_ prefix like every other Java form
+JAVA_MATCHER_PREFIX = r"(?iU)^(executive\s+summary|foreword|introduction|summary|bibliography|references)\b"
 
 RE_SECTION = re.compile(SECTION)
 RE_SECTION_GROUPS = re.compile(SECTION_GROUPS)

@@ -85,7 +85,7 @@ def classify_spans(spans: DataFrame) -> DataFrame:
                 F.trim(F.regexp_extract("first_line", P.JAVA_SECTION_GROUPS, 2)),
             ),
         )
-        .withColumn("is_named", is_tb & F.col("first_line").rlike(P.MATCHER_PREFIX))
+        .withColumn("is_named", is_tb & F.col("first_line").rlike(P.JAVA_MATCHER_PREFIX))
         .withColumn("is_appendix", is_tb & F.col("first_line").rlike(P.JAVA_APPENDIX))
         .withColumn("is_figure", is_tb & F.col("first_line").rlike(P.JAVA_FIGURE))
         .withColumn(

@@ -126,13 +126,18 @@ def chunk_exploded_spans(exploded: DataFrame, cfg: ExtractConfig,
     if cfg.start_page > 0:
         # cutoff = pos of the (start_page+1)-th PageStart marker; a doc
         # with fewer pages keeps only its TOC spans (page_index never
-        # reaches start_page), exactly like the sequential fold
+        # reaches start_page), exactly like the sequential fold.
+        # try_element_at: under Spark 4.x default ANSI mode a plain
+        # element_at THROWS on out-of-bounds, so a doc with >=1 but
+        # <=start_page PageStart markers would crash the job instead of
+        # producing the NULL the cut.isNotNull() filter depends on
         cut = (
             exploded.filter(F.col("s.kind") == "PageStart")
             .groupBy("doc_id")
             .agg(
-                F.element_at(
-                    F.sort_array(F.collect_list("pos")), cfg.start_page + 1
+                F.try_element_at(
+                    F.sort_array(F.collect_list("pos")),
+                    F.lit(cfg.start_page + 1),
                 ).alias("cut")
             )
         )
@@ -669,8 +674,11 @@ def extract_spans_relational(documents_in: DataFrame) -> DataFrame:
     # fold for everything but the exotic \x1c-\x1f separators (Python-
     # space, not Unicode White_Space) — pinned by the adversarial-
     # padding case in the fold-equality test.
+    # coalesce first: fold_document coerces None text to '' and emits
+    # the span; an un-coalesced NULL would propagate through the strip
+    # predicates and silently drop the row instead
     pytrim = F.regexp_replace(
-        F.col("s.text"), r"(?U)^\s+|\s+$", ""
+        F.coalesce(F.col("s.text"), F.lit("")), r"(?U)^\s+|\s+$", ""
     )
     df = documents_in.filter(~bad).select(
         "doc_id", F.explode("spans").alias("s")

@@ -150,16 +150,35 @@ def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
     )
 
 
-def upsert_embeddings(current: DataFrame, updates: DataFrame) -> DataFrame:
+def upsert_embeddings(
+    current: DataFrame, updates: DataFrame, ord_col: str | None = None
+) -> DataFrame:
     """S13 — upsert-by-key semantics of the reference's vector-index
     sink (_upsert_to_pinecone_index, ref src/data/pinecone_vector_db.py
     :74-120,269-296): a row in `updates` replaces the `current` row
     with the same vec_id, new ids append. Relationally: left-anti the
     touched keys out of current, union the updates — exactly what an
     Iceberg `MERGE INTO ... WHEN MATCHED UPDATE WHEN NOT MATCHED
-    INSERT` compiles to for whole-row updates. Scale shape: one
-    hash-shuffle on vec_id for the anti-join; broadcast when the
-    update batch is small (AQE decides)."""
+    INSERT` compiles to for whole-row updates.
+
+    The reference (and an Iceberg MERGE) is last-write-wins per id
+    WITHIN a batch too. A plain DataFrame carries no row order, so
+    "last" needs an explicit ordinal: pass ``ord_col`` (a monotone
+    batch-position column, dropped from the output) and the update
+    batch is deduped to its max-ordinal row per vec_id first. Without
+    ``ord_col`` the caller guarantees vec_id-unique updates (the
+    precondition this engine's own callers satisfy).
+
+    Scale shape: one hash-shuffle on vec_id for the anti-join (the
+    dedupe reuses the same key); broadcast when the update batch is
+    small (AQE decides)."""
+    if ord_col is not None:
+        w = Window.partitionBy("vec_id").orderBy(F.desc(ord_col))
+        updates = (
+            updates.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", ord_col)
+        )
     return current.join(
         updates.select("vec_id"), "vec_id", "left_anti"
     ).unionByName(updates)

@@ -178,6 +178,32 @@ def test_skew_giant_doc_parallel_presplit(spark):
     assert n_chunks > 20, n_chunks
 
 
+def test_skew_big_doc_fewer_pages_than_start_page(spark):
+    """A big doc with >=1 but <=start_page PageStart markers: under
+    Spark 4 ANSI mode a plain element_at would THROW on the
+    out-of-bounds cutoff lookup; try_element_at yields NULL and the
+    skew path must match the sequential fold (only TOC spans survive
+    — page_index never reaches start_page)."""
+    spans = [dict(kind="TOC", text="1. Intro", media_ref=None, offset=0),
+             dict(kind="PageStart", text="", media_ref=None, offset=1)]
+    spans += [dict(kind="TextBox", text=f"body {i}", media_ref=None,
+                   offset=2 + i) for i in range(600)]
+    spans.append(dict(kind="PageStart", text="", media_ref=None,
+                      offset=len(spans)))
+    df = spark.createDataFrame(
+        [("fewpages-00000", spans)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    cfg = ExtractConfig(start_page=3)
+    got = extract_spans_split(df, None, cfg=cfg, skew_threshold=500,
+                              spans_per_chunk=200).collect()
+    want = extract_documents(df, None, cfg).select("doc_id", "spans").collect()
+    assert len(got) == 1 and len(want) == 1
+    assert [t.asDict() for t in got[0].spans] == \
+        [t.asDict() for t in want[0].spans]
+
+
 def test_skew_big_doc_with_decode_error_is_quarantined(spark):
     """A doc ABOVE the skew threshold that contains a DecodeError span
     must come out empty from the split path exactly like the
@@ -224,6 +250,9 @@ def test_relational_spans_equal_fold_default_config(spark, documents_in,
         dict(kind="TextBox", text="\x0bpg iv\n", media_ref=None, offset=3),
         dict(kind="TextBox", text="plain\ttabbed body", media_ref=None,
              offset=4),
+        # NULL text: the fold coerces None to '' and emits a span; the
+        # SQL path must coalesce, not silently drop the row
+        dict(kind="TextBox", text=None, media_ref=None, offset=5),
     ]
     pad_doc = spark.createDataFrame(
         [("pad-00000", pad_spans)],

@@ -106,7 +106,7 @@ def corpus_results(spark):
         F.col("s").rlike(P.JAVA_CONTINUED_MATCH).alias("cont_match"),
         F.col("s").rlike(P.JAVA_PAGE_NUMBER_MATCH).alias("pageno"),
         F.col("s").rlike(P.JAVA_TABLE_LABEL).alias("table_label"),
-        F.col("s").rlike(P.MATCHER_PREFIX).alias("named"),
+        F.col("s").rlike(P.JAVA_MATCHER_PREFIX).alias("named"),
     ]
     rows = df.select("i", "s", *cols).orderBy("i").collect()
     assert len(rows) == len(CORPUS)
@@ -184,7 +184,7 @@ def test_table_label_parity(corpus_results):
 
 
 def test_named_matcher_prefix_parity(corpus_results):
-    """MATCHER_PREFIX (the SQL twin of the intended-semantics matcher,
+    """JAVA_MATCHER_PREFIX (the SQL twin of the intended-semantics matcher,
     X18 always=False) must agree with the tokenized prefix test."""
     for r in corpus_results:
         py = P.matcher_fires(r.s.split("\n")[0] if r.s else r.s, always=False)

@@ -18,6 +18,7 @@ from pdfspark.operators.retrieval import (
     fill_down_events,
     sessionize_events,
     tabular_pairs,
+    upsert_embeddings,
 )
 from pdfspark.operators.similarity import (
     cosine_topk,
@@ -183,6 +184,20 @@ def test_fill_down_never_null_after_first_valid(spark):
     ).count()
     total_err = out.filter(F.col("event_type") == "error").count()
     assert errs < total_err  # some errors are filled from history
+
+
+def test_upsert_last_write_wins_within_batch(spark):
+    """An update batch repeating a vec_id must merge to ONE row per
+    key (last by the batch ordinal), like the reference Pinecone
+    upsert / an Iceberg MERGE — not duplicate keys."""
+    cur = spark.createDataFrame(
+        [(1, [0.1]), (2, [0.2])], "vec_id long, embedding array<double>")
+    upd = spark.createDataFrame(
+        [(2, [9.0], 0), (2, [9.9], 1), (3, [0.3], 2)],
+        "vec_id long, embedding array<double>, batch_ord int")
+    out = {r.vec_id: list(r.embedding)
+           for r in upsert_embeddings(cur, upd, ord_col="batch_ord").collect()}
+    assert out == {1: [0.1], 2: [9.9], 3: [0.3]}
 
 
 def test_sessionize_covers_all_events(spark):

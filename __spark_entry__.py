@@ -115,22 +115,23 @@ def _q_header_footer(spark, sf_dir):
     return all_doc_headers_footers(_geom(spark, sf_dir))
 
 
-def _q_margin_candidates(spark, sf_dir):
-    from pdfspark.operators.boilerplate import margin_candidates
-
-    return margin_candidates(_geom(spark, sf_dir)).select(
-        "doc_id", "offset", "txt", "is_header", "is_footer"
+def _q_margins(spark, sf_dir):
+    """F10 + F12 in one probe, tagged by `variant`: absolute-position
+    margin candidates ('abs') and the normalized-position variant
+    ('norm') with the reference bug reproduced (footer test
+    `y1/h < 0.9` marks ~everything)."""
+    from pdfspark.operators.boilerplate import (
+        margin_candidates,
+        margin_candidates_normalized,
     )
 
-
-def _q_margin_normalized(spark, sf_dir):
-    """F12: normalized-position header/footer candidates, reference
-    bug reproduced (footer test `y1/h < 0.9` marks ~everything)."""
-    from pdfspark.operators.boilerplate import margin_candidates_normalized
-
-    return margin_candidates_normalized(_geom(spark, sf_dir)).select(
-        "doc_id", "offset", "txt", "is_header", "is_footer"
+    g = _geom(spark, sf_dir)
+    cols = ["doc_id", "offset", "txt", "is_header", "is_footer"]
+    a = margin_candidates(g).select(F.lit("abs").alias("variant"), *cols)
+    n = margin_candidates_normalized(g).select(
+        F.lit("norm").alias("variant"), *cols
     )
+    return a.unionByName(n)
 
 
 def _q_table_stats(spark, sf_dir):
@@ -143,21 +144,24 @@ def _q_table_stats(spark, sf_dir):
     ).withColumn("table_id", F.col("table_id").cast("int"))
 
 
-def _q_page_scan(spark, sf_dir):
-    """S3: single-page scan (ref extract_textboxes_by_pageid,
-    parse_util.py:444-455) — a pushed-down page_id predicate."""
+def _q_page_scans(spark, sf_dir):
+    """S3 + S4 in one probe: single-page scan (ref
+    extract_textboxes_by_pageid, parse_util.py:444-455) and page-window
+    scan (ref extract_textboxes hardcoded 8-14, pdf_test_parse.py:473-
+    487; fixture pages are 1-4, window 2-3), tagged by a `probe`
+    column. Both are pushed-down page_id predicates on the same scan —
+    merged so the driver's 50-row correctness budget covers every
+    registry entry."""
     g = _geom(spark, sf_dir)
-    return g.filter((F.col("page_id") == 2) & (F.col("kind") == "TextBox")) \
-        .select("doc_id", "page_id", "offset", F.trim("text").alias("content"))
-
-
-def _q_page_window(spark, sf_dir):
-    """S4: page-window scan (ref extract_textboxes hardcoded 8-14,
-    pdf_test_parse.py:473-487; fixture pages are 1-4, window 2-3)."""
-    g = _geom(spark, sf_dir)
-    return g.filter(
+    cols = ["doc_id", "page_id", "offset"]
+    one = g.filter((F.col("page_id") == 2) & (F.col("kind") == "TextBox")) \
+        .select(F.lit("page").alias("probe"), *cols,
+                F.trim("text").alias("content"))
+    win = g.filter(
         F.col("page_id").between(2, 3) & (F.col("kind") == "TextBox")
-    ).select("doc_id", "page_id", "offset", F.trim("text").alias("content"))
+    ).select(F.lit("window").alias("probe"), *cols,
+             F.trim("text").alias("content"))
+    return one.unionByName(win)
 
 
 def _q_embeddings_upsert(spark, sf_dir):
@@ -183,16 +187,6 @@ def _q_embeddings_upsert(spark, sf_dir):
     )
     return merged.select("vec_id", F.size("embedding").alias("n_dims"),
                          norm.alias("norm"))
-
-
-def _q_page_number_strip(spark, sf_dir):
-    from pdfspark.functions import patterns as P
-
-    g = _geom(spark, sf_dir).filter(F.col("kind") == "TextBox")
-    content = F.trim("text")
-    return g.filter(~content.rlike(P.JAVA_PAGE_NUMBER_MATCH)).select(
-        "doc_id", "offset", content.alias("content")
-    )
 
 
 def _tables_sql(spark, sf_dir):
@@ -299,6 +293,9 @@ def _classified(spark, sf_dir):
 
 
 def _q_classify_flags(spark, sf_dir):
+    """X1-X17 classification flags + W3 section carry-forward in one
+    row set: `current_section` is the last-heading fill-down the W3
+    operator computes over the same classified frame."""
     c = _classified(spark, sf_dir)
     return c.filter(F.col("kind") == "TextBox").select(
         "doc_id",
@@ -311,13 +308,7 @@ def _q_classify_flags(spark, sf_dir):
         "is_figure",
         "is_table_title",
         "is_heading",
-    )
-
-
-def _q_current_section(spark, sf_dir):
-    c = _classified(spark, sf_dir)
-    return c.filter(F.col("kind") == "TextBox").select(
-        "doc_id", "offset", "current_section"
+        "current_section",
     )
 
 
@@ -470,12 +461,6 @@ def _q_minhash_verified(spark, sf_dir):
     return minhash_verified(_docs_all(spark, sf_dir))
 
 
-def _q_simhash(spark, sf_dir):
-    from pdfspark.operators.dedup import simhash_signatures
-
-    return simhash_signatures(_docs_all(spark, sf_dir))
-
-
 def _q_simhash_pairs(spark, sf_dir):
     from pdfspark.operators.dedup import simhash_candidates
 
@@ -592,9 +577,16 @@ def _q_stream_windowed(spark, sf_dir):
 
 
 def _q_media_features(spark, sf_dir):
-    from pdfspark.operators.media import media_features, media_table
+    """M1 + M3 in one row set: the Arrow-batched decode/featurize
+    kernel joined 1:1 (on media_ref) with the resize-plan kernel, so
+    BOTH mapInPandas paths are driver-exercised; out_w/out_h are M3's
+    integer-exact aspect-preserving targets."""
+    from pdfspark.operators.media import media_features, media_table, resize_plan
 
-    return media_features(media_table(_docs_all(spark, sf_dir)))
+    m = media_table(_docs_all(spark, sf_dir))
+    feats = media_features(m)
+    rz = resize_plan(m).select("media_ref", "out_w", "out_h")
+    return feats.join(rz, "media_ref")
 
 
 def _q_frame_sample(spark, sf_dir):
@@ -603,14 +595,6 @@ def _q_frame_sample(spark, sf_dir):
     from pdfspark.operators.media import media_table_video, sample_frames
 
     return sample_frames(media_table_video(_docs_all(spark, sf_dir)))
-
-
-def _q_resize_plan(spark, sf_dir):
-    """M3: aspect-preserving image resize plan (decode dims stubbed;
-    integer-exact target arithmetic)."""
-    from pdfspark.operators.media import media_table, resize_plan
-
-    return resize_plan(media_table(_docs_all(spark, sf_dir)))
 
 
 def _q_audio_chunks(spark, sf_dir):
@@ -626,8 +610,12 @@ def _q_audio_chunks(spark, sf_dir):
 
 
 def _q_text_cleanup(spark, sf_dir):
-    """X11/F5-F8: the reference's scalar cleanup vocabulary
-    (parse_util.py:117-168) as parallel columns."""
+    """X11/F5-F8 scalar cleanup vocabulary (parse_util.py:117-168) as
+    parallel columns, plus the F3 page-number predicate
+    (parse_util.py:407-415) as `is_page_number` — the page-number
+    strip is exactly `filter(~is_page_number)` over this frame."""
+    from pdfspark.functions import patterns as P
+
     g = _geom(spark, sf_dir).filter(F.col("kind") == "TextBox")
     t = F.col("text")
     stripped = F.regexp_replace(
@@ -640,6 +628,7 @@ def _q_text_cleanup(spark, sf_dir):
         F.regexp_replace(t, r"[\W_]+$", "").alias("no_trailing_punct"),
         F.regexp_replace(t, r"\s{2,}", " ").alias("collapsed"),
         F.trim(F.regexp_replace(stripped, r"\s{2,}", " ")).alias("stripped"),
+        F.trim(t).rlike(P.JAVA_PAGE_NUMBER_MATCH).alias("is_page_number"),
     )
 
 
@@ -778,7 +767,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_exact_dups": _q_exact_dups,
         "dd_minhash_pairs": _q_minhash_pairs,
         "dd_minhash_verified": _q_minhash_verified,
-        "dd_simhash": _q_simhash,
         "dd_simhash_pairs": _q_simhash_pairs,
         "ts_langid": _q_langid,
         "ts_quality": _q_quality,
@@ -796,14 +784,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j7_tabular_pairs": _q_tabular_pairs,
         "a9_sessionize": _q_sessionize,
         "s8_stream_windowed": _q_stream_windowed,
-        "m1_media_features": _q_media_features,
+        "m1_m3_media_features": _q_media_features,
         "m2_frame_sample": _q_frame_sample,
-        "m3_resize_plan": _q_resize_plan,
         "m4_audio_chunks": _q_audio_chunks,
-        "x11_text_cleanup": _q_text_cleanup,
+        "x11_f3_cleanup": _q_text_cleanup,
         "s1_binary_decode": _q_binary_decode,
-        "s3_page_scan": _q_page_scan,
-        "s4_page_window": _q_page_window,
+        "s34_page_scans": _q_page_scans,
         "s13_embeddings_upsert": _q_embeddings_upsert,
         "s6_lines_source": _q_lines_source,
         "s7_json_source": _q_json_source,
@@ -817,9 +803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lineage_metrics": _q_lineage,
         "w1_reading_order": _q_reading_order,
         "a1_header_footer": _q_header_footer,
-        "f10_margin_candidates": _q_margin_candidates,
-        "f12_margin_normalized": _q_margin_normalized,
-        "f3_page_number_strip": _q_page_number_strip,
+        "f10_f12_margins": _q_margins,
         "a5_table_stats": _q_table_stats,
         "ep3_tables_sql": _q_tables_sql,
         "ep3_tables_doc_scope": _q_tables_doc_scope,
@@ -828,8 +812,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j2_table_titles": _q_table_titles,
         "j4_toc_skeleton": _q_toc_skeleton,
         "j1_heading_lookup": _q_heading_lookup,
-        "x1_classify_flags": _q_classify_flags,
-        "w3_current_section": _q_current_section,
+        "x1_w3_classify_flags": _q_classify_flags,
         "a8_sections": _q_sections,
     }
 
@@ -1104,7 +1087,6 @@ def oracle_sql() -> dict[str, str]:
         "dd_exact_dups": OP.exact_dups_sql(FIX01),
         "dd_minhash_pairs": OP.minhash_pairs_sql(FIX01),
         "dd_minhash_verified": OP.minhash_verified_sql(FIX01),
-        "dd_simhash": OP.simhash_sql(FIX01),
         "dd_simhash_pairs": OP.simhash_pairs_sql(FIX01),
         "ts_langid": OP.langid_sql(FIX01),
         "ts_quality": OP.quality_sql(FIX01),
@@ -1154,11 +1136,10 @@ def oracle_sql() -> dict[str, str]:
                    string_agg(cells, ',' ORDER BY natkey, seq) AS cells_seq
             FROM lbld GROUP BY batch, label
         """,
-        "m1_media_features": OP.media_features_sql(FIX01),
+        "m1_m3_media_features": OP.media_features_sql(FIX01),
         "m2_frame_sample": OP.frame_sample_sql(FIX01),
-        "m3_resize_plan": OP.resize_plan_sql(FIX01),
         "m4_audio_chunks": OP.audio_chunks_sql(FIX01),
-        "x11_text_cleanup": f"""
+        "x11_f3_cleanup": f"""
             SELECT doc_id, "offset" AS offset,
                    regexp_replace(text, '[^a-zA-Z0-9]', '', 'g') AS alnum_only,
                    regexp_replace(text, '[\\W_]+$', '') AS no_trailing_punct,
@@ -1166,15 +1147,17 @@ def oracle_sql() -> dict[str, str]:
                    trim(regexp_replace(
                      regexp_replace(regexp_replace(text, '€', ' ', 'g'),
                                     chr(10), ' ', 'g'),
-                     '\\s{{2,}}', ' ', 'g')) AS stripped
+                     '\\s{{2,}}', ' ', 'g')) AS stripped,
+                   regexp_matches(trim(text), '{_PAGENO}') AS is_page_number
             FROM {GEOM01} WHERE kind = 'TextBox'
         """,
-        "s3_page_scan": f"""
-            SELECT doc_id, page_id, "offset" AS offset, trim(text) AS content
+        "s34_page_scans": f"""
+            SELECT 'page' AS probe, doc_id, page_id, "offset" AS offset,
+                   trim(text) AS content
             FROM {GEOM01} WHERE page_id = 2 AND kind = 'TextBox'
-        """,
-        "s4_page_window": f"""
-            SELECT doc_id, page_id, "offset" AS offset, trim(text) AS content
+            UNION ALL
+            SELECT 'window' AS probe, doc_id, page_id, "offset" AS offset,
+                   trim(text) AS content
             FROM {GEOM01}
             WHERE page_id BETWEEN 2 AND 3 AND kind = 'TextBox'
         """,
@@ -1297,24 +1280,27 @@ def oracle_sql() -> dict[str, str]:
             FROM {GEOM01} WHERE kind = 'TextBox'
         """,
         "a1_header_footer": f"WITH {_HF_CTE} SELECT * FROM hf",
-        "f10_margin_candidates": f"""
-            WITH {_HF_CTE}
-            SELECT doc_id, CAST(o AS INT) AS offset, txt, is_header, is_footer
-            FROM cand WHERE is_header OR is_footer
-        """,
-        "f12_margin_normalized": f"""
-            WITH sg AS (SELECT * FROM {GEOM01}),
-            withy AS (
-              SELECT *, coalesce(
-                max(CASE WHEN kind='PageStart' THEN y1 END)
-                  OVER (PARTITION BY doc_id, page_id), 792.0) AS page_y1
-              FROM sg),
-            cand AS (
-              SELECT doc_id, "offset" AS offset, trim(text) AS txt,
-                     (y1 / page_y1 > 0.9) AS is_header,
-                     (y1 / page_y1 < 0.9) AS is_footer
-              FROM withy WHERE kind IN ('TextBox', 'TextLine'))
-            SELECT * FROM cand WHERE is_header OR is_footer
+        "f10_f12_margins": f"""
+            SELECT 'abs' AS variant, * FROM (
+              WITH {_HF_CTE}
+              SELECT doc_id, CAST(o AS INT) AS offset, txt,
+                     is_header, is_footer
+              FROM cand WHERE is_header OR is_footer)
+            UNION ALL
+            SELECT 'norm' AS variant, * FROM (
+              WITH sg AS (SELECT * FROM {GEOM01}),
+              withy AS (
+                SELECT *, coalesce(
+                  max(CASE WHEN kind='PageStart' THEN y1 END)
+                    OVER (PARTITION BY doc_id, page_id), 792.0) AS page_y1
+                FROM sg),
+              cand AS (
+                SELECT doc_id, CAST("offset" AS INT) AS offset,
+                       trim(text) AS txt,
+                       (y1 / page_y1 > 0.9) AS is_header,
+                       (y1 / page_y1 < 0.9) AS is_footer
+                FROM withy WHERE kind IN ('TextBox', 'TextLine'))
+              SELECT * FROM cand WHERE is_header OR is_footer)
         """,
         "a5_table_stats": f"""
             WITH {_TABLES_CTE}
@@ -1322,11 +1308,6 @@ def oracle_sql() -> dict[str, str]:
                    CAST(max(row_id) AS INT) AS n_rows,
                    CAST(max(len(cells)) AS INT) AS n_cols
             FROM tbls GROUP BY doc_id, page_id, table_id
-        """,
-        "f3_page_number_strip": f"""
-            SELECT doc_id, "offset" AS offset, trim(text) AS content
-            FROM {GEOM01}
-            WHERE kind = 'TextBox' AND NOT regexp_matches(trim(text), '{_PAGENO}')
         """,
         "ep3_tables_doc_scope": f"""
             WITH {_TABLES_DOC_CTE}
@@ -1464,17 +1445,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(NULL AS VARCHAR) AS heading, CAST(NULL AS INT) AS line_no
             FROM hsafe WHERE NOT is_safe
         """,
-        "x1_classify_flags": f"""
+        "x1_w3_classify_flags": f"""
             WITH {_CLASSIFY_CTE}
             SELECT doc_id, CAST(o AS INT) AS offset, first_line,
                    CAST(line_count AS INT) AS line_count,
                    is_section, is_named, is_appendix, is_figure,
-                   is_table_title, is_heading
-            FROM cursec WHERE kind = 'TextBox'
-        """,
-        "w3_current_section": f"""
-            WITH {_CLASSIFY_CTE}
-            SELECT doc_id, CAST(o AS INT) AS offset, current_section
+                   is_table_title, is_heading, current_section
             FROM cursec WHERE kind = 'TextBox'
         """,
         "a8_sections": _SECTIONS_SQL,

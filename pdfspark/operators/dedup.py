@@ -305,6 +305,8 @@ def simhash_candidates(docs: DataFrame) -> DataFrame:
         ).otherwise(0)
         for p in range(SIMHASH_HEX)
     )
+    # both full signatures ride along: the candidate pairs then verify
+    # the signature op end-to-end (not just the banded prefix)
     return pairs.select(
-        "doc_a", "doc_b", ham.cast("int").alias("hamming")
+        "doc_a", "doc_b", "sh_a", "sh_b", ham.cast("int").alias("hamming")
     )

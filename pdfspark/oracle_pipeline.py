@@ -176,7 +176,7 @@ spairs AS (
   FROM sbands a JOIN sbands b
        ON a.band = b.band AND a.band_bits = b.band_bits
           AND a.doc_id < b.doc_id)
-SELECT doc_a, doc_b, CAST({ham} AS INT) AS hamming FROM spairs
+SELECT doc_a, doc_b, sh_a, sh_b, CAST({ham} AS INT) AS hamming FROM spairs
 """
 
 
@@ -583,22 +583,29 @@ FROM rows_
 """
 
 
-def media_features_sql(fix: str) -> str:
+def media_features_sql(fix: str, target: int = 224) -> str:
+    """M1 features + M3 resize targets in one twin (same 1:1 grain)."""
     def hexdig(p: int) -> str:
         return f"(strpos('0123456789abcdef', substr(md5(text), {p}, 1)) - 1)"
 
     b0 = f"({hexdig(1)} * 16 + {hexdig(2)})"
     b1 = f"({hexdig(3)} * 16 + {hexdig(4)})"
     return f"""
-WITH {_docs_all(fix)}
+WITH {_docs_all(fix)},
+d AS (
+  SELECT doc_id, text,
+         16 + {b0} % 640 AS w, 16 + {b1} % 480 AS h
+  FROM docs_all)
 SELECT 'img://' || CAST(doc_id AS VARCHAR) AS media_ref,
        'image' AS media_kind,
        CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
        md5(text) AS content_md5,
-       CAST(16 + {b0} % 640 AS INT) AS fake_width,
-       CAST(16 + {b1} % 480 AS INT) AS fake_height,
-       'ok' AS status
-FROM docs_all
+       CAST(w AS INT) AS fake_width,
+       CAST(h AS INT) AS fake_height,
+       'ok' AS status,
+       CAST(greatest(1, (w * {target}) // greatest(w, h)) AS INT) AS out_w,
+       CAST(greatest(1, (h * {target}) // greatest(w, h)) AS INT) AS out_h
+FROM d
 """
 
 

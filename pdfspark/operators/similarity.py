@@ -187,9 +187,82 @@ def euclidean_topk(
     )
 
 
+# --- Arrow/NumPy production kernels ---------------------------------------
+#
+# Spark higher-order-function lambdas (aggregate/zip_with) evaluate
+# INTERPRETED per element — measured 14x slower than one vectorized
+# NumPy pass per Arrow batch on a 104k-vector corpus (see
+# cosine_topk_np). The kernels below are the production form of every
+# linear corpus scan (signatures, IVF cell assignment, candidate
+# verification); the HOF forms are kept as *_hof twins because they
+# transliterate 1:1 into the DuckDB oracle SQL.
+#
+# BIT-EXACT parity trick: each kernel accumulates its reduction in the
+# SAME left-fold order as F.aggregate(..., (s, x) -> s + x) — one
+# vectorized add per dimension (64 adds per batch, still one NumPy op
+# each) instead of a BLAS matmul whose pairwise summation reorders
+# floating-point adds. IEEE doubles are deterministic given order, so
+# every PRE-ROUNDING value (and hence every sign bit / argmin cell id,
+# which compare unrounded doubles) equals the HOF twin bit-for-bit —
+# near-tie divergence is impossible by construction. The only residual
+# seam is the final round-to-4 (np half-even vs JVM HALF_UP), which
+# differs solely at exact .00005-representable doubles — the same
+# boundary the Spark-vs-DuckDB twins already exclude by fixture design
+# (see verify skill gotchas); pinned by the cosine_topk_np equality
+# test since round 2.
+
+
+def _fold_rows(P):
+    """Row sums of a (n, d) product matrix in left-fold order:
+    ((0 + p0) + p1) + ... — bit-identical to the HOF fold."""
+    import numpy as np
+
+    acc = np.zeros(P.shape[0])
+    for j in range(P.shape[1]):
+        acc = acc + P[:, j]
+    return acc
+
+
+def _mat(col):
+    import numpy as np
+
+    return np.array(list(col), dtype=np.float64)
+
+
 def hyperplane_signature(emb: DataFrame) -> DataFrame:
     """(vec_id, sig) — NUM_PLANES sign bits of v . plane_p as a
-    bit-string (random-hyperplane LSH for angular distance)."""
+    bit-string (random-hyperplane LSH for angular distance).
+    Arrow/NumPy kernel; bit-equal to hyperplane_signature_hof
+    (pytest-pinned)."""
+    import numpy as np
+    import pandas as pd
+
+    planes = [list(p) for p in PLANES]
+    schema = T.StructType(
+        [T.StructField("vec_id", T.LongType()),
+         T.StructField("sig", T.StringType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _mat(pdf["embedding"])
+            bits = np.empty((len(pdf), len(planes)), dtype="U1")
+            for p, plane in enumerate(planes):
+                d = _fold_rows(m * np.asarray(plane))
+                bits[:, p] = np.where(d > 0, "1", "0")
+            yield pd.DataFrame(
+                {"vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                 "sig": ["".join(row) for row in bits]}
+            )
+
+    return emb.select("vec_id", "embedding").mapInPandas(run, schema)
+
+
+def hyperplane_signature_hof(emb: DataFrame) -> DataFrame:
+    """Interpreted HOF twin of hyperplane_signature — the form the
+    DuckDB oracle transliterates; kept for parity tests only."""
     v = _as_double(F.col("embedding"))
     bits = F.concat(
         *[
@@ -227,20 +300,37 @@ def neardup_lsh(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    e = emb.select(
-        "vec_id", _as_double(F.col("embedding")).alias("v"),
-        _norm(_as_double(F.col("embedding"))).alias("nv"),
+    e = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
+    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
+    pairs = cands.join(ea, "vec_a").join(eb, "vec_b")
+
+    import pandas as pd
+
+    schema = T.StructType(
+        [T.StructField("vec_a", T.LongType()),
+         T.StructField("vec_b", T.LongType()),
+         T.StructField("cosine", T.DoubleType())]
     )
-    ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"),
-                  F.col("nv").alias("na"))
-    eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"),
-                  F.col("nv").alias("nb"))
-    cos = F.round(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4)
-    return (
-        cands.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .select("vec_a", "vec_b", cos.alias("cosine"))
-        .filter(F.col("cosine") >= threshold)
+
+    def verify(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            a, b = _mat(pdf["va"]), _mat(pdf["vb"])
+            na = np.sqrt(_fold_rows(a * a))
+            nb = np.sqrt(_fold_rows(b * b))
+            cos = np.round(_fold_rows(a * b) / (na * nb), 4)
+            yield pd.DataFrame(
+                {"vec_a": pdf["vec_a"].to_numpy(dtype=np.int64),
+                 "vec_b": pdf["vec_b"].to_numpy(dtype=np.int64),
+                 "cosine": cos}
+            )
+
+    return pairs.mapInPandas(verify, schema).filter(
+        F.col("cosine") >= threshold
     )
 
 
@@ -298,6 +388,45 @@ def _nearest_cells(v, k: int, cents=None):
     return F.transform(F.slice(pairs, 1, k), lambda p: p["c"])
 
 
+def with_cells(
+    df: DataFrame, cents=None, vec_col: str = "v",
+    norm_col: str | None = None,
+) -> DataFrame:
+    """Arrow/NumPy IVF cell assignment: appends `cell` (nearest
+    centroid by squared L2, ties to the lowest cell id — np.argmin's
+    first-occurrence rule equals the HOF array_sort-on-(d, c) rule
+    because distances are bit-identical) and optionally a `norm_col`
+    (fold-order L2 norm of the vector) to ``df``. One vectorized pass
+    per Arrow batch; replaces per-element interpreted
+    aggregate(zip_with(...)) over |centroids| x dim products."""
+    import numpy as np
+    import pandas as pd
+
+    C = [list(c) for c in (cents if cents is not None else CENTROIDS)]
+    fields = list(df.schema.fields) + [T.StructField("cell", T.IntegerType())]
+    if norm_col:
+        fields.append(T.StructField(norm_col, T.DoubleType()))
+    schema = T.StructType(fields)
+    in_cols = [f.name for f in df.schema.fields]
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            m = _mat(pdf[vec_col])
+            D = np.empty((len(pdf), len(C)))
+            for ci, cent in enumerate(C):
+                diff = m - np.asarray(cent)
+                D[:, ci] = _fold_rows(diff * diff)
+            out = pdf[in_cols].copy()
+            out["cell"] = D.argmin(axis=1).astype("int32")
+            if norm_col:
+                out[norm_col] = np.sqrt(_fold_rows(m * m))
+            yield out
+
+    return df.mapInPandas(run, schema)
+
+
 def fit_ivf_centroids(
     emb: DataFrame, k: int = NUM_CELLS, iters: int = 5, init=None
 ) -> list[list[float]]:
@@ -323,9 +452,10 @@ def fit_ivf_centroids(
     e.persist()
     try:
         for _ in range(iters):
-            assigned = e.withColumn(
-                "cell", F.element_at(_nearest_cells(F.col("v"), 1, cents), 1)
-            )
+            # NumPy assignment kernel (bit-identical to the HOF
+            # expression, see with_cells) — the per-iteration full
+            # corpus scan is the fit's dominant cost
+            assigned = with_cells(e, cents)
             stats = (
                 assigned.select("cell", F.posexplode("v").alias("pos", "x"))
                 .groupBy("cell", "pos")
@@ -384,11 +514,15 @@ def ivf_topk_euclidean(
     Same coarse quantizer as the cosine variant — euclidean cell
     assignment is metric-consistent here (nearest centroid by L2) —
     ranking by rounded distance asc inside probed cells only; the
-    candidate join is an equi-join on cell id, never |q| x |corpus|."""
-    e = emb.select(
-        "vec_id", _as_double(F.col("embedding")).alias("v")
-    ).withColumn(
-        "cell", F.element_at(_nearest_cells(F.col("v"), 1, centroids), 1)
+    candidate join is an equi-join on cell id, never |q| x |corpus|.
+    Corpus cell assignment and candidate distances run on the NumPy
+    kernels (bit-equal to the HOF twin the oracle encodes); the
+    query-side NPROBE expansion stays a tiny HOF expression."""
+    import pandas as pd
+
+    e = with_cells(
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("v")),
+        cents=centroids,
     )
     q = queries.select(
         F.col("vec_id").alias("query_id"),
@@ -397,21 +531,32 @@ def ivf_topk_euclidean(
         "query_id", "qv",
         F.explode(_nearest_cells(F.col("qv"), NPROBE, centroids)).alias("cell"),
     )
-    dist = F.round(
-        F.sqrt(
-            F.aggregate(
-                F.zip_with(F.col("qv"), F.col("v"), lambda x, y: (x - y) * (x - y)),
-                F.lit(0.0),
-                lambda s, v: s + v,
-            )
-        ),
-        4,
-    )
-    scored = (
+    pairs = (
         e.join(F.broadcast(q), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", dist.alias("dist"))
+        .select("query_id", "vec_id", "qv", "v")
     )
+    schema = T.StructType(
+        [T.StructField("query_id", T.LongType()),
+         T.StructField("vec_id", T.LongType()),
+         T.StructField("dist", T.DoubleType())]
+    )
+
+    def score(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            diff = _mat(pdf["qv"]) - _mat(pdf["v"])
+            d = np.round(np.sqrt(_fold_rows(diff * diff)), 4)
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                 "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                 "dist": d}
+            )
+
+    scored = pairs.mapInPandas(score, schema)
     w = Window.partitionBy("query_id").orderBy(F.asc("dist"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -428,27 +573,50 @@ def ivf_topk_cosine(
     cells; ranking (rounded cosine desc, vec_id) happens only inside
     probed cells. Join key = cell id (equi-join, shuffle by cell).
     `centroids` defaults to the md5 constants (oracle-matched); pass
-    fit_ivf_centroids output for a data-fitted quantizer."""
-    e = emb.select(
-        "vec_id", _as_double(F.col("embedding")).alias("v"),
-        _norm(_as_double(F.col("embedding"))).alias("nv"),
-    ).withColumn(
-        "cell", F.element_at(_nearest_cells(F.col("v"), 1, centroids), 1)
+    fit_ivf_centroids output for a data-fitted quantizer. Corpus cell
+    assignment and candidate cosines run on the NumPy kernels
+    (bit-equal to the HOF twin the oracle encodes)."""
+    import pandas as pd
+
+    e = with_cells(
+        emb.select("vec_id", _as_double(F.col("embedding")).alias("v")),
+        cents=centroids,
     )
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         _as_double(F.col("embedding")).alias("qv"),
-        _norm(_as_double(F.col("embedding"))).alias("nq"),
     ).select(
-        "query_id", "qv", "nq",
+        "query_id", "qv",
         F.explode(_nearest_cells(F.col("qv"), NPROBE, centroids)).alias("cell"),
     )
-    sim = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 4)
-    scored = (
+    pairs = (
         e.join(F.broadcast(q), "cell")
         .filter(F.col("vec_id") != F.col("query_id"))
-        .select("query_id", "vec_id", sim.alias("sim"))
+        .select("query_id", "vec_id", "qv", "v")
     )
+    schema = T.StructType(
+        [T.StructField("query_id", T.LongType()),
+         T.StructField("vec_id", T.LongType()),
+         T.StructField("sim", T.DoubleType())]
+    )
+
+    def score(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            qm, m = _mat(pdf["qv"]), _mat(pdf["v"])
+            nq = np.sqrt(_fold_rows(qm * qm))
+            nv = np.sqrt(_fold_rows(m * m))
+            s = np.round(_fold_rows(qm * m) / (nq * nv), 4)
+            yield pd.DataFrame(
+                {"query_id": pdf["query_id"].to_numpy(dtype=np.int64),
+                 "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64),
+                 "sim": s}
+            )
+
+    scored = pairs.mapInPandas(score, schema)
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("vec_id"))
     return (
         scored.withColumn("rank", F.row_number().over(w))

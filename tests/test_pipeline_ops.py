@@ -411,6 +411,40 @@ def test_cosine_topk_np_equals_hof(spark, emb_all):
     assert a == b
 
 
+def test_np_signature_bit_equals_hof(spark, emb_all):
+    """The production NumPy signature kernel must be BIT-identical to
+    the interpreted HOF twin (fold-order accumulation guarantee)."""
+    from pdfspark.operators.similarity import (
+        hyperplane_signature,
+        hyperplane_signature_hof,
+    )
+
+    a = {r.vec_id: r.sig for r in hyperplane_signature(emb_all).collect()}
+    b = {r.vec_id: r.sig for r in hyperplane_signature_hof(emb_all).collect()}
+    assert a == b
+
+
+def test_np_cell_assignment_bit_equals_hof(spark, emb_all):
+    """with_cells (NumPy argmin over fold-order distances) must assign
+    every vector to the same cell as the HOF expression."""
+    from pdfspark.operators.similarity import (
+        _as_double,
+        _nearest_cells,
+        with_cells,
+    )
+
+    e = emb_all.select(
+        "vec_id", _as_double(F.col("embedding")).alias("v")
+    )
+    got = {r.vec_id: r.cell for r in with_cells(e).select(
+        "vec_id", "cell").collect()}
+    want = {r.vec_id: r.cell for r in e.select(
+        "vec_id",
+        F.element_at(_nearest_cells(F.col("v"), 1), 1).alias("cell"),
+    ).collect()}
+    assert got == want
+
+
 def test_word_shingles_match_python_reference(spark, docs_all):
     """The lookaround-regex shingle construction must equal a plain
     Python n-gram reference on the whole fixture corpus (guards the

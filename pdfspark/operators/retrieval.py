@@ -71,50 +71,87 @@ def fill_down_events(events: DataFrame) -> DataFrame:
     )
 
 
+def _tabular_boxes(geom: DataFrame) -> DataFrame:
+    return geom.filter(F.col("kind") == "TextBox").select(
+        "doc_id", "page_id", F.col("offset").alias("o"),
+        "x0", "y0", "x1", "y1",
+        ((F.col("y0") + F.col("y1")) / 2).alias("yc"),
+        ((F.col("x0") + F.col("x1")) / 2).alias("xc"),
+    )
+
+
+_AB_COLS = ["o", "x0", "y0", "x1", "y1", "yc", "xc"]
+
+
+def tabular_candidates(tb: DataFrame) -> DataFrame:
+    """Banded candidate generation for J7 (SURVEY §2.3's prescription:
+    bucket by floor(center / tol) to make the spatial test an
+    EQUI-join). Output-relevant pairs need same-row (|Δyc| <= 10) or
+    same-col (|Δxc| <= 20); a pair within tolerance differs by at most
+    one bucket of width tol, so joining side a's bucket against side
+    b's bucket expanded to {b-1, b, b+1} yields a guaranteed superset.
+    Two banded equi-joins (y-band, x-band) unioned and deduped —
+    shuffle by (doc, page, bucket), never an all-pairs compare within
+    a page. A pathological 10k-element page fans out across its
+    buckets instead of one 10^8-comparison task; only elements
+    genuinely stacked at one center (whose OUTPUT is itself quadratic)
+    share a bucket."""
+    cands = None
+    for col, width in (("yc", 10.0), ("xc", 20.0)):
+        bkt = F.floor(F.col(col) / width).cast("long")
+        a = tb.withColumn("bkt", bkt).alias("a")
+        b = tb.withColumn(
+            "bkt", F.explode(F.array(bkt - 1, bkt, bkt + 1))
+        ).alias("b")
+        j = a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("a.page_id") == F.col("b.page_id"))
+            & (F.col("a.bkt") == F.col("b.bkt"))
+            & (F.col("a.o") < F.col("b.o")),
+        ).select(
+            F.col("a.doc_id").alias("doc_id"),
+            F.col("a.page_id").alias("page_id"),
+            *[F.col(f"a.{c}").alias(f"{c}_a") for c in _AB_COLS],
+            *[F.col(f"b.{c}").alias(f"{c}_b") for c in _AB_COLS],
+        )
+        cands = j if cands is None else cands.unionByName(j)
+    # a pair can surface via both bands (and via a neighbor AND its own
+    # bucket only when widths straddle — not possible within one band,
+    # but across the y/x union duplicates are routine): dedupe on the
+    # pair key (geometry is functionally determined by it)
+    return cands.dropDuplicates(["doc_id", "page_id", "o_a", "o_b"])
+
+
 def tabular_pairs(geom: DataFrame) -> DataFrame:
     """J7: the reference's are_textboxes_tabular test
-    (src/utilities/parse_util.py:364-405) as a self-join.
+    (src/utilities/parse_util.py:364-405) as a banded spatial join.
 
     Semantics reproduced exactly, including the quirky guards: a pair
     is 'row' iff same-row AND NOT same-col AND NOT y-overlap; 'col'
     iff same-col AND NOT same-row AND NOT x-overlap. Tolerances 10pt
     (y) / 20pt (x) on box centers.
 
-    Scale shape: the join key is (doc_id, page_id) — element counts
-    per page are bounded, so the quadratic compare is partition-local;
-    no global cross join exists. AQE splits any skewed page.
+    Scale shape: candidate pairs come from tabular_candidates's banded
+    equi-joins (superset of every same-row/same-col pair); the exact
+    predicate is a post-filter. No quadratic per-page compare exists —
+    the round-2 form's one-task 10^8-comparison pathology on a dense
+    page is gone (pinned by the planted-dense-page test).
     """
-    tb = geom.filter(F.col("kind") == "TextBox").select(
-        "doc_id", "page_id", F.col("offset").alias("o"),
-        "x0", "y0", "x1", "y1",
-        ((F.col("y0") + F.col("y1")) / 2).alias("yc"),
-        ((F.col("x0") + F.col("x1")) / 2).alias("xc"),
-    )
-    a, b = tb.alias("a"), tb.alias("b")
-    same_row = F.abs(F.col("a.yc") - F.col("b.yc")) <= 10.0
-    same_col = F.abs(F.col("a.xc") - F.col("b.xc")) <= 20.0
-    x_overlap = ~((F.col("a.x1") < F.col("b.x0")) | (F.col("b.x1") < F.col("a.x0")))
-    y_overlap = ~((F.col("a.y1") < F.col("b.y0")) | (F.col("b.y1") < F.col("a.y0")))
+    cand = tabular_candidates(_tabular_boxes(geom))
+    same_row = F.abs(F.col("yc_a") - F.col("yc_b")) <= 10.0
+    same_col = F.abs(F.col("xc_a") - F.col("xc_b")) <= 20.0
+    x_overlap = ~((F.col("x1_a") < F.col("x0_b"))
+                  | (F.col("x1_b") < F.col("x0_a")))
+    y_overlap = ~((F.col("y1_a") < F.col("y0_b"))
+                  | (F.col("y1_b") < F.col("y0_a")))
     rel = (
         F.when(same_row & ~same_col & ~y_overlap, "row")
         .when(same_col & ~same_row & ~x_overlap, "col")
     )
-    return (
-        a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.page_id") == F.col("b.page_id"))
-            & (F.col("a.o") < F.col("b.o")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.col("a.page_id").alias("page_id"),
-            F.col("a.o").alias("o_a"),
-            F.col("b.o").alias("o_b"),
-            rel.alias("relation"),
-        )
-        .filter(F.col("relation").isNotNull())
-    )
+    return cand.select(
+        "doc_id", "page_id", "o_a", "o_b", rel.alias("relation")
+    ).filter(F.col("relation").isNotNull())
 
 
 def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:

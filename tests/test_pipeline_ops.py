@@ -215,6 +215,53 @@ def test_tabular_pairs_fire_on_sparse_fixture(spark, spans_geom):
     assert "row" in rels and "col" in rels
 
 
+def test_tabular_pairs_banded_equals_allpairs(spark, spans_geom):
+    """The banded candidate join must reproduce the quadratic all-pairs
+    reference exactly over the whole geometry fixture."""
+    got = {(r.doc_id, r.page_id, r.o_a, r.o_b): r.relation
+           for r in tabular_pairs(spans_geom).collect()}
+    boxes = spans_geom.filter(F.col("kind") == "TextBox").collect()
+    bypage: dict = {}
+    for r in boxes:
+        bypage.setdefault((r.doc_id, r.page_id), []).append(r)
+    want = {}
+    for (d, p), rows in bypage.items():
+        rows.sort(key=lambda r: r.offset)
+        for i, a in enumerate(rows):
+            for b in rows[i + 1:]:
+                ayc, byc = (a.y0 + a.y1) / 2, (b.y0 + b.y1) / 2
+                axc, bxc = (a.x0 + a.x1) / 2, (b.x0 + b.x1) / 2
+                same_row = abs(ayc - byc) <= 10.0
+                same_col = abs(axc - bxc) <= 20.0
+                x_ov = not (a.x1 < b.x0 or b.x1 < a.x0)
+                y_ov = not (a.y1 < b.y0 or b.y1 < a.y0)
+                if same_row and not same_col and not y_ov:
+                    want[(d, p, a.offset, b.offset)] = "row"
+                elif same_col and not same_row and not x_ov:
+                    want[(d, p, a.offset, b.offset)] = "col"
+    assert got == want
+
+
+def test_tabular_candidates_linear_on_dense_page(spark):
+    """A planted 5000-element page with spread centers must produce
+    O(n) banded candidates, not the n^2/2 (~12.5M) all-pairs compare
+    the round-2 form ran inside one task."""
+    from pdfspark.operators.retrieval import (
+        _tabular_boxes,
+        tabular_candidates,
+    )
+
+    n = 5000
+    rows = [("dense", 1, "TextBox", i, float(i) * 50.0,
+             float(i) * 30.0, float(i) * 50.0 + 40.0,
+             float(i) * 30.0 + 8.0) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "doc_id string, page_id int, kind string, offset int,"
+              " x0 double, y0 double, x1 double, y1 double")
+    n_cand = tabular_candidates(_tabular_boxes(df)).count()
+    assert n_cand < 10 * n, n_cand
+
+
 # --- J2 title<->table parent-id join ---------------------------------------
 
 def _ref_match_table_titles(elements):

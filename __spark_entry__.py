@@ -374,17 +374,19 @@ def _q_extract_sections(spark, sf_dir):
     output of the independent reference transliteration; parity is
     additionally pytest-gated (tests/test_extract_parity)."""
     from pdfspark.operators.boilerplate import all_doc_headers_footers
-    from pdfspark.operators.extract import extract_sections_split
+    from pdfspark.operators.extract import extract_sections_auto
 
     geom = _geom(spark, sf_dir)
     hf = all_doc_headers_footers(geom)
     # threshold targets genuine stragglers (docs whose sequential fold
-    # time rivals a whole partition); chunking a doc that folds in
-    # 0.1 s just pays the chunk machinery. The chunked branch itself
+    # time rivals a whole partition, ~50k+ spans); round-3 A/B showed
+    # chunking a 20k-span doc LOSES ~1 s to the chunk machinery, and
+    # the auto route drops the split subtree's fixed cost entirely
+    # when the corpus max is below threshold. The chunked branch
     # is equality-pinned by tests at a forced low threshold.
-    out = extract_sections_split(_docs_in(spark, sf_dir), hf,
-                                 skew_threshold=15_000,
-                                 spans_per_chunk=1024)
+    out = extract_sections_auto(_docs_in(spark, sf_dir), hf,
+                                skew_threshold=50_000,
+                                spans_per_chunk=1024)
     return out.select(
         "doc_id", "status", F.posexplode("sections").alias("section_id", "sec")
     ).select(

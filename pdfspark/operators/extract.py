@@ -580,6 +580,40 @@ def extract_sections_split(
     return out
 
 
+def extract_sections_auto(
+    documents_in: DataFrame,
+    header_footer_df: DataFrame | None = None,
+    cfg: ExtractConfig = ExtractConfig(),
+    skew_threshold: int = SKEW_SPAN_THRESHOLD,
+    spans_per_chunk: int = 1024,
+) -> DataFrame:
+    """Driver-side adaptive routing for the sections output: a cheap
+    max-span-count probe picks the plain sequential fold when NO doc
+    crosses the skew threshold, else extract_sections_split.
+
+    Why: the split plan's fixed cost is ~1 s even when its big branch
+    is EMPTY (measured interleaved A/B at sf0.1, 5 cycles min:
+    sequential 1.6-1.7 s vs split 2.5-2.8 s at thresholds both above
+    and below the corpus max) — three scans of the doc table
+    (small/big/bad filter branches) plus empty-stage scheduling. The
+    probe is one aggregate; on a production Iceberg table it reads
+    column statistics from the manifest instead of scanning (the
+    element-count upper bound per file), making the route metadata-
+    only. Both routes emit identical rows (the split path's small-doc
+    branch IS the sequential fold; equality of the chunked branch is
+    pinned by the forced-threshold tests)."""
+    mx = (
+        documents_in.select(F.max(F.size("spans")).alias("m")).first().m
+        or 0
+    )
+    if mx <= skew_threshold:
+        return extract_documents(documents_in, header_footer_df, cfg).select(
+            "doc_id", "status", "sections"
+        )
+    return extract_sections_split(documents_in, header_footer_df, cfg,
+                                  skew_threshold, spans_per_chunk)
+
+
 def extract_spans_split_rows(
     documents_in: DataFrame,
     header_footer_df: DataFrame | None = None,

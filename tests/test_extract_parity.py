@@ -178,6 +178,28 @@ def test_skew_giant_doc_parallel_presplit(spark):
     assert n_chunks > 20, n_chunks
 
 
+def test_sections_auto_routes_equal(spark, documents_in, spans_geom):
+    """The adaptive route must emit identical rows whichever plan the
+    probe picks (high threshold -> sequential, forced low -> split)."""
+    from pdfspark.operators.extract import extract_sections_auto
+
+    hf = all_doc_headers_footers(spans_geom)
+
+    def key(df):
+        rows = df.select("doc_id", "status", "sections").collect()
+        return {
+            r.doc_id: (r.status, [(s.heading, list(s.paragraphs),
+                                   list(s.figures)) for s in r.sections])
+            for r in rows
+        }
+
+    hi = key(extract_sections_auto(documents_in, hf,
+                                   skew_threshold=10**9))
+    lo = key(extract_sections_auto(documents_in, hf, skew_threshold=500,
+                                   spans_per_chunk=200))
+    assert hi == lo
+
+
 def test_skew_big_doc_fewer_pages_than_start_page(spark):
     """A big doc with >=1 but <=start_page PageStart markers: under
     Spark 4 ANSI mode a plain element_at would THROW on the

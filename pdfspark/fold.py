@@ -88,7 +88,7 @@ class SectionState:
         ]
         self._cache: dict[str, object] = {}
 
-    def lookup(self, h):
+    def lookup_index(self, h):
         if h in self._cache:
             idx = self._cache[h]
             if idx is SectionState._RAISES:
@@ -102,6 +102,10 @@ class SectionState:
                 self._cache[h] = SectionState._RAISES
                 raise
             self._cache[h] = idx
+        return idx
+
+    def lookup(self, h):
+        idx = self.lookup_index(h)
         return None if idx is None else self.sections[idx]
 
     def apply(self, label, content, first_line, line_count,
@@ -303,6 +307,99 @@ def fold_document(
 
 REPLAY_LABEL = {"H": "heading", "A": "appendix", "F": "figure_caption",
                 "P": "paragraph"}
+
+
+def replay_boundaries(bounds, toc_lines, needed_ords,
+                      cfg: ExtractConfig = ExtractConfig()):
+    """The irreducibly-sequential core of the segment-parallel sections
+    replay, stripped to memoized pointer work.
+
+    The attachment state machine's state is (current_header, skeleton).
+    Only H/A/W events touch it ('H'/'A' set current_header from their
+    own first line and may rewrite a skeleton heading; 'W' wipes it to
+    None); 'P'/'F' events are pure reads whose target section is
+    CONSTANT between consecutive boundaries — rewrites happen only at
+    H events, so the skeleton version is segment-fixed too. Under the
+    matcher-always-fires quirk nearly EVERY span is an H boundary, so
+    this pass must be cheap per event: all regex work (first_line
+    normalization, RE_SECTION_GROUPS match) arrives PRECOMPUTED from
+    the parallel chunk tasks, appends are recorded as (section, field,
+    pos) references — no content strings flow through here — and the
+    heading lookup is the same memoized SectionState cache the
+    sequential fold uses.
+
+    ``bounds``: ordered tuples (code 'H'|'A', first_line, line_count,
+    sec_matched, g1, g2, wiped_before, pos). ``needed_ords``: the set
+    of segment ordinals that actually contain P/F events (k=0 is the
+    start-of-doc segment, where current_header is '' — paragraphs
+    never attach, figures go through lookup('') like the fold);
+    targets are computed only for those.
+
+    Returns (final_headings, targets, appends): targets[k] =
+    (target_paragraph_idx, target_figure_idx); appends from the
+    boundary events themselves. 'paragraph' attaches only when
+    current_header is neither None nor '' and the lookup succeeds;
+    'figure_caption' has no ''-guard; a lookup raising re.error
+    yields no append and rolls the header back — exactly the
+    reference's swallowed exception (state.apply semantics, mirrored
+    here over precomputed matches; equality with the sequential fold
+    is pinned by the forced-threshold split tests)."""
+    state = SectionState(toc_lines, cfg)
+    lookup_index = state.lookup_index
+    sections = state.sections
+    appends: list[tuple] = []
+
+    def seg_targets(hdr):
+        if hdr is None:
+            return (None, None)
+        try:
+            tf = lookup_index(hdr)
+        except re.error:
+            tf = None
+        return (None if hdr == "" else tf, tf)
+
+    current_header: str | None = ""
+    targets = {}
+    if 0 in needed_ords:
+        targets[0] = seg_targets(current_header)
+    k = 0
+    for code, first_line, line_count, matched, g1, g2, wiped, pos in bounds:
+        k += 1
+        if wiped:
+            current_header = None
+        # inlined SectionState.apply for 'heading'/'appendix' over the
+        # precomputed RE_SECTION_GROUPS result (apply itself re-runs
+        # the regex; branch logic identical)
+        try:
+            if code == "H":
+                new_header = first_line
+                idx = None
+                if matched:
+                    if g2 is not None:
+                        idx = lookup_index(g2.lstrip().rstrip())
+                        if idx is not None:
+                            new_header = f"{g1.strip()} {g2.strip()}"
+                            sec = sections[idx]
+                            if sec["heading"] != new_header:
+                                sec["heading"] = new_header
+                                state._cache.clear()
+                else:
+                    idx = lookup_index(new_header)
+                if line_count > 1 and idx is not None:
+                    appends.append((idx, "p", pos))
+                current_header = new_header
+            else:  # 'A'
+                new_header = first_line.strip()
+                idx = lookup_index(new_header)
+                if idx is not None:
+                    appends.append((idx, "p", pos))
+                current_header = new_header
+        except re.error:
+            pass  # rollback, exactly like the fold
+        if k in needed_ords:
+            targets[k] = seg_targets(current_header)
+    headings = [s["heading"] for s in sections]
+    return headings, targets, appends
 
 
 def replay_sections(events, span_texts, toc_lines,

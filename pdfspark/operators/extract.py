@@ -492,6 +492,46 @@ SECTIONS_OUT = T.StructType(
 )
 
 
+# enriched event rows: 'E' = segment-governed P/F event, 'B' = H/A
+# boundary (with its regex work precomputed in the parallel chunk
+# task: normalized first line, line count, RE_SECTION_GROUPS result),
+# 'S' = per-chunk summary for the cross-chunk prefix scan
+_ENRICHED = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("chunk", T.IntegerType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("code", T.StringType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("ord_local", T.IntegerType()),
+        T.StructField("gov_entry", T.BooleanType()),
+        T.StructField("wiped", T.BooleanType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("first_line", T.StringType()),
+        T.StructField("line_count", T.IntegerType()),
+        T.StructField("matched", T.BooleanType()),
+        T.StructField("g1", T.StringType()),
+        T.StructField("g2", T.StringType()),
+        T.StructField("n_ha", T.IntegerType()),
+        T.StructField("tail", T.StringType()),
+    ]
+)
+
+_PHASEA_OUT = T.StructType(
+    [
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("kind", T.StringType()),  # 'T' target / 'K' skeleton / 'P' append
+        T.StructField("ord", T.IntegerType()),
+        T.StructField("tp", T.IntegerType()),
+        T.StructField("tf", T.IntegerType()),
+        T.StructField("section_id", T.IntegerType()),
+        T.StructField("field", T.StringType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("heading", T.StringType()),
+    ]
+)
+
+
 def extract_sections_split(
     documents_in: DataFrame,
     header_footer_df: DataFrame | None = None,
@@ -499,16 +539,38 @@ def extract_sections_split(
     skew_threshold: int = SKEW_SPAN_THRESHOLD,
     spans_per_chunk: int = 1024,
 ) -> DataFrame:
-    """Sections-only skew path with NO doc-sized arrays: the event
-    replay consumes the chunk folds' output as chunk-level rows
-    (bounded arrays of <= spans_per_chunk texts + metadata events) via
-    applyInPandas per doc_id — the group arrives as columnar Arrow
-    batches, never as one collect_list'ed million-element row. Pair
-    with extract_spans_split_rows for the span stream: together they
-    cover the full extraction contract at pathology scale without the
-    fat-row cost extract_documents_split's nested (spans, sections)
-    row carries (measured: that shape spends most of its wall time
-    materializing the single fat row).
+    """Sections-only skew path with a SEGMENT-PARALLEL replay: no task
+    anywhere touches a whole pathological document.
+
+    The attachment state machine's state (current_header + skeleton)
+    changes only at H/A/W boundary events; between boundaries every
+    P/F event reads a CONSTANT target section (rewrites happen only at
+    H events, so the skeleton version is segment-constant too). That
+    factors the old per-doc sequential replay (47 s of one task
+    walking 1M events) into:
+
+    1. chunk folds (parallel, unchanged) emit classification events;
+    2. a chunk-local enrichment pass tags each P/F event with its
+       governing boundary (wipe-governed events are dropped inside the
+       chunk task — they can never append) and emits the tiny H/A
+       boundary rows with wipe flags + per-chunk summaries;
+    3. a prefix scan over per-chunk summaries (#chunks rows) resolves
+       cross-chunk boundary ordinals — same shape as the rows-path
+       offset rebase;
+    4. phase A: fold.replay_boundaries runs the O(#headings)
+       irreducibly-sequential core per doc (through the SAME
+       SectionState as the sequential fold) producing per-segment
+       target section indices, the final skeleton, and stamped
+       boundary appends;
+    5. phase B: every surviving P/F event joins its segment's target —
+       embarrassingly parallel — and the sections assemble with
+       ordinary sort/groupBy aggregation (append order = the event
+       stamp chunk*spans_per_chunk + chunk-local offset, strictly
+       increasing in document order).
+
+    Equality with the sequential fold is by construction (phase A IS
+    SectionState) and pinned by the forced-threshold tests. Amdahl
+    residue: O(#headings) per doc instead of O(#events).
 
     Output: (doc_id, status, sections).
     """
@@ -538,35 +600,268 @@ def extract_sections_split(
     )
     folded = _fold_big_chunks(big, cfg, spans_per_chunk,
                               collect_events=True)
-    slim = folded.select(
-        "doc_id", "chunk",
-        F.transform("spans", lambda s: s["text"]).alias("texts"),
-        "events",
-    ).join(F.broadcast(toc), "doc_id", "left")
 
-    def replay_group(pdf: pd.DataFrame) -> pd.DataFrame:
-        from pdfspark.fold import replay_sections
+    def enrich(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from pdfspark.functions import patterns as PP
 
-        pdf = pdf.sort_values("chunk")
-        texts: list = []
-        events: list = []
-        toc_lines: list = []
-        for r in pdf.itertuples(index=False):
-            if r.toc_lines is not None and len(r.toc_lines):
-                toc_lines = list(r.toc_lines)
-            base = len(texts)
-            for e in r.events:
-                off = e["off"]
-                events.append((e["code"], off + base if off >= 0 else -1))
-            texts.extend(r.texts)
-        sections = replay_sections(events, texts, toc_lines, cfg)
-        return pd.DataFrame(
-            [dict(doc_id=pdf["doc_id"].iloc[0], status="ok",
-                  sections=sections)],
-            columns=["doc_id", "status", "sections"],
+        cols = [f.name for f in _ENRICHED.fields]
+        sub_extra = PP.RE_EXTRA_SPACE.sub
+        match_groups = PP.RE_SECTION_GROUPS.match
+        for pdf in batches:
+            rows = []  # tuple rows in _ENRICHED field order (dict-per-
+            add = rows.append  # row costs ~3x at 1M events/batch)
+            for r in pdf.itertuples(index=False):
+                doc, chunk = r.doc_id, r.chunk
+                texts = [s["text"] for s in r.spans]
+                base = int(chunk) * spans_per_chunk
+                local_ha, last, wiped_since = 0, None, False
+                for e in r.events:
+                    code, off = e["code"], e["off"]
+                    if code == "W":
+                        last, wiped_since = "W", True
+                    elif code == "H" or code == "A":
+                        local_ha += 1
+                        content = texts[off] or ""
+                        if content:
+                            lines = content.split("\n")
+                            first_line = sub_extra(" ", lines[0])
+                            line_count = len(lines)
+                        else:
+                            first_line, line_count = "", 0
+                        m = match_groups(first_line) if code == "H" else None
+                        add((doc, chunk, "B", code, base + off, local_ha,
+                             None, wiped_since, content, first_line,
+                             line_count, m is not None,
+                             m.group(1) if m else None,
+                             m.group(2) if m else None, None, None))
+                        last, wiped_since = "HA", False
+                    else:  # P / F — wipe-governed ones can never append
+                        if last == "W":
+                            continue
+                        add((doc, chunk, "E", code, base + off, local_ha,
+                             last is None, None, texts[off], None, None,
+                             None, None, None, None, None))
+                add((doc, chunk, "S", None, None, None, None, None, None,
+                     None, None, None, None, None, local_ha,
+                     "none" if last is None else last))
+            out = pd.DataFrame(rows, columns=cols)
+            # nullable dtypes: None-mixed int columns must not decay to
+            # float64/NaN (Arrow cannot cast non-finite to int)
+            out["pos"] = out["pos"].astype("Int64")
+            for c in ("ord_local", "n_ha", "line_count"):
+                out[c] = out[c].astype("Int32")
+            for c in ("gov_entry", "wiped", "matched"):
+                out[c] = out[c].astype("boolean")
+            yield out
+
+    enriched = folded.mapInPandas(enrich, _ENRICHED).persist()
+
+    # cross-chunk prefix (one row per chunk — model-sized window)
+    wc = Window.partitionBy("doc_id").orderBy("chunk")
+    pref = (
+        enriched.filter(F.col("kind") == "S")
+        .select("doc_id", "chunk", "n_ha", "tail")
+        .withColumn("entry_ha", F.sum("n_ha").over(wc) - F.col("n_ha"))
+        .withColumn(
+            "entry_tail",
+            F.coalesce(
+                F.last(
+                    F.when(F.col("tail") != "none", F.col("tail")),
+                    ignorenulls=True,
+                ).over(wc.rowsBetween(Window.unboundedPreceding, -1)),
+                F.lit("none"),
+            ),
         )
+        .select("doc_id", "chunk", "entry_ha", "entry_tail")
+    )
 
-    big_out = slim.groupBy("doc_id").applyInPandas(replay_group, SECTIONS_OUT)
+    events = (
+        enriched.filter(F.col("kind") == "E")
+        .join(F.broadcast(pref), ["doc_id", "chunk"])
+        .filter(~(F.col("gov_entry") & (F.col("entry_tail") == "W")))
+        .select(
+            "doc_id", "code", "pos", "text",
+            F.when(
+                F.col("gov_entry"),
+                F.when(F.col("entry_tail") == "none", F.lit(0))
+                .otherwise(F.col("entry_ha")),
+            ).otherwise(F.col("entry_ha") + F.col("ord_local"))
+            .cast("int").alias("ord"),
+        )
+        .persist()
+    )
+    # phase A computes targets only for segments that actually contain
+    # events: under the always-fires quirk nearly every span is a
+    # boundary and segments are empty, so this keeps the sequential
+    # task's output (and the later join) proportional to real work
+    _null = lambda t, n: F.lit(None).cast(t).alias(n)  # noqa: E731
+    needed = events.select("doc_id", "ord").distinct().select(
+        "doc_id", "ord", F.lit("N").alias("rkind"),
+        _null("string", "code"), _null("long", "pos"),
+        _null("boolean", "wiped"), _null("string", "first_line"),
+        _null("int", "line_count"), _null("boolean", "matched"),
+        _null("string", "g1"), _null("string", "g2"),
+        F.lit(None).cast(T.ArrayType(T.StringType())).alias("toc_lines"),
+    )
+    # slim boundary rows into the sequential task: first_line + the
+    # precomputed section-match, never the full span text
+    bounds = (
+        enriched.filter(F.col("kind") == "B")
+        .join(F.broadcast(pref), ["doc_id", "chunk"])
+        .select(
+            "doc_id",
+            (F.col("entry_ha") + F.col("ord_local")).cast("int").alias("ord"),
+            F.lit("B").alias("rkind"),
+            "code", "pos",
+            (F.col("wiped")
+             | ((F.col("ord_local") == 1)
+                & (F.col("entry_tail") == "W"))).alias("wiped"),
+            "first_line", "line_count", "matched", "g1", "g2",
+            F.lit(None).cast(T.ArrayType(T.StringType())).alias("toc_lines"),
+        )
+    )
+    # seed row per big doc (carries toc_lines) so phase A runs even for
+    # docs with zero boundaries — their segment-0 targets still matter
+    seeds = (
+        big.select("doc_id")
+        .join(toc, "doc_id", "left")
+        .select(
+            "doc_id", _null("int", "ord"), F.lit("SEED").alias("rkind"),
+            _null("string", "code"), _null("long", "pos"),
+            _null("boolean", "wiped"), _null("string", "first_line"),
+            _null("int", "line_count"), _null("boolean", "matched"),
+            _null("string", "g1"), _null("string", "g2"),
+            "toc_lines",
+        )
+    )
+    phase_a_in = bounds.unionByName(seeds).unionByName(needed)
+
+    def phase_a(pdf: pd.DataFrame) -> pd.DataFrame:
+        from pdfspark.fold import replay_boundaries
+
+        doc = pdf["doc_id"].iloc[0]
+        toc_lines: list = []
+        for tl in pdf.loc[pdf["rkind"] == "SEED", "toc_lines"]:
+            if tl is not None and len(tl):
+                toc_lines = list(tl)
+        needed_ords = {int(o) for o in pdf.loc[pdf["rkind"] == "N", "ord"]}
+        br = pdf[pdf["rkind"] == "B"].sort_values("ord")
+        # plain numpy views: iterating pandas nullable series directly
+        # costs microseconds per element at 1M boundaries
+        blist = zip(
+            br["code"].to_numpy(),
+            br["first_line"].to_numpy(),
+            br["line_count"].to_numpy(dtype="int64", na_value=0),
+            br["matched"].to_numpy(dtype=bool, na_value=False),
+            br["g1"].to_numpy(),
+            br["g2"].to_numpy(),
+            br["wiped"].to_numpy(dtype=bool, na_value=False),
+            br["pos"].to_numpy(dtype="int64", na_value=-1),
+        )
+        headings, targets, appends = replay_boundaries(
+            blist, toc_lines, needed_ords, cfg
+        )
+        out = []
+        for k, (tp, tf) in targets.items():
+            out.append(dict(doc_id=doc, kind="T", ord=k, tp=tp, tf=tf,
+                            section_id=None, field=None, pos=None,
+                            heading=None))
+        for i, h in enumerate(headings):
+            out.append(dict(doc_id=doc, kind="K", ord=None, tp=None,
+                            tf=None, section_id=i, field=None, pos=None,
+                            heading=h))
+        for sec, field, pos in appends:
+            out.append(dict(doc_id=doc, kind="P", ord=None, tp=None,
+                            tf=None, section_id=sec, field=field,
+                            pos=int(pos), heading=None))
+        res = pd.DataFrame(out, columns=[f.name for f in _PHASEA_OUT.fields])
+        for c in ("ord", "tp", "tf", "section_id"):
+            res[c] = res[c].astype("Int32")
+        res["pos"] = res["pos"].astype("Int64")
+        return res
+
+    pa = phase_a_in.groupBy("doc_id").applyInPandas(
+        phase_a, _PHASEA_OUT
+    ).persist()
+
+    targets = pa.filter(F.col("kind") == "T").select(
+        "doc_id", "ord", "tp", "tf"
+    )
+    phase_b = (
+        events.join(F.broadcast(targets), ["doc_id", "ord"])
+        .select(
+            "doc_id",
+            F.when(F.col("code") == "P", F.col("tp"))
+            .otherwise(F.col("tf")).alias("section_id"),
+            F.when(F.col("code") == "P", F.lit("p"))
+            .otherwise(F.lit("f")).alias("field"),
+            "pos",
+            F.col("text").alias("content"),
+        )
+        .filter(F.col("section_id").isNotNull())
+    )
+    # phase-A appends are position references; resolve content from the
+    # boundary rows (distributed join — strings never crossed phase A)
+    pa_appends = (
+        pa.filter(F.col("kind") == "P")
+        .select("doc_id", "section_id", "field", "pos")
+        .join(
+            enriched.filter(F.col("kind") == "B")
+            .select("doc_id", "pos", F.col("text").alias("content")),
+            ["doc_id", "pos"],
+        )
+        .select("doc_id", "section_id", "field", "pos", "content")
+    )
+    all_appends = phase_b.unionByName(pa_appends)
+    agg = all_appends.groupBy("doc_id", "section_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.when(
+                F.col("field") == "p", F.struct("pos", "content")
+            ))),
+            lambda x: x["content"],
+        ).alias("paragraphs"),
+        F.transform(
+            F.array_sort(F.collect_list(F.when(
+                F.col("field") == "f", F.struct("pos", "content")
+            ))),
+            lambda x: x["content"],
+        ).alias("figures"),
+    )
+    skel = pa.filter(F.col("kind") == "K").select(
+        "doc_id", "section_id", "heading"
+    )
+    empty_arr = F.array().cast(T.ArrayType(T.StringType()))
+    secs = (
+        skel.join(agg, ["doc_id", "section_id"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(
+                        "section_id", "heading", "paragraphs", "figures"
+                    ))
+                ),
+                lambda x: F.struct(
+                    x["heading"].alias("heading"),
+                    F.coalesce(x["paragraphs"], empty_arr).alias("paragraphs"),
+                    F.coalesce(x["figures"], empty_arr).alias("figures"),
+                    empty_arr.alias("tables"),
+                ),
+            ).alias("sections")
+        )
+    )
+    big_out = (
+        big.select("doc_id")
+        .join(secs, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.lit("ok").alias("status"),
+            F.coalesce(
+                F.col("sections"),
+                F.array().cast(T.ArrayType(SECTION_STRUCT)),
+            ).alias("sections"),
+        )
+    )
     out = small_out.unionByName(big_out).unionByName(bad_out)
     if cfg.start_page > 0:
         missing = big.select("doc_id").join(

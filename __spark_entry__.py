@@ -709,11 +709,16 @@ def _q_html_tables(spark, sf_dir):
 def _q_binary_decode(spark, sf_dir):
     """S1: binaryFile scan -> Arrow-batched decode -> documents rows
     with quarantine (corrupt payloads become status='decode_error'
-    rows, never task failures)."""
+    rows, never task failures). Reads BOTH payload fixture dirs: the
+    JSON stand-ins and the real tiny `%PDF` byte streams decoded by
+    the stdlib mini-decoder (oracle side: a Spark-free materialized
+    sidecar, pdfspark/synth.py write_pdf_payloads)."""
     from pdfspark.sources.binary_decode import decode_payloads, read_payloads
 
-    p = os.path.join(_fixture_dir(sf_dir), "payloads")
-    d = decode_payloads(read_payloads(spark, p))
+    fix = _fixture_dir(sf_dir)
+    bins = read_payloads(spark, os.path.join(fix, "payloads"))
+    pdfs = read_payloads(spark, os.path.join(fix, "payloads_pdf"))
+    d = decode_payloads(bins.unionByName(pdfs))
     return d.select(
         "doc_id", "status",
         F.size("spans").cast("int").alias("n_spans"),
@@ -1203,6 +1208,9 @@ def oracle_sql() -> dict[str, str]:
                      CAST(bytes_len AS BIGINT) AS bytes_len
               FROM raw WHERE substring(hex(content), 1, 2) <> '7B')
             SELECT * FROM j UNION ALL SELECT * FROM c
+            UNION ALL
+            SELECT doc_id, status, n_spans, CAST(bytes_len AS BIGINT)
+            FROM read_parquet('{FIX01}/payloads_pdf_expected.parquet')
         """,
         "s6_lines_source": f"""
             SELECT trim(column0) AS line

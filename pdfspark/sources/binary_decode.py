@@ -48,8 +48,18 @@ def read_payloads(spark: SparkSession, path: str) -> DataFrame:
 
 
 def _decode_payload(content: bytes) -> dict:
-    """THE decoder seam. Raises on any malformed payload; the caller
-    quarantines. Swap body for pdfminer to decode real PDFs."""
+    """THE decoder seam: payload bytes -> dict(doc_id, spans). Raises
+    on any malformed payload; the caller quarantines.
+
+    Dispatches on the payload magic: real `%PDF` byte streams go
+    through the stdlib mini-decoder (pdfspark.sources.pdf_mini —
+    uncompressed text streams; swap for pdfminer where available,
+    mirroring ref src/pdf_extractor.py:181-210), everything else is
+    the JSON stand-in format."""
+    if content.startswith(b"%PDF"):
+        from pdfspark.sources.pdf_mini import decode_tiny_pdf
+
+        return decode_tiny_pdf(content)
     body = json.loads(content.decode("utf-8"))
     spans = [
         dict(kind=s.get("kind"), text=s.get("text"),
@@ -59,19 +69,21 @@ def _decode_payload(content: bytes) -> dict:
     return dict(doc_id=body["doc_id"], spans=spans)
 
 
-def decode_payloads(bin_df: DataFrame) -> DataFrame:
-    """binaryFile rows -> documents_in rows + quarantine."""
+def decode_payloads(bin_df: DataFrame, decoder=None) -> DataFrame:
+    """binaryFile rows -> documents_in rows + quarantine. ``decoder``
+    overrides the payload decoder (bytes -> dict(doc_id, spans)) —
+    the pluggable seam for a real PDF library."""
+    decode = decoder or _decode_payload
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                name = os.path.basename(r.path)
-                stem = name[:-4] if name.endswith(".bin") else name
+                stem = os.path.splitext(os.path.basename(r.path))[0]
                 try:
-                    body = _decode_payload(bytes(r.content))
-                    rows.append(dict(doc_id=body["doc_id"], status="ok",
-                                     spans=body["spans"],
+                    body = decode(bytes(r.content))
+                    rows.append(dict(doc_id=body["doc_id"] or stem,
+                                     status="ok", spans=body["spans"],
                                      bytes_len=int(r.length)))
                 except Exception:
                     rows.append(dict(doc_id=stem, status="decode_error",

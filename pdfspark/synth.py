@@ -411,6 +411,50 @@ def write_payloads(docs, out_dir: str) -> None:
         fh.write(b'{"doc_id": "corrupt_trunc", "spans": [{"kind": ')
     with open(os.path.join(pdir, "corrupt_binary.bin"), "wb") as fh:
         fh.write(b"\x89PDF\x00\xff\xfe not json at all \x00\x01")
+    write_pdf_payloads(out_dir)
+
+
+def write_pdf_payloads(out_dir: str) -> None:
+    """Real tiny `%PDF` byte payloads (stdlib generator,
+    pdfspark.sources.pdf_mini) exercising the actual byte->span decode
+    path of the S1 seam, plus a corrupt one that must quarantine. The
+    expected decode results (status / span count / byte length) are
+    materialized Spark-free into a sidecar parquet that the DuckDB
+    oracle reads — the same pattern as the transliteration oracles."""
+    import pyarrow as _pa
+    import pyarrow.parquet as _pq
+
+    from pdfspark.sources.pdf_mini import build_tiny_pdf, decode_tiny_pdf
+
+    pdir = os.path.join(out_dir, "payloads_pdf")
+    os.makedirs(pdir, exist_ok=True)
+    docs = {
+        "pdfdoc-00000": [["1. Introduction", "Body text with (parens) "
+                          "and \\ backslash."],
+                         ["2. Methods", "Second page body."]],
+        "pdfdoc-00001": [["Table 1 Results", "r1c1", "r1c2"]],
+        "pdfdoc-00002": [["Appendix A.", "Figure 3 a caption",
+                          "Closing paragraph."]],
+    }
+    rows = []
+    for doc_id, pages in docs.items():
+        payload = build_tiny_pdf(doc_id, pages)
+        with open(os.path.join(pdir, f"{doc_id}.pdf"), "wb") as fh:
+            fh.write(payload)
+        decoded = decode_tiny_pdf(payload)  # Spark-free expected result
+        assert decoded["doc_id"] == doc_id
+        rows.append((doc_id, "ok", len(decoded["spans"]), len(payload)))
+    corrupt = b"%PDF-1.4\nno objects here, just noise\n%%EOF\n"
+    with open(os.path.join(pdir, "corrupt_pdf.pdf"), "wb") as fh:
+        fh.write(corrupt)
+    rows.append(("corrupt_pdf", "decode_error", 0, len(corrupt)))
+    tbl = _pa.table(
+        {"doc_id": _pa.array([r[0] for r in rows], _pa.string()),
+         "status": _pa.array([r[1] for r in rows], _pa.string()),
+         "n_spans": _pa.array([r[2] for r in rows], _pa.int32()),
+         "bytes_len": _pa.array([r[3] for r in rows], _pa.int64())}
+    )
+    _pq.write_table(tbl, os.path.join(out_dir, "payloads_pdf_expected.parquet"))
 
 
 # --- reference-oracle materialization --------------------------------------
@@ -762,7 +806,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 5
+FIXTURE_VERSION = 6
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

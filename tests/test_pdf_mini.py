@@ -1,0 +1,84 @@
+"""The S1 decode seam run on REAL `%PDF` byte payloads (stdlib mini
+codec, pdfspark/sources/pdf_mini.py) — generator/decoder round trip,
+escape handling, quarantine, and the distributed binaryFile plumbing.
+"""
+
+import os
+
+import pytest
+
+from pdfspark.sources.pdf_mini import (
+    build_tiny_pdf,
+    decode_tiny_pdf,
+)
+
+
+def test_pdf_round_trip_two_pages():
+    pdf = build_tiny_pdf("doc-1", [["1. Intro", "Body line."],
+                                   ["2. Methods"]])
+    assert pdf.startswith(b"%PDF-1.4")
+    out = decode_tiny_pdf(pdf)
+    assert out["doc_id"] == "doc-1"
+    assert [(s["kind"], s["text"]) for s in out["spans"]] == [
+        ("PageStart", ""),
+        ("TextBox", "1. Intro"),
+        ("TextBox", "Body line."),
+        ("PageStart", ""),
+        ("TextBox", "2. Methods"),
+    ]
+    assert [s["offset"] for s in out["spans"]] == [0, 1, 2, 3, 4]
+
+
+def test_pdf_string_escapes_round_trip():
+    lines = ["with (parens) kept", "back\\slash", "tab\tand newline"]
+    out = decode_tiny_pdf(build_tiny_pdf("esc", [lines]))
+    got = [s["text"] for s in out["spans"] if s["kind"] == "TextBox"]
+    # \t survives; \n inside a line was written as a literal escape
+    assert got[0] == "with (parens) kept"
+    assert got[1] == "back\\slash"
+    assert got[2] == "tab\tand newline"
+
+
+def test_pdf_tj_array_and_octal():
+    """Hand-built content stream: TJ array concatenation and octal
+    escapes (features a generator round trip alone would not hit)."""
+    pdf = build_tiny_pdf("tj", [["placeholder"]])
+    raw = pdf.replace(b"(placeholder) Tj",
+                      b"[(Hel) -20 (lo\\040world)] TJ")
+    out = decode_tiny_pdf(raw)
+    texts = [s["text"] for s in out["spans"] if s["kind"] == "TextBox"]
+    assert texts == ["Hello world"]
+
+
+def test_pdf_corrupt_quarantines():
+    with pytest.raises(ValueError):
+        decode_tiny_pdf(b"%PDF-1.4\nnoise only\n%%EOF\n")
+    with pytest.raises(ValueError):
+        decode_tiny_pdf(b"not a pdf at all")
+
+
+def test_pdf_payloads_through_spark_seam(spark, tmp_path):
+    """binaryFile scan -> Arrow-batch decode over a mixed dir of real
+    PDFs, a JSON stand-in, and a corrupt PDF — statuses and span
+    sequences must come out exactly."""
+    from pdfspark.sources.binary_decode import decode_payloads, read_payloads
+
+    d = str(tmp_path / "payloads")
+    os.makedirs(d)
+    with open(os.path.join(d, "a.pdf"), "wb") as fh:
+        fh.write(build_tiny_pdf("pdf-a", [["1. Intro", "body"]]))
+    with open(os.path.join(d, "b.bin"), "wb") as fh:
+        fh.write(b'{"doc_id": "json-b", "spans": '
+                 b'[{"kind": "TextBox", "text": "t", '
+                 b'"media_ref": null, "offset": 0}]}')
+    with open(os.path.join(d, "bad.pdf"), "wb") as fh:
+        fh.write(b"%PDF-1.4\nbroken\n")
+    rows = {r.doc_id: r for r in
+            decode_payloads(read_payloads(spark, d)).collect()}
+    assert rows["pdf-a"].status == "ok"
+    assert [s.text for s in rows["pdf-a"].spans] == ["", "1. Intro", "body"]
+    assert [s.kind for s in rows["pdf-a"].spans] == [
+        "PageStart", "TextBox", "TextBox"]
+    assert rows["json-b"].status == "ok"
+    assert rows["bad"].status == "decode_error"
+    assert list(rows["bad"].spans) == []

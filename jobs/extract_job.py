@@ -16,11 +16,12 @@ Behavior (all per SURVEY.md §4 / BASELINE.json north_rule):
  - skew splitter for documents above --skew-threshold spans
  - per-partition lineage rows (partition_id, doc_count, bytes_in,
    spans_out, wall_ms) appended to --metrics
- - --resume anti-joins against doc_ids already committed in --output,
-   so a failed run restarts from the last committed snapshot
-   (exactly-once per doc_id; append-mode writes match Iceberg append
-   snapshot semantics — swap format("parquet") for format("iceberg")
-   on a cluster with the runtime catalog configured)
+ - every append is a manifest-committed snapshot
+   (pdfspark/sinks/snapshot.py: staging write -> atomic rename ->
+   manifest marker); --resume anti-joins against doc_ids in MANIFESTED
+   snapshots only, so a crash mid-write can neither duplicate nor lose
+   documents (exactly-once per doc_id) — swap the sink module for
+   format("iceberg") on a cluster with the runtime catalog configured
 """
 
 from __future__ import annotations
@@ -80,18 +81,15 @@ def main(argv=None) -> int:
     hf = all_doc_headers_footers(spark.read.parquet(args.geom)) \
         if args.geom else None
 
-    if args.resume:
-        from pyspark.errors import AnalysisException
+    from pdfspark.sinks.snapshot import commit_append, read_committed
 
-        try:
-            committed = spark.read.format(args.format).load(args.output)
+    if args.resume:
+        # only MANIFESTED snapshots count as committed: a crash that
+        # left partial data (staging or an unmanifested snapshot dir)
+        # re-emits those documents instead of losing them
+        committed = read_committed(spark, args.output, args.format)
+        if committed is not None:
             docs = resume_filter(docs, committed)
-        except AnalysisException as e:
-            # only the missing-path case means "nothing committed yet";
-            # any other read error must fail the job rather than
-            # silently re-emitting every document
-            if "PATH_NOT_FOUND" not in str(e):
-                raise
 
     full = extract_documents(docs, hf)
     # persist once: spans + sections feed the output, the same pass
@@ -105,10 +103,10 @@ def main(argv=None) -> int:
         out = out.withColumn(
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(args.buckets))
         )
-        (out.write.mode("append").partitionBy("bucket")
-            .format(args.format).save(args.output))
+        commit_append(out, args.output, fmt=args.format,
+                      partition_by="bucket")
     else:
-        out.write.mode("append").format(args.format).save(args.output)
+        commit_append(out, args.output, fmt=args.format)
     if args.metrics:
         (lineage_table(full)
             .write.mode("append").parquet(args.metrics))

@@ -1,13 +1,24 @@
-"""S9/S10 sink path: jobs/extract_job.main() end-to-end — append
-write, bucket layout, metrics table, and exactly-once --resume."""
+"""S9/S10 sink path: jobs/extract_job.main() end-to-end — snapshot-
+committed append, bucket layout, metrics table, exactly-once --resume,
+and crash-safety of the manifest commit protocol."""
 
 import os
 
 import pytest
 
 from jobs.extract_job import main
+from pdfspark.sinks.snapshot import (
+    committed_snapshots,
+    read_committed,
+)
 
 N_BUCKETS = 4
+
+
+def _read_out(spark, output, fmt="parquet"):
+    df = read_committed(spark, output, fmt)
+    assert df is not None, "no committed snapshots"
+    return df
 
 
 @pytest.fixture(scope="module")
@@ -30,7 +41,7 @@ def job_paths(spark, fixture_dir, tmp_path_factory):
 
 def test_job_writes_every_doc_once(spark, job_paths):
     docs = spark.read.parquet(job_paths["input"])
-    out = spark.read.parquet(job_paths["output"])
+    out = _read_out(spark, job_paths["output"])
     assert out.count() == docs.count()
     in_ids = {r.doc_id for r in docs.select("doc_id").collect()}
     out_ids = {r.doc_id for r in out.select("doc_id").collect()}
@@ -38,8 +49,11 @@ def test_job_writes_every_doc_once(spark, job_paths):
 
 
 def test_job_bucket_layout(job_paths):
+    snaps = committed_snapshots(job_paths["output"])
+    assert len(snaps) == 1
+    snap_dir = os.path.join(job_paths["output"], snaps[0])
     buckets = sorted(
-        e for e in os.listdir(job_paths["output"]) if e.startswith("bucket=")
+        e for e in os.listdir(snap_dir) if e.startswith("bucket=")
     )
     assert 1 <= len(buckets) <= N_BUCKETS
     assert all(e.split("=")[1].isdigit() for e in buckets)
@@ -59,14 +73,14 @@ def test_job_resume_is_exactly_once(spark, job_paths):
     """Second run with --resume must add zero documents (anti-join
     against the committed snapshot) while appending metrics."""
     docs = spark.read.parquet(job_paths["input"])
-    before = spark.read.parquet(job_paths["output"]).count()
+    before = _read_out(spark, job_paths["output"]).count()
     rc = main([
         "--input", job_paths["input"], "--geom", job_paths["geom"],
         "--output", job_paths["output"], "--metrics", job_paths["metrics"],
         "--buckets", str(N_BUCKETS), "--resume",
     ])
     assert rc == 0
-    out = spark.read.parquet(job_paths["output"])
+    out = _read_out(spark, job_paths["output"])
     assert out.count() == before == docs.count()
     assert out.select("doc_id").distinct().count() == docs.count()
 
@@ -74,7 +88,7 @@ def test_job_resume_is_exactly_once(spark, job_paths):
 def test_job_resume_on_missing_output_runs_full(spark, job_paths,
                                                 tmp_path):
     """--resume against a not-yet-existing output path must fall back
-    to a full run (PATH_NOT_FOUND swallowed), not fail."""
+    to a full run (no manifests -> nothing committed), not fail."""
     fresh = str(tmp_path / "fresh_out")
     rc = main([
         "--input", job_paths["input"], "--geom", job_paths["geom"],
@@ -82,7 +96,7 @@ def test_job_resume_on_missing_output_runs_full(spark, job_paths,
     ])
     assert rc == 0
     docs = spark.read.parquet(job_paths["input"])
-    assert spark.read.parquet(fresh).count() == docs.count()
+    assert _read_out(spark, fresh).count() == docs.count()
 
 
 def test_job_json_sink_roundtrip(spark, job_paths, tmp_path):
@@ -96,7 +110,7 @@ def test_job_json_sink_roundtrip(spark, job_paths, tmp_path):
     ])
     assert rc == 0
     docs = spark.read.parquet(job_paths["input"])
-    j = spark.read.json(out)
+    j = _read_out(spark, out, "json")
     assert j.count() == docs.count()
     assert {"doc_id", "status"} <= set(j.columns)
     rc = main([
@@ -104,4 +118,65 @@ def test_job_json_sink_roundtrip(spark, job_paths, tmp_path):
         "--output", out, "--format", "json", "--resume",
     ])
     assert rc == 0
-    assert spark.read.json(out).count() == docs.count()
+    assert _read_out(spark, out, "json").count() == docs.count()
+
+
+def test_job_crash_before_manifest_neither_loses_nor_duplicates(
+        spark, job_paths, tmp_path, monkeypatch):
+    """Kill-mid-commit: the first run dies AFTER writing its data but
+    BEFORE publishing the manifest (the worst crash point — data looks
+    complete on disk). The rerun with --resume must emit every
+    document exactly once: the unmanifested snapshot is invisible to
+    readers and to the resume anti-join."""
+    import pdfspark.sinks.snapshot as S
+
+    out = str(tmp_path / "crash_out")
+    real_publish = S._publish
+
+    def dying_publish(output, snap):
+        raise RuntimeError("simulated crash before manifest publish")
+
+    monkeypatch.setattr(S, "_publish", dying_publish)
+    with pytest.raises(RuntimeError):
+        main([
+            "--input", job_paths["input"], "--geom", job_paths["geom"],
+            "--output", out,
+        ])
+    # data dir exists but is NOT committed
+    assert any(e.startswith("snap-") for e in os.listdir(out))
+    assert committed_snapshots(out) == []
+    assert read_committed(spark, out) is None
+
+    monkeypatch.setattr(S, "_publish", real_publish)
+    rc = main([
+        "--input", job_paths["input"], "--geom", job_paths["geom"],
+        "--output", out, "--resume",
+    ])
+    assert rc == 0
+    docs = spark.read.parquet(job_paths["input"])
+    committed = _read_out(spark, out)
+    assert committed.count() == docs.count()  # nothing lost
+    assert committed.select("doc_id").distinct().count() == docs.count()
+
+
+def test_job_crash_mid_staging_is_invisible(spark, job_paths, tmp_path):
+    """Garbage left under _staging by a crash during the data write is
+    never visible to readers or resume."""
+    out = str(tmp_path / "stage_out")
+    rc = main([
+        "--input", job_paths["input"], "--geom", job_paths["geom"],
+        "--output", out,
+    ])
+    assert rc == 0
+    junk = os.path.join(out, "_staging", "snap-dead", "part-0.parquet")
+    os.makedirs(os.path.dirname(junk), exist_ok=True)
+    with open(junk, "wb") as fh:
+        fh.write(b"\x00torn bytes")
+    docs = spark.read.parquet(job_paths["input"])
+    assert _read_out(spark, out).count() == docs.count()
+    rc = main([
+        "--input", job_paths["input"], "--geom", job_paths["geom"],
+        "--output", out, "--resume",
+    ])
+    assert rc == 0
+    assert _read_out(spark, out).count() == docs.count()

@@ -56,7 +56,9 @@ def test_spark_submit_py_files(fixture_dir, tmp_path, spark):
 
     docs = spark.read.parquet(os.path.join(fixture_dir,
                                            "documents_in.parquet"))
-    written = spark.read.parquet(out)
-    assert written.count() == docs.count()
+    from pdfspark.sinks.snapshot import read_committed
+
+    written = read_committed(spark, out)
+    assert written is not None and written.count() == docs.count()
     m = spark.read.parquet(metrics)
     assert m.groupBy().sum("doc_count").collect()[0][0] == docs.count()

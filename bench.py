@@ -236,19 +236,25 @@ def main() -> int:
         n_docs = queries["ep1_extract_spans"](spark, SF_DIR).select(
             "doc_id"
         ).distinct().count()
-        for name in HEADLINE:
-            if name not in queries:
-                continue
-            t0 = time.time()
-            _force(queries[name](spark, SF_DIR))
-            timings[name] = round(time.time() - t0, 3)
-        if os.environ.get("PDFSPARK_BENCH_TD", "1") != "0":
-            for name in TD_GROUP:
-                if name not in queries:
-                    continue
-                t0 = time.time()
+        run_td = os.environ.get("PDFSPARK_BENCH_TD", "1") != "0"
+        names = [n for n in HEADLINE if n in queries] + (
+            [n for n in TD_GROUP if n in queries] if run_td else []
+        )
+        # regression-gate protocol: interleaved cycles, min per query —
+        # host load is bursty (~4x) and Python workers warm lazily, so
+        # single-shot orderings systematically bias later queries
+        cycles = int(os.environ.get("PDFSPARK_BENCH_CYCLES", "3"))
+        _force(_flagship(spark, SF_DIR))  # worker warm-up, untimed
+        best: dict[str, float] = {}
+        for _cyc in range(max(1, cycles)):
+            for name in names:
+                spark.catalog.clearCache()  # persisted-plan reuse would
+                t0 = time.time()            # understate later cycles
                 _force(queries[name](spark, SF_DIR))
-                td_timings[name] = round(time.time() - t0, 3)
+                d = time.time() - t0
+                best[name] = min(best.get(name, d), d)
+        for name, d in best.items():
+            (timings if name in HEADLINE else td_timings)[name] = round(d, 3)
         spark.stop()
 
     total = round(sum(v for k, v in timings.items() if k in STABLE_TOTAL), 3)
@@ -271,7 +277,7 @@ def main() -> int:
 
     prev = _previous_round()
     if prev:
-        out["vs_prev_round"] = _deltas(timings, prev)
+        out["vs_prev_round"] = _deltas({**timings, **td_timings}, prev)
 
     print(json.dumps(out))
     return 0
@@ -303,18 +309,36 @@ def _previous_round() -> dict | None:
 
 
 def _deltas(timings: dict, prev: dict) -> dict:
-    """Per-query sec ratio vs the previous round (>1 = slower now).
-    Host noise is ~4x run-to-run here, so treat <2x as noise."""
-    pq = prev.get("queries", {})
+    """Per-query regression gate vs the previous round's record.
+
+    Ratios come from min-over-interleaved-cycles (see main), which
+    removes most of the ~4x host burst noise single shots carry, so
+    the gate threshold is 1.5x: any query above it is loudly flagged
+    (status per query + a stderr warning; stdout stays one JSON line
+    for the driver)."""
+    pq = {**prev.get("queries", {}), **prev.get("td_queries", {})}
     ratios = {
         k: round(v / pq[k], 2)
         for k, v in timings.items()
         if k in pq and pq[k]
     }
+    status = {
+        k: ("flag>1.5x" if r > 1.5 else "ok") for k, r in ratios.items()
+    }
+    flagged = sorted(k for k, s in status.items() if s != "ok")
+    for k in flagged:
+        print(
+            f"bench REGRESSION FLAG: {k} {ratios[k]}x vs round "
+            f"{prev.get('_round')} record",
+            file=sys.stderr,
+        )
     return {
         "round": prev.get("_round"),
         "prev_total": prev.get("value"),
         "query_sec_ratio": ratios,
+        "gate_threshold": 1.5,
+        "gate_status": status,
+        "regressed_1_5x": flagged,
         "regressed_2x": sorted(k for k, r in ratios.items() if r > 2.0),
     }
 

@@ -55,23 +55,74 @@ def _tok_count(norm, words: list[str]):
 
 
 def language_id(docs: DataFrame) -> DataFrame:
-    """Predict language by marker-token counts; argmax with a
-    deterministic tie-break (first language in LANG_MARKERS order)."""
-    norm = normalized_text(F.col("text"))
-    scored = docs.select(
-        "doc_id",
-        *[_tok_count(norm, ws).alias(f"score_{lang}")
-          for lang, ws in LANG_MARKERS.items()],
+    """Language ID by Cavnar-Trenkle character-trigram rank profiles
+    (pdfspark/functions/langprof.py; replaces the round-2 marker-token
+    heuristic — that form survives only as quality_scores' stopword
+    feature).
+
+    Plan: normalize to padded lowercase letters -> explode trigrams
+    (same codegen explode shape as fingerprints) -> per-doc rank
+    window (count desc, trigram asc) capped at DOC_TOP -> broadcast
+    join against the 4 x PROFILE_TOP profile table -> per-(doc, lang)
+    integer out-of-place distance -> pivot + argmin with LANGS-order
+    tie-break. Docs too short for a trigram get distance 0 everywhere
+    -> 'en', like the Python reference.
+
+    Scale shape: one explode bounded by text length, one groupBy per
+    (doc, trigram), one per-doc window, a broadcast join against an
+    800-row dimension — no data-sized collect, no interpreted HOFs in
+    the hot path (the transform(sequence...) only BUILDS the explode
+    array, the measured-fastest shape from fingerprints). All-integer
+    distances: the DuckDB twin matches exactly, no rounding seam."""
+    from pdfspark.functions.langprof import DOC_TOP, LANGS, PENALTY, PROFILES
+
+    spark = docs.sparkSession
+    norm_letters = F.trim(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z]+", " ")
     )
-    langs = list(LANG_MARKERS)
-    best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
+    base = docs.select(
+        "doc_id",
+        F.concat(F.lit(" "), norm_letters, F.lit(" ")).alias("p"),
+    )
+    tg = base.filter(F.length("p") >= 3).select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(p) - 2),"
+                   " i -> substring(p, i, 3))")
+        ).alias("tg"),
+    )
+    counts = tg.groupBy("doc_id", "tg").agg(F.count("*").alias("c"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("c"), F.asc("tg"))
+    dprof = counts.withColumn("dr", F.row_number().over(w)).filter(
+        F.col("dr") <= DOC_TOP
+    )
+    prof = spark.createDataFrame(
+        [(lang, g, r) for lang in LANGS for g, r in PROFILES[lang].items()],
+        "lang string, tg string, pr int",
+    )
+    langs_df = spark.createDataFrame([(lg,) for lg in LANGS], "lang string")
+    per = (
+        dprof.crossJoin(F.broadcast(langs_df))
+        .join(F.broadcast(prof), ["lang", "tg"], "left")
+        .groupBy("doc_id", "lang")
+        .agg(
+            F.sum(
+                F.coalesce(F.abs(F.col("dr") - F.col("pr")),
+                           F.lit(PENALTY))
+            ).alias("dist")
+        )
+    )
+    piv = per.groupBy("doc_id").pivot("lang", LANGS).agg(F.first("dist"))
+    out = docs.select("doc_id").join(piv, "doc_id", "left")
+    dcols = {lg: F.coalesce(F.col(lg), F.lit(0)) for lg in LANGS}
+    best = F.least(*dcols.values())
     pred = F.lit(None).cast("string")
-    for lg in reversed(langs):
-        pred = F.when(F.col(f"score_{lg}") == best, lg).otherwise(pred)
-    return scored.select(
+    for lg in reversed(LANGS):
+        pred = F.when(dcols[lg] == best, lg).otherwise(pred)
+    return out.select(
         "doc_id",
         pred.alias("pred_lang"),
-        *[F.col(f"score_{lg}").cast("int").alias(f"score_{lg}") for lg in langs],
+        *[dcols[lg].cast("bigint").alias(f"dist_{lg}") for lg in LANGS],
     )
 
 

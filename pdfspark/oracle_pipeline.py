@@ -181,24 +181,69 @@ SELECT doc_a, doc_b, sh_a, sh_b, CAST({ham} AS INT) AS hamming FROM spairs
 
 
 def langid_sql(fix: str) -> str:
-    score_cols = ", ".join(
-        "len(list_filter(toks, x -> list_contains([{ws}], x))) AS score_{lg}".format(
-            lg=lg, ws=", ".join(f"'{w}'" for w in ws)
-        )
-        for lg, ws in LANG_MARKERS.items()
+    """DuckDB twin of the Cavnar-Trenkle trigram classifier: identical
+    relational steps (padded letter normalization, trigram explode,
+    rank window over (count desc, trigram asc), out-of-place distance
+    against the inlined profile dimension) — all-integer, so the match
+    is exact."""
+    from pdfspark.functions.langprof import (
+        DOC_TOP,
+        LANGS,
+        PENALTY,
+        PROFILES,
     )
-    langs = list(LANG_MARKERS)
-    best = "greatest(" + ", ".join(f"score_{lg}" for lg in langs) + ")"
+
+    prof_vals = ", ".join(
+        f"('{lg}', '{g}', {r})"
+        for lg in LANGS
+        for g, r in PROFILES[lg].items()
+    )
+    lang_vals = ", ".join(f"('{lg}')" for lg in LANGS)
+    dcols = ", ".join(
+        f"coalesce(max(CASE WHEN lang = '{lg}' THEN dist END), 0)"
+        f" AS dist_{lg}"
+        for lg in LANGS
+    )
+    best = "least(" + ", ".join(f"dist_{lg}" for lg in LANGS) + ")"
     pred = (
         "CASE "
-        + " ".join(f"WHEN score_{lg} = {best} THEN '{lg}'" for lg in langs)
+        + " ".join(f"WHEN dist_{lg} = {best} THEN '{lg}'" for lg in LANGS)
         + " END"
     )
-    casts = ", ".join(f"CAST(score_{lg} AS INT) AS score_{lg}" for lg in langs)
+    casts = ", ".join(f"CAST(dist_{lg} AS BIGINT) AS dist_{lg}"
+                      for lg in LANGS)
     return f"""
 WITH {_docs_all(fix)},
-scored AS (SELECT doc_id, {score_cols} FROM tokend)
-SELECT doc_id, {pred} AS pred_lang, {casts} FROM scored
+lp AS (
+  SELECT doc_id,
+         ' ' || trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g'))
+             || ' ' AS p
+  FROM docs_all),
+tg3 AS (
+  SELECT doc_id, substr(p, CAST(i AS INT), 3) AS tg
+  FROM lp, unnest(range(1, greatest(length(p) - 1, 1))) AS t(i)
+  WHERE length(p) >= 3),
+tgc AS (SELECT doc_id, tg, count(*) AS c FROM tg3 GROUP BY doc_id, tg),
+dprof AS (
+  SELECT * FROM (
+    SELECT doc_id, tg, c,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY c DESC, tg ASC) AS dr
+    FROM tgc) WHERE dr <= {DOC_TOP}),
+prof(lang, tg, pr) AS (VALUES {prof_vals}),
+langs(lang) AS (VALUES {lang_vals}),
+per AS (
+  SELECT d.doc_id, l.lang,
+         sum(coalesce(abs(d.dr - p.pr), {PENALTY})) AS dist
+  FROM dprof d CROSS JOIN langs l
+  LEFT JOIN prof p ON p.lang = l.lang AND p.tg = d.tg
+  GROUP BY d.doc_id, l.lang),
+piv AS (SELECT doc_id, {dcols} FROM per GROUP BY doc_id),
+full0 AS (
+  SELECT b.doc_id, {", ".join(f"coalesce(piv.dist_{lg}, 0) AS dist_{lg}"
+                              for lg in LANGS)}
+  FROM (SELECT doc_id FROM docs_all) b LEFT JOIN piv USING (doc_id))
+SELECT doc_id, {pred} AS pred_lang, {casts} FROM full0
 """
 
 

@@ -458,6 +458,57 @@ def test_cosine_topk_np_equals_hof(spark, emb_all):
     assert a == b
 
 
+HOLDOUT_SENTENCES = [
+    # authored holdout prose, disjoint from the langprof seed texts
+    ("en", "We should measure the speed of the system before and "
+           "after the change, and then decide which of the two "
+           "designs is the better one for the workload."),
+    ("en", "There is a small library at the end of the street where "
+           "the children read stories in the afternoon."),
+    ("es", "Los ninos leen cuentos por la tarde en la biblioteca "
+           "pequena que esta al final de la calle."),
+    ("es", "Antes de cambiar el sistema debemos medir la velocidad y "
+           "despues decidir cual de los dos disenos es mejor."),
+    ("de", "Die Kinder lesen am Nachmittag Geschichten in der "
+           "kleinen Bibliothek am Ende der Strasse."),
+    ("de", "Bevor wir das System aendern, sollten wir die "
+           "Geschwindigkeit messen und danach entscheiden, welcher "
+           "Entwurf besser ist."),
+    ("fr", "Les enfants lisent des histoires dans la petite "
+           "bibliotheque qui se trouve au bout de la rue."),
+    ("fr", "Avant de changer le systeme, nous devons mesurer la "
+           "vitesse et ensuite decider lequel des deux est le "
+           "meilleur pour cette charge."),
+]
+
+
+def test_langid_holdout_accuracy():
+    """The trigram classifier must label every held-out sentence
+    (disjoint from the seed corpus) with the right language."""
+    from pdfspark.functions.langprof import classify
+
+    for lang, sent in HOLDOUT_SENTENCES:
+        pred, dists = classify(sent)
+        assert pred == lang, (sent, pred, dists)
+
+
+def test_langid_spark_equals_python_reference(spark):
+    """The Spark trigram plan must equal the pure-Python classifier
+    row-for-row (pred + all four integer distances), including the
+    empty-text edge."""
+    from pdfspark.functions.langprof import LANGS, classify
+
+    rows = [(f"h-{i:02d}", s) for i, (_lg, s) in
+            enumerate(HOLDOUT_SENTENCES)]
+    rows += [("h-empty", ""), ("h-punct", "!!! 42 ???")]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    got = {r.doc_id: (r.pred_lang, tuple(r[f"dist_{lg}"] for lg in LANGS))
+           for r in language_id(df).collect()}
+    for doc_id, text in rows:
+        pred, dists = classify(text)
+        assert got[doc_id] == (pred, tuple(dists[lg] for lg in LANGS)), doc_id
+
+
 def test_np_signature_bit_equals_hof(spark, emb_all):
     """The production NumPy signature kernel must be BIT-identical to
     the interpreted HOF twin (fold-order accumulation guarantee)."""

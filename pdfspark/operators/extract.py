@@ -483,15 +483,6 @@ def extract_documents_split(
     return out
 
 
-SECTIONS_OUT = T.StructType(
-    [
-        T.StructField("doc_id", T.StringType()),
-        T.StructField("status", T.StringType()),
-        T.StructField("sections", T.ArrayType(SECTION_STRUCT)),
-    ]
-)
-
-
 # enriched event rows: 'E' = segment-governed P/F event, 'B' = H/A
 # boundary (with its regex work precomputed in the parallel chunk
 # task: normalized first line, line count, RE_SECTION_GROUPS result),
@@ -681,11 +672,10 @@ def extract_sections_split(
         .filter(~(F.col("gov_entry") & (F.col("entry_tail") == "W")))
         .select(
             "doc_id", "code", "pos", "text",
-            F.when(
-                F.col("gov_entry"),
-                F.when(F.col("entry_tail") == "none", F.lit(0))
-                .otherwise(F.col("entry_ha")),
-            ).otherwise(F.col("entry_ha") + F.col("ord_local"))
+            # entry-governed rows have ord_local=0 and, with no prior
+            # boundary anywhere, entry_ha=0 — so one expression covers
+            # the start-of-doc (ord 0) and inherited-boundary cases
+            (F.col("entry_ha") + F.col("ord_local"))
             .cast("int").alias("ord"),
         )
         .persist()
@@ -787,8 +777,11 @@ def extract_sections_split(
     targets = pa.filter(F.col("kind") == "T").select(
         "doc_id", "ord", "tp", "tf"
     )
+    # no broadcast hint: targets is O(event-containing segments), which
+    # a boundary/paragraph-alternating pathology makes O(#spans) — let
+    # AQE pick broadcast only when it is actually small
     phase_b = (
-        events.join(F.broadcast(targets), ["doc_id", "ord"])
+        events.join(targets, ["doc_id", "ord"])
         .select(
             "doc_id",
             F.when(F.col("code") == "P", F.col("tp"))
@@ -862,17 +855,11 @@ def extract_sections_split(
             ).alias("sections"),
         )
     )
-    out = small_out.unionByName(big_out).unionByName(bad_out)
-    if cfg.start_page > 0:
-        missing = big.select("doc_id").join(
-            folded.select("doc_id").distinct(), "doc_id", "left_anti"
-        ).select(
-            "doc_id",
-            F.lit("ok").alias("status"),
-            F.array().cast(T.ArrayType(SECTION_STRUCT)).alias("sections"),
-        )
-        out = out.unionByName(missing)
-    return out
+    # NOTE: no `missing` re-add here (unlike the spans paths): big_out
+    # left-joins from `big` itself, so a big doc whose spans were all
+    # removed by the start_page cutoff already gets its one
+    # ('ok', empty sections) row — a second union would duplicate it
+    return small_out.unionByName(big_out).unionByName(bad_out)
 
 
 def extract_sections_auto(

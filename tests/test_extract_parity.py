@@ -200,6 +200,43 @@ def test_sections_auto_routes_equal(spark, documents_in, spans_geom):
     assert hi == lo
 
 
+def test_sections_split_cutoff_doc_single_row(spark):
+    """A big doc whose spans are ALL removed by the start_page cutoff
+    (and one whose TOC survives) must come out of the sections split
+    as exactly ONE row per doc, equal to the sequential fold — the
+    round-3 review found the old `missing` re-add duplicated them."""
+    from pdfspark.operators.extract import extract_sections_split
+
+    def mkdoc(doc_id, with_toc):
+        spans = []
+        if with_toc:
+            spans.append(dict(kind="TOC", text="1. Intro", media_ref=None,
+                              offset=0))
+        spans.append(dict(kind="PageStart", text="", media_ref=None,
+                          offset=len(spans)))
+        spans += [dict(kind="TextBox", text=f"1. Intro\nbody {i}",
+                       media_ref=None, offset=len(spans) + i)
+                  for i in range(600)]
+        return (doc_id, spans)
+
+    df = spark.createDataFrame(
+        [mkdoc("cut-notoc", False), mkdoc("cut-toc", True)],
+        "doc_id string, spans array<struct<kind:string,text:string,"
+        "media_ref:string,offset:int>>",
+    )
+    cfg = ExtractConfig(start_page=3)
+    got = extract_sections_split(df, None, cfg=cfg, skew_threshold=500,
+                                 spans_per_chunk=200).collect()
+    assert sorted(r.doc_id for r in got) == ["cut-notoc", "cut-toc"]
+    want = {r.doc_id: (r.status,
+                       [(s.heading, list(s.paragraphs), list(s.figures))
+                        for s in r.sections])
+            for r in extract_documents(df, None, cfg).collect()}
+    for r in got:
+        assert (r.status, [(s.heading, list(s.paragraphs), list(s.figures))
+                           for s in r.sections]) == want[r.doc_id], r.doc_id
+
+
 def test_skew_big_doc_fewer_pages_than_start_page(spark):
     """A big doc with >=1 but <=start_page PageStart markers: under
     Spark 4 ANSI mode a plain element_at would THROW on the

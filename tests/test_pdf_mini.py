@@ -50,6 +50,16 @@ def test_pdf_tj_array_and_octal():
     assert texts == ["Hello world"]
 
 
+def test_pdf_non_octal_digit_escape_is_not_an_error():
+    """Per spec a backslash before a non-special char is dropped:
+    `\\8` yields '8', it must not quarantine the document."""
+    pdf = build_tiny_pdf("oct", [["placeholder"]])
+    raw = pdf.replace(b"(placeholder) Tj", b"(a\\8b \\9 \\101) Tj")
+    out = decode_tiny_pdf(raw)
+    texts = [s["text"] for s in out["spans"] if s["kind"] == "TextBox"]
+    assert texts == ["a8b 9 A"]  # \101 octal = 'A'
+
+
 def test_pdf_corrupt_quarantines():
     with pytest.raises(ValueError):
         decode_tiny_pdf(b"%PDF-1.4\nnoise only\n%%EOF\n")

@@ -164,7 +164,16 @@ def _split_inputs(documents_in, header_footer_df, skew_threshold):
     DecodeError quarantine marker. A pathologically large doc can
     still carry a DecodeError: the sequential fold quarantines the
     WHOLE document, so the skew path must not chunk-fold its clean
-    parts — callers emit it as an empty row directly."""
+    parts — callers emit it as an empty row directly.
+
+    Scale note: the three filter branches each scan the input — cheap
+    at bench scale but 3x the read at 100 TB. The production fix is
+    layout, not plan: partition the Iceberg table by a size-class
+    column at ingest (the lineage job already computes spans_in), so
+    each branch prunes to its own partitions and the probe in
+    extract_sections_auto becomes a manifest-statistics lookup.
+    Persisting the flagged frame instead would pin the whole fat
+    table in executor memory — wrong trade at that scale."""
     df = _with_hf(documents_in, header_footer_df)
     is_big = F.size("spans") > F.lit(skew_threshold)
     is_bad = F.exists("spans", lambda s: s["kind"] == "DecodeError")

@@ -253,22 +253,30 @@ def curate_documents(
     filter. Shapes: one hash shuffle for the dedup groupBy, a semi-join
     on the keeper set, and two narrow per-row feature projections
     joined on doc_id — no window, no cross joins; every filter is a
-    deterministic predicate over oracle-matched rounded features."""
+    deterministic predicate over oracle-matched rounded features.
+
+    Filter ordering: language_id is the one expensive feature (trigram
+    explode + per-doc rank window), so it runs only on the docs that
+    survive the dedup semi-join AND the quality threshold — all three
+    filters are independent per-doc predicates, so they commute and
+    the composed result is identical (the DuckDB twin computes the
+    unordered conjunction). At sf0.1 this cuts the langid input ~4x;
+    at 100 TB it is the difference between profiling the corpus and
+    profiling the survivors."""
     from pdfspark.operators.dedup import exact_duplicates
 
     keep = exact_duplicates(docs).select(
         F.col("keeper_doc_id").alias("doc_id")
     )
     q = quality_scores(docs)
-    lid = language_id(docs)
-    return (
-        docs.select("doc_id")
+    survivors = (
+        docs.select("doc_id", "text")
         .join(keep, "doc_id", "left_semi")
-        .join(q, "doc_id")
-        .join(lid.select("doc_id", "pred_lang"), "doc_id")
-        .filter(
-            (F.col("pred_lang") == lang)
-            & (F.col("quality_score") >= min_quality)
-        )
+        .join(q.filter(F.col("quality_score") >= min_quality), "doc_id")
+    )
+    lid = language_id(survivors)
+    return (
+        survivors.join(lid.select("doc_id", "pred_lang"), "doc_id")
+        .filter(F.col("pred_lang") == lang)
         .select("doc_id", "pred_lang", "quality_score", "n_words", "n_chars")
     )

@@ -17,14 +17,20 @@ plus a PageStart marker per page — the same span-dict shape the JSON
 stand-in payloads decode to. A real pdfminer swap-in would replace
 only these ~60 lines; everything upstream/downstream is identical.
 
+Compressed content streams (/Filter /FlateDecode — what virtually
+every real-world PDF writer emits) are supported via stdlib zlib;
+stream bytes are sliced by the dict's /Length when present because a
+regex scan to `endstream` is unsound over binary deflate output.
+
 Out of scope (quarantined as decode errors, like any malformed
-payload): compressed streams (/Filter), xref streams, encryption,
-non-literal strings beyond the standard escapes.
+payload): filters other than FlateDecode, filter chains, xref
+streams, encryption, non-literal strings beyond the standard escapes.
 """
 
 from __future__ import annotations
 
 import re
+import zlib
 
 _OBJ_RE = re.compile(rb"(\d+)\s+0\s+obj\b(.*?)endobj", re.DOTALL)
 _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
@@ -36,6 +42,9 @@ _BT_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 _SHOW_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj|\[(.*?)\]\s*TJ",
                       re.DOTALL)
 _TJ_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
+_STREAM_START_RE = re.compile(rb"stream(\r\n|\n)")
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+_FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/\w+)")
 
 _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
             b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
@@ -77,9 +86,12 @@ def _escape(s: str) -> bytes:
     )
 
 
-def build_tiny_pdf(doc_id: str, pages: list[list[str]]) -> bytes:
-    """A complete uncompressed PDF: one content stream per page, one
-    Tj text-show per line, doc_id in the Info /Title."""
+def build_tiny_pdf(doc_id: str, pages: list[list[str]],
+                   compress: bool = False) -> bytes:
+    """A complete PDF: one content stream per page, one Tj text-show
+    per line, doc_id in the Info /Title. ``compress=True`` deflates
+    each content stream (/Filter /FlateDecode), the shape real-world
+    PDF writers emit."""
     n_pages = len(pages)
     # object numbering: 1 catalog, 2 pages, 3..2+n page objs,
     # 3+n..2+2n content streams, 3+2n font, 4+2n info
@@ -105,8 +117,14 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]]) -> bytes:
             ops.append(b"0 -14 Td")
         ops.append(b"ET")
         stream = b"\n".join(ops)
-        objs[cobj] = (b"<< /Length %d >>\nstream\n" % len(stream)
-                      + stream + b"\nendstream")
+        if compress:
+            stream = zlib.compress(stream)
+            objs[cobj] = (
+                b"<< /Length %d /Filter /FlateDecode >>\nstream\n"
+                % len(stream) + stream + b"\nendstream")
+        else:
+            objs[cobj] = (b"<< /Length %d >>\nstream\n" % len(stream)
+                          + stream + b"\nendstream")
     objs[font_obj] = (b"<< /Type /Font /Subtype /Type1 "
                       b"/BaseFont /Helvetica >>")
     objs[info_obj] = b"<< /Title (" + _escape(doc_id) + b") >>"
@@ -125,6 +143,52 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]]) -> bytes:
     buf += (b"trailer\n<< /Size %d /Root 1 0 R /Info %d 0 R >>\n"
             b"startxref\n%d\n%%%%EOF\n" % (n_objs, info_obj, xref_at))
     return bytes(buf)
+
+
+def _content_stream(cbody: bytes) -> bytes:
+    """Raw (inflated) bytes of one content-stream object.
+
+    Stream data is sliced by the dict's direct /Length when present —
+    the only sound delimiter for binary deflate output, which may
+    contain ``endstream`` (or even ``endobj``; if deflate bytes
+    truncate the enclosing object at a phantom ``endobj``, the length
+    check below fails and the doc quarantines — never a wrong parse).
+    Falls back to the endstream scan for length-less uncompressed
+    payloads. Any filter other than a single FlateDecode (optionally
+    as a one-element array) raises, and the caller quarantines."""
+    fm = _FILTER_RE.search(cbody)
+    inflate = False
+    if fm is not None:
+        names = re.findall(rb"/(\w+)", fm.group(1))
+        if names != [b"FlateDecode"]:
+            raise ValueError("unsupported stream filter")
+        inflate = True
+    m = _STREAM_START_RE.search(cbody)
+    if m is None:
+        raise ValueError("content object without stream")
+    lm = _LENGTH_RE.search(cbody[:m.start()])
+    data = None
+    if lm is not None:
+        want = int(lm.group(1))
+        cand = cbody[m.end():m.end() + want]
+        tail = cbody[m.end() + want:m.end() + want + 11]
+        # trust /Length only when `endstream` actually follows the
+        # slice — writers with stale lengths exist, and a wrong slice
+        # must fall back to the scan, not silently mis-parse
+        if len(cand) == want and tail.lstrip(b"\r\n").startswith(
+                b"endstream"):
+            data = cand
+    if data is None:
+        sm = _STREAM_RE.search(cbody)
+        if sm is None:
+            raise ValueError("content object without stream")
+        data = sm.group(1)
+    if inflate:
+        try:
+            data = zlib.decompress(data)
+        except zlib.error as ex:
+            raise ValueError(f"bad deflate stream: {ex}")
+    return data
 
 
 def decode_tiny_pdf(content: bytes) -> dict:
@@ -171,13 +235,9 @@ def decode_tiny_pdf(content: bytes) -> dict:
         cbody = objs.get(int(cm.group(1)))
         if cbody is None:
             raise ValueError("missing content stream object")
-        if b"/Filter" in cbody:
-            raise ValueError("compressed stream unsupported")
-        sm = _STREAM_RE.search(cbody)
-        if sm is None:
-            raise ValueError("content object without stream")
+        cdata = _content_stream(cbody)
         emit("PageStart", "")
-        for bt in _BT_RE.finditer(sm.group(1)):
+        for bt in _BT_RE.finditer(cdata):
             for show in _SHOW_RE.finditer(bt.group(1)):
                 if show.group(1) is not None:  # (..) Tj
                     emit("TextBox", _unescape(show.group(1)))

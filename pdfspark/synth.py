@@ -435,10 +435,15 @@ def write_pdf_payloads(out_dir: str) -> None:
         "pdfdoc-00001": [["Table 1 Results", "r1c1", "r1c2"]],
         "pdfdoc-00002": [["Appendix A.", "Figure 3 a caption",
                           "Closing paragraph."]],
+        # deflate-compressed content streams (/Filter /FlateDecode) —
+        # the shape every real-world PDF writer emits
+        "pdfdoc-00003": [["3. Discussion", "Compressed body text."],
+                         ["References", "[1] A citation line."]],
     }
     rows = []
     for doc_id, pages in docs.items():
-        payload = build_tiny_pdf(doc_id, pages)
+        payload = build_tiny_pdf(doc_id, pages,
+                                 compress=(doc_id == "pdfdoc-00003"))
         with open(os.path.join(pdir, f"{doc_id}.pdf"), "wb") as fh:
             fh.write(payload)
         decoded = decode_tiny_pdf(payload)  # Spark-free expected result
@@ -806,7 +811,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 6
+FIXTURE_VERSION = 7
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

@@ -60,6 +60,56 @@ def test_pdf_non_octal_digit_escape_is_not_an_error():
     assert texts == ["a8b 9 A"]  # \101 octal = 'A'
 
 
+def test_pdf_flate_round_trip_matches_uncompressed():
+    """/Filter /FlateDecode content streams (the real-world default)
+    decode to the exact same span sequence as the uncompressed form."""
+    pages = [["1. Intro", "Body with (parens)."], ["2. More"]]
+    plain = decode_tiny_pdf(build_tiny_pdf("zdoc", pages))
+    comp_pdf = build_tiny_pdf("zdoc", pages, compress=True)
+    assert b"/FlateDecode" in comp_pdf
+    assert b"1. Intro" not in comp_pdf  # text genuinely compressed
+    assert decode_tiny_pdf(comp_pdf) == plain
+
+
+def test_pdf_flate_one_element_filter_array():
+    """`/Filter [/FlateDecode]` (single-element array form) is legal
+    and must decode identically to the name form."""
+    pdf = build_tiny_pdf("zarr", [["line one"]], compress=True)
+    arr = pdf.replace(b"/Filter /FlateDecode", b"/Filter [/FlateDecode]")
+    # /Length stays valid: only the dict text changed, not the stream
+    out = decode_tiny_pdf(arr)
+    texts = [s["text"] for s in out["spans"] if s["kind"] == "TextBox"]
+    assert texts == ["line one"]
+
+
+def test_pdf_unsupported_filter_quarantines():
+    pdf = build_tiny_pdf("zbad", [["x"]], compress=True)
+    chain = pdf.replace(b"/Filter /FlateDecode",
+                        b"/Filter [/ASCII85Decode /FlateDecode]")
+    with pytest.raises(ValueError, match="unsupported stream filter"):
+        decode_tiny_pdf(chain)
+    lzw = pdf.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode")
+    with pytest.raises(ValueError, match="unsupported stream filter"):
+        decode_tiny_pdf(lzw)
+
+
+def test_pdf_corrupt_deflate_quarantines():
+    """Valid PDF skeleton, /FlateDecode filter, garbage stream bytes
+    (same length, so /Length stays consistent) must quarantine."""
+    pdf = build_tiny_pdf("zcorrupt", [["placeholder text here"]],
+                         compress=True)
+    with pytest.raises(ValueError):
+        decode_tiny_pdf(_corrupt_stream(pdf))
+
+
+def _corrupt_stream(pdf: bytes) -> bytes:
+    """Flip bytes inside the (single) deflate stream, keeping length."""
+    start = pdf.index(b"stream\n") + len(b"stream\n")
+    end = pdf.index(b"\nendstream", start)
+    body = bytes((b ^ 0xFF) for b in pdf[start:end])
+    return pdf[:start] + body + pdf[end:]
+
+
 def test_pdf_corrupt_quarantines():
     with pytest.raises(ValueError):
         decode_tiny_pdf(b"%PDF-1.4\nnoise only\n%%EOF\n")

@@ -65,16 +65,27 @@ def match_table_titles(elements: DataFrame) -> DataFrame:
     )
 
     # pass 1 — parent_id probe, consume-once: first table (doc order)
-    # per title key wins
+    # per title key wins. Both sides descend from the same `elements`
+    # scan, so their doc_id columns share an expression id — a raw
+    # tables.doc_id == titles.doc_id comparison logs Spark's
+    # "trivially true equals predicate" warning and leans on the
+    # analyzer's dataset-id self-join disambiguation to recover the
+    # intended equi-join. Explicit subquery aliases make the join
+    # condition unambiguous at construction time instead (behavior
+    # pinned by test_j2_no_cross_document_title_match).
     w_key = Window.partitionBy("doc_id", "key").orderBy("tord")
+    tb = tables.filter(F.col("parent_id").isNotNull()).alias("tb")
+    ti = titles.alias("ti")
     p1 = (
-        tables.filter(F.col("parent_id").isNotNull())
-        .join(
-            F.broadcast(titles),
-            (tables.doc_id == titles.doc_id)
-            & (tables.parent_id == titles.key),
+        tb.join(
+            F.broadcast(ti),
+            (F.col("tb.doc_id") == F.col("ti.doc_id"))
+            & (F.col("tb.parent_id") == F.col("ti.key")),
         )
-        .select(tables.doc_id, "element_id", "tord", "key", "title")
+        .select(
+            F.col("tb.doc_id").alias("doc_id"),
+            "element_id", "tord", "key", "title",
+        )
         .withColumn("rn", F.row_number().over(w_key))
         .filter(F.col("rn") == 1)
         .drop("rn")

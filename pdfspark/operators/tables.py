@@ -221,15 +221,28 @@ def extract_tables_sql(
         .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # title carry-forward: table_id is the running sum of `opens`, so
+    # every row's table title is the last opening title at-or-before it
+    # in the SAME window partition — a last(ignorenulls) over w_run
+    # instead of a separate titles frame joined back on (part,
+    # table_id). That join was a diamond (the whole upstream — reading
+    # order window, header/footer join, boilerplate filters — executed
+    # twice) plus a full shuffle join; the carry-forward costs one more
+    # expression in an already-required window pass.
     df = (
         df.withColumn("table_id", F.sum(F.col("opens").cast("int")).over(w_run))
         .withColumn("grp", F.sum(F.col("is_title").cast("int")).over(w_run))
+        .withColumn(
+            "title",
+            F.last(
+                F.when(
+                    F.col("opens"),
+                    F.trim(F.regexp_extract("clean", P.JAVA_TABLE_TITLE, 1)),
+                ),
+                ignorenulls=True,
+            ).over(w_run),
+        )
         .filter(F.col("table_id") >= 1)
-    )
-
-    titles = df.filter("opens").select(
-        *part, "table_id",
-        F.trim(F.regexp_extract("clean", P.JAVA_TABLE_TITLE, 1)).alias("title"),
     )
 
     data = df.filter(~F.col("is_title"))
@@ -253,7 +266,12 @@ def extract_tables_sql(
             w_grp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
         ),
     )
-    rows = data.groupBy(*part, "table_id", "grp", "row_id").agg(
+    # grouping keys are a superset of the window partition keys, so the
+    # existing hashpartitioning satisfies the aggregate's distribution —
+    # map-side partials, no new exchange. `title` is functionally
+    # dependent on (part, table_id); carrying it as a grouping key is
+    # free and avoids any join.
+    rows = data.groupBy(*part, "table_id", "title", "grp", "row_id").agg(
         F.min("page_id").alias("row_page_id") if per_doc
         else F.first("page_id").alias("row_page_id"),
         F.transform(
@@ -264,8 +282,7 @@ def extract_tables_sql(
     # within a table, rows from a later (continued-title) group follow
     # earlier groups; renumber by (grp, row_id).
     w_tbl = Window.partitionBy(*part, "table_id").orderBy("grp", "row_id")
-    rows = rows.withColumn("row_id", F.row_number().over(w_tbl))
-    out = rows.join(titles, [*part, "table_id"], "inner")
+    out = rows.withColumn("row_id", F.row_number().over(w_tbl))
     if per_doc:
         out = out.withColumn("page_id", F.col("row_page_id"))
     return out.select("doc_id", "page_id", "table_id", "title", "row_id", "cells")

@@ -323,6 +323,30 @@ def test_j2_matches_reference_transliteration(spark, fixture_dir):
     assert not any("stale first write" in t for t in titles)
 
 
+def test_j2_no_cross_document_title_match(spark):
+    """Both join sides of match_table_titles descend from the same
+    elements scan, so the doc_id equi-join relies on self-join
+    disambiguation (Spark logs a trivially-true-predicate warning on
+    the unaliased form). Pin the semantics: docA's table parent-probes
+    key 'k1', which only docB's title dict contains — a cross-document
+    match would steal docB's title; the correct result is docA '' and
+    docB unmatched-table ''."""
+    from pdfspark.operators.table_titles import match_table_titles
+
+    el = spark.createDataFrame(
+        [
+            ("docA", "tA", "Table", "k1", None, 0),
+            ("docB", "nB", "NarrativeText", "k1", "Title B", 0),
+            ("docB", "tB", "Table", None, None, 1),
+        ],
+        "doc_id string, element_id string, etype string,"
+        " parent_id string, text string, ord int",
+    )
+    got = {(r.doc_id, r.element_id): r.title
+           for r in match_table_titles(el).collect()}
+    assert got == {("docA", "tA"): "", ("docB", "tB"): ""}
+
+
 # --- J1 relational heading lookup ------------------------------------------
 
 def test_j1_relational_equals_find_section_by_heading(spark):

@@ -239,11 +239,6 @@ def minhash_verified(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
-def _hexdig(c):
-    """hex char -> 0..15, identical in Spark and DuckDB (strpos)."""
-    return F.instr(F.lit("0123456789abcdef"), c) - 1
-
-
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """32-bit SimHash as a bit-string column.
 
@@ -253,9 +248,29 @@ def simhash_signatures(docs: DataFrame) -> DataFrame:
     the bit is 1 iff the sum is positive.
     """
     toks = word_shingles(docs, n=2).withColumnRenamed("shingle", "tok")
+    # hex digits via integer shift/mask over four conv()-folded 32-bit
+    # chunks instead of 32 substring+instr string ops per row: the
+    # digit values are identical (digit p = (chunk[p/8] >> 4*(7-p%8))
+    # & 15), so the per-row addends — and therefore the sums the
+    # DuckDB oracle checks — are bit-for-bit unchanged; only the
+    # Spark-side expression tree gets cheaper. The oracle keeps its
+    # positional-digit form.
     h = F.md5(F.col("tok"))
+    toks = toks.select(
+        "doc_id",
+        *[
+            F.conv(F.substring(h, 8 * c + 1, 8), 16, 10)
+            .cast("bigint")
+            .alias(f"ck{c}")
+            for c in range(SIMHASH_HEX // 8)
+        ],
+    )
     aggs = [
-        F.sum(_hexdig(F.substring(h, p + 1, 1)) - F.lit(7.5)).alias(f"s{p}")
+        F.sum(
+            F.shiftright(F.col(f"ck{p // 8}"), 4 * (7 - p % 8))
+            .bitwiseAND(F.lit(15))
+            - F.lit(7.5)
+        ).alias(f"s{p}")
         for p in range(SIMHASH_HEX)
     ]
     sums = toks.groupBy("doc_id").agg(*aggs)
@@ -298,12 +313,11 @@ def simhash_candidates(docs: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    # positional compare (engine-portable; avoids split-on-empty quirks)
-    ham = sum(
-        F.when(
-            F.substring("sh_a", p + 1, 1) != F.substring("sh_b", p + 1, 1), 1
-        ).otherwise(0)
-        for p in range(SIMHASH_HEX)
+    # popcount of the XOR of the two bit-strings as integers — equal by
+    # definition to the positional compare the DuckDB oracle keeps
+    ham = F.bit_count(
+        F.conv(F.col("sh_a"), 2, 10).cast("bigint")
+        .bitwiseXOR(F.conv(F.col("sh_b"), 2, 10).cast("bigint"))
     )
     # both full signatures ride along: the candidate pairs then verify
     # the signature op end-to-end (not just the banded prefix)

@@ -269,11 +269,16 @@ def curate_documents(
         F.col("keeper_doc_id").alias("doc_id")
     )
     q = quality_scores(docs)
+    # survivors feeds three consumers (language_id's trigram side, its
+    # doc_id spine, and the final join) — without persist the dedup
+    # groupBy and the quality regex scans over the full corpus execute
+    # once per consumer (the usual diamond rule; ~5% at sf0.1 where
+    # fixed stage cost dominates, survivor-set-sized at 100 TB)
     survivors = (
         docs.select("doc_id", "text")
         .join(keep, "doc_id", "left_semi")
         .join(q.filter(F.col("quality_score") >= min_quality), "doc_id")
-    )
+    ).persist()
     lid = language_id(survivors)
     return (
         survivors.join(lid.select("doc_id", "pred_lang"), "doc_id")

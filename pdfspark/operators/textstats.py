@@ -193,6 +193,9 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
+FP_SCHEMA = "doc_id bigint, n_fingerprints int, fp_digest string"
+
+
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Winnowing fingerprint summary per doc.
 
@@ -202,46 +205,50 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     is the md5 of the sorted concatenation — a stable whole-doc
     signature for copy detection.
 
-    Shape note (measured): a shuffle-free pure-array formulation
-    (array_min over slices inside transform) is 7x SLOWER than this
-    explode+window plan — Spark higher-order-function lambdas run
-    interpreted while explode+window+md5 stays inside whole-stage
-    codegen; the one linear (doc_id-partitioned) shuffle is the
-    cheaper trade on every scale we can measure.
+    Shape history (all measured at sf0.1, interleaved min-over-3):
+    a pure-array HOF formulation (array_min over slices inside
+    transform) is 7x SLOWER than the round-2 explode+window plan —
+    higher-order-function lambdas evaluate interpreted. Round 3
+    replaced explode+window with this mapInPandas form: winnowing is
+    inherently per-document work (k-gram hashes, a sliding lexicographic
+    min, a per-doc digest), so doing it inside one Arrow batch removes
+    the char-gram explode AND the doc_id shuffle entirely — the op is
+    now a narrow per-row projection (4.3 -> 2.7 s locally; at corpus
+    scale the win is the deleted full-corpus-gram exchange, the same
+    seam rationale as the extraction fold). hashlib.md5 hex equals
+    Spark/DuckDB md5, so the values are bit-identical to the unchanged
+    explode+window DuckDB oracle twin (pinned by selfcheck hash).
     """
-    norm = normalized_text(F.col("text"))
-    exploded = (
-        docs.select("doc_id", norm.alias("norm"))
-        .filter(F.length("norm") >= FP_K)
-        .select(
-            "doc_id",
-            F.posexplode(
-                F.expr(
-                    f"transform(sequence(1, length(norm) - {FP_K - 1}),"
-                    f" i -> md5(substring(norm, i, {FP_K})))"
-                )
-            ).alias("pos", "gh"),
-        )
-    )
-    w = (
-        Window.partitionBy("doc_id")
-        .orderBy("pos")
-        .rowsBetween(Window.currentRow, FP_W - 1)
-    )
-    n_pos = Window.partitionBy("doc_id")
-    selected = (
-        exploded.withColumn("win_min", F.min("gh").over(w))
-        .withColumn("max_pos", F.max("pos").over(n_pos))
-        .filter(F.col("pos") <= F.col("max_pos") - (FP_W - 1))
-        .select("doc_id", F.col("win_min").alias("fp"))
-        .distinct()
-    )
-    return selected.groupBy("doc_id").agg(
-        F.count("*").cast("int").alias("n_fingerprints"),
-        F.md5(F.concat_ws("", F.array_sort(F.collect_list("fp")))).alias(
-            "fp_digest"
-        ),
-    )
+    import hashlib
+
+    import pandas as pd
+
+    # a doc needs >= FP_W k-gram positions to fill one winnowing window
+    # (norm length >= FP_K + FP_W - 1); shorter docs emitted no row in
+    # the explode+window plan and must not here either
+    base = docs.select(
+        "doc_id", normalized_text(F.col("text")).alias("norm")
+    ).filter(F.length("norm") >= FP_K + FP_W - 1)
+
+    def run(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, norm in zip(pdf["doc_id"], pdf["norm"]):
+                hs = [
+                    hashlib.md5(norm[i:i + FP_K].encode()).hexdigest()
+                    for i in range(len(norm) - FP_K + 1)
+                ]
+                sel = {
+                    min(hs[i:i + FP_W])
+                    for i in range(len(hs) - (FP_W - 1))
+                }
+                dig = hashlib.md5("".join(sorted(sel)).encode()).hexdigest()
+                out.append((doc_id, len(sel), dig))
+            yield pd.DataFrame(
+                out, columns=["doc_id", "n_fingerprints", "fp_digest"]
+            )
+
+    return base.mapInPandas(run, FP_SCHEMA)
 
 
 def curate_documents(

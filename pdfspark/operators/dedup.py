@@ -116,21 +116,19 @@ def _mh_coeff(tag: str, i: int) -> int:
 MH_A = [_mh_coeff("a", i) for i in range(NUM_PERM)]
 MH_B = [_mh_coeff("b", i) for i in range(NUM_PERM)]
 # 16^(6-p) weights for folding the first 7 md5 hex digits into an int
+# (used by the DuckDB oracle's positional-digit formulation; the Spark
+# side parses the same integer with one conv(), see _shingle_int)
 MH_POW16 = [16 ** (6 - p) for p in range(7)]
 
 
 def _shingle_int(shingle_col):
-    """First 7 md5 hex digits as a 28-bit integer (engine-portable:
-    positional strpos-based digit fold, no hex-cast builtins)."""
-    md5h = F.md5(shingle_col)
-    digit = lambda p: F.instr(  # noqa: E731
-        F.lit("0123456789abcdef"), F.substring(md5h, p + 1, 1)
-    ) - 1
-    out = None
-    for p, w in enumerate(MH_POW16):
-        term = digit(p).cast("bigint") * F.lit(w)
-        out = term if out is None else out + term
-    return out
+    """First 7 md5 hex digits as a 28-bit integer. Spark side parses
+    them in one conv() call — the same value as the positional
+    16^(6-p) digit fold the DuckDB oracle keeps (base-16 parse IS that
+    fold), at 1/7th the string ops per shingle row."""
+    return F.conv(F.substring(F.md5(shingle_col), 1, 7), 16, 10).cast(
+        "bigint"
+    )
 
 
 def minhash_signatures(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:

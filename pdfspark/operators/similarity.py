@@ -300,7 +300,10 @@ def neardup_lsh(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
         .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
-    e = emb.select("vec_id", _as_double(F.col("embedding")).alias("v"))
+    # raw float32 arrays into the Arrow verify stage: _mat's float64
+    # widening is exact, so values equal the _as_double form without
+    # the corpus-wide interpreted cast (and at half the Arrow bytes)
+    e = emb.select("vec_id", F.col("embedding").alias("v"))
     ea = e.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"))
     eb = e.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"))
     pairs = cands.join(ea, "vec_a").join(eb, "vec_b")
@@ -520,8 +523,12 @@ def ivf_topk_euclidean(
     query-side NPROBE expansion stays a tiny HOF expression."""
     import pandas as pd
 
+    # corpus side stays raw float32 into the NumPy kernels (exact
+    # float64 widening in _mat, same values as _as_double, no
+    # corpus-wide interpreted cast); the tiny broadcast query side
+    # keeps the double cast for the _nearest_cells HOF expression
     e = with_cells(
-        emb.select("vec_id", _as_double(F.col("embedding")).alias("v")),
+        emb.select("vec_id", F.col("embedding").alias("v")),
         cents=centroids,
     )
     q = queries.select(
@@ -578,8 +585,9 @@ def ivf_topk_cosine(
     (bit-equal to the HOF twin the oracle encodes)."""
     import pandas as pd
 
+    # corpus raw float32 into the kernels (see ivf_topk_euclidean note)
     e = with_cells(
-        emb.select("vec_id", _as_double(F.col("embedding")).alias("v")),
+        emb.select("vec_id", F.col("embedding").alias("v")),
         cents=centroids,
     )
     q = queries.select(

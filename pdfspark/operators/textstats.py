@@ -232,9 +232,6 @@ def token_counts(docs: DataFrame) -> DataFrame:
     )
 
 
-FP_SCHEMA = "doc_id bigint, n_fingerprints int, fp_digest string"
-
-
 def fingerprints(docs: DataFrame) -> DataFrame:
     """Winnowing fingerprint summary per doc.
 
@@ -259,6 +256,7 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     explode+window DuckDB oracle twin (pinned by selfcheck hash).
     """
     import hashlib
+    from collections import deque
 
     import pandas as pd
 
@@ -269,25 +267,41 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         "doc_id", normalized_text(F.col("text")).alias("norm")
     ).filter(F.length("norm") >= FP_K + FP_W - 1)
 
+    schema = T.StructType(
+        [T.StructField("doc_id", docs.schema["doc_id"].dataType),
+         T.StructField("n_fingerprints", T.IntegerType()),
+         T.StructField("fp_digest", T.StringType())]
+    )
+
     def run(batches):
         for pdf in batches:
             out = []
             for doc_id, norm in zip(pdf["doc_id"], pdf["norm"]):
-                hs = [
-                    hashlib.md5(norm[i:i + FP_K].encode()).hexdigest()
-                    for i in range(len(norm) - FP_K + 1)
-                ]
-                sel = {
-                    min(hs[i:i + FP_W])
-                    for i in range(len(hs) - (FP_W - 1))
-                }
+                # sliding-window min via a monotonic deque: live state is
+                # <= FP_W hashes plus the selected set (~2/FP_W of the
+                # positions), never the full per-position hash list — a
+                # skewed multi-MB doc must not cost 32 bytes of hex per
+                # character inside one Arrow batch. Tie handling is
+                # irrelevant to the result: only the min VALUE enters the
+                # set, so this equals min(hs[i:i+FP_W]) per window.
+                sel = set()
+                dq = deque()  # (pos, hash), hashes strictly increasing
+                for i in range(len(norm) - FP_K + 1):
+                    h = hashlib.md5(norm[i:i + FP_K].encode()).hexdigest()
+                    while dq and dq[-1][1] >= h:
+                        dq.pop()
+                    dq.append((i, h))
+                    if dq[0][0] <= i - FP_W:
+                        dq.popleft()
+                    if i >= FP_W - 1:
+                        sel.add(dq[0][1])
                 dig = hashlib.md5("".join(sorted(sel)).encode()).hexdigest()
                 out.append((doc_id, len(sel), dig))
             yield pd.DataFrame(
                 out, columns=["doc_id", "n_fingerprints", "fp_digest"]
             )
 
-    return base.mapInPandas(run, FP_SCHEMA)
+    return base.mapInPandas(run, schema)
 
 
 def curate_documents(

@@ -43,7 +43,10 @@ _SHOW_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj|\[(.*?)\]\s*TJ",
                       re.DOTALL)
 _TJ_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
 _STREAM_START_RE = re.compile(rb"stream(\r\n|\n)")
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?!\s+0\s+R)")
+# (?![0-9]) pins the full number first — without it, backtracking lets
+# a multi-digit indirect length like "/Length 50 0 R" match a truncated
+# "5" ("0 0 R" fails the lookahead's \s+, so the prefix sneaks through)
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+0\s+R)")
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/\w+)")
 
 _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
@@ -155,18 +158,26 @@ def _content_stream(cbody: bytes) -> bytes:
     check below fails and the doc quarantines — never a wrong parse).
     Falls back to the endstream scan for length-less uncompressed
     payloads. Any filter other than a single FlateDecode (optionally
-    as a one-element array) raises, and the caller quarantines."""
-    fm = _FILTER_RE.search(cbody)
+    as a one-element array) raises, and the caller quarantines —
+    including a /Filter whose value the dict regex cannot read (an
+    indirect reference like ``/Filter 9 0 R``): treating it as
+    unfiltered would silently drop the page text. Dict keys are only
+    searched in the prefix before ``stream`` so binary stream bytes
+    can never fake a /Filter or /Length."""
+    m = _STREAM_START_RE.search(cbody)
+    if m is None:
+        raise ValueError("content object without stream")
+    sdict = cbody[:m.start()]
     inflate = False
-    if fm is not None:
+    if b"/Filter" in sdict:
+        fm = _FILTER_RE.search(sdict)
+        if fm is None:
+            raise ValueError("unreadable stream filter")
         names = re.findall(rb"/(\w+)", fm.group(1))
         if names != [b"FlateDecode"]:
             raise ValueError("unsupported stream filter")
         inflate = True
-    m = _STREAM_START_RE.search(cbody)
-    if m is None:
-        raise ValueError("content object without stream")
-    lm = _LENGTH_RE.search(cbody[:m.start()])
+    lm = _LENGTH_RE.search(sdict)
     data = None
     if lm is not None:
         want = int(lm.group(1))

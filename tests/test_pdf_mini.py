@@ -93,6 +93,35 @@ def test_pdf_unsupported_filter_quarantines():
         decode_tiny_pdf(lzw)
 
 
+def test_pdf_indirect_filter_quarantines():
+    """A /Filter whose value is an indirect reference can't be resolved
+    by the dict regex; it must quarantine, not silently decode to a
+    text-less page (the compressed text would be dropped)."""
+    pdf = build_tiny_pdf("zind", [["hidden text"]], compress=True)
+    ind = pdf.replace(b"/Filter /FlateDecode", b"/Filter 99 0 R")
+    with pytest.raises(ValueError, match="unreadable stream filter"):
+        decode_tiny_pdf(ind)
+
+
+def test_pdf_indirect_length_not_prefix_matched():
+    """Backtracking must not let '/Length 50 0 R' match a truncated
+    '5' — the indirect form is rejected whole, multi-digit or not."""
+    from pdfspark.sources.pdf_mini import _LENGTH_RE
+
+    assert _LENGTH_RE.search(b"/Length 50 0 R") is None
+    assert _LENGTH_RE.search(b"/Length 5 0 R") is None
+    m = _LENGTH_RE.search(b"/Length 50")
+    assert m is not None and m.group(1) == b"50"
+    # an indirect /Length on a real PDF still decodes via the
+    # endstream-scan fallback for uncompressed streams
+    pdf = build_tiny_pdf("zlen", [["some line"]], compress=False)
+    n = len(b"BT\n/F1 12 Tf\n72 720 Td\n(some line) Tj\n0 -14 Td\nET")
+    ind = pdf.replace(b"<< /Length %d >>" % n, b"<< /Length 50 0 R >>")
+    out = decode_tiny_pdf(ind)
+    texts = [s["text"] for s in out["spans"] if s["kind"] == "TextBox"]
+    assert texts == ["some line"]
+
+
 def test_pdf_corrupt_deflate_quarantines():
     """Valid PDF skeleton, /FlateDecode filter, garbage stream bytes
     (same length, so /Length stays consistent) must quarantine."""

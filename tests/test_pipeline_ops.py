@@ -145,6 +145,44 @@ def test_fingerprints_short_doc_boundary(spark):
     assert rows[4].n_fingerprints == 1
 
 
+def test_fingerprints_rolling_min_equals_naive(spark):
+    """The monotonic-deque sliding min must equal the naive
+    min-per-window winnowing on adversarial inputs (repeats, strictly
+    descending hash runs, ties), and string doc_ids must pass through
+    (the kernel's output schema derives from the input, not a
+    hardcoded bigint)."""
+    import hashlib
+    import random
+
+    from pdfspark.operators.textstats import FP_K, FP_W, fingerprints
+
+    rng = random.Random(7)
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 3,
+        "aabbccddeeff" * 5,
+        "".join(rng.choice("abcdef ") for _ in range(400)),
+        "abcabcabcabcabcabcabcabc",
+    ]
+    docs = spark.createDataFrame(
+        [(f"doc-{i}", t) for i, t in enumerate(texts)],
+        "doc_id string, text string",
+    )
+    rows = {r.doc_id: r for r in fingerprints(docs).collect()}
+
+    import re as _re
+    for i, t in enumerate(texts):
+        # mirror dedup.normalized_text: lower -> non-alnum runs to one
+        # space -> trim
+        norm = _re.sub(r"[^a-z0-9]+", " ", t.lower()).strip()
+        hs = [hashlib.md5(norm[j:j + FP_K].encode()).hexdigest()
+              for j in range(len(norm) - FP_K + 1)]
+        sel = {min(hs[j:j + FP_W]) for j in range(len(hs) - (FP_W - 1))}
+        dig = hashlib.md5("".join(sorted(sel)).encode()).hexdigest()
+        r = rows[f"doc-{i}"]
+        assert r.n_fingerprints == len(sel)
+        assert r.fp_digest == dig
+
+
 def test_ann_planted_neighbor_is_top1(emb_all):
     """The noised copy of each query vector must be its top cosine hit."""
     queries = emb_all.filter(

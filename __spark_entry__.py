@@ -343,19 +343,28 @@ def _q_sections(spark, sf_dir):
 
 
 def _q_extract_spans(spark, sf_dir):
-    """North-rule flagship: exact extraction fold (mapInPandas) with
-    the skew splitter engaged, one row per output span. Runs the
-    exploded-rows skew path (no nested-array reassembly — 4.8x faster
-    than the array-collecting variant on a 1M-span pathology). The
-    DuckDB oracle replicates the quirk-mode semantics relationally
-    (labels are state-free, see pdfspark/fold.py)."""
+    """North-rule flagship: exact extraction fold (mapInPandas), one
+    row per output span, behind the adaptive skew route (same shape as
+    the sections query): a max-span-count probe engages the
+    exploded-rows skew splitter only when a doc crosses the straggler
+    threshold. Unlike sections (where routing won ~1 s), local sf0.1
+    A/B is a wash (interleaved mins 3.4 vs 3.4 s) — the win here is
+    the scale shape: the unskewed route scans the doc table once
+    instead of three filtered times, and on Iceberg the probe is
+    manifest-statistics-only while the deleted branches are real
+    scans of a 100 TB table. Chunking a merely-large doc (20k spans
+    folds in ~0.2 s in one task) measured as a net loss, hence the
+    straggler-only default threshold. The skew path itself stays
+    driver-exercised by the scaling job (extract_spans_split x48) and
+    pinned equal by the forced-threshold tests. The DuckDB oracle
+    replicates the quirk-mode semantics relationally (labels are
+    state-free, see pdfspark/fold.py)."""
     from pdfspark.operators.boilerplate import all_doc_headers_footers
-    from pdfspark.operators.extract import extract_spans_split_rows
+    from pdfspark.operators.extract import extract_spans_auto
 
     geom = _geom(spark, sf_dir)
     hf = all_doc_headers_footers(geom)
-    return extract_spans_split_rows(_docs_in(spark, sf_dir), hf,
-                                    skew_threshold=2000, spans_per_chunk=512)
+    return extract_spans_auto(_docs_in(spark, sf_dir), hf)
 
 
 def _q_extract_spans_sql(spark, sf_dir):

@@ -905,6 +905,48 @@ def extract_sections_auto(
                                   skew_threshold, spans_per_chunk)
 
 
+def extract_spans_auto(
+    documents_in: DataFrame,
+    header_footer_df: DataFrame | None = None,
+    cfg: ExtractConfig = ExtractConfig(),
+    skew_threshold: int = SKEW_SPAN_THRESHOLD,
+    spans_per_chunk: int = 1024,
+) -> DataFrame:
+    """Driver-side adaptive routing for the exploded-row span output —
+    the same probe-then-route shape as extract_sections_auto: when NO
+    doc crosses the skew threshold, the split subtree (three filtered
+    scans of the doc table, a persisted chunk-rows diamond, the
+    prefix-sum join) buys nothing, so run the plain salted fold and
+    posexplode it. Locally this is a wash (sf0.1 interleaved mins
+    within noise of each other — the exploded-row split never had the
+    sections path's empty-branch penalty); the point is the scale
+    shape: one scan instead of three on the unskewed route, and on a
+    production Iceberg table the probe reads per-file element-count
+    bounds from manifest statistics instead of scanning at all. Both
+    routes emit identical rows: the split path's small-doc branch IS
+    this fold (pinned by the forced-threshold test).
+    """
+    mx = (
+        documents_in.select(F.max(F.size("spans")).alias("m")).first().m
+        or 0
+    )
+    if mx > skew_threshold:
+        return extract_spans_split_rows(documents_in, header_footer_df,
+                                        cfg, skew_threshold,
+                                        spans_per_chunk)
+    return (
+        extract_documents(documents_in, header_footer_df, cfg)
+        .select("doc_id", F.posexplode("spans").alias("_i", "s"))
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+
+
 def extract_spans_split_rows(
     documents_in: DataFrame,
     header_footer_df: DataFrame | None = None,

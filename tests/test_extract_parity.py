@@ -200,6 +200,27 @@ def test_sections_auto_routes_equal(spark, documents_in, spans_geom):
     assert hi == lo
 
 
+def test_spans_auto_routes_equal(spark, documents_in, spans_geom):
+    """The flagship's adaptive route must emit identical span rows
+    whichever plan the probe picks (high threshold -> plain fold +
+    posexplode, forced low -> exploded-rows split path)."""
+    from pdfspark.operators.extract import extract_spans_auto
+
+    hf = all_doc_headers_footers(spans_geom)
+
+    def key(df):
+        rows = df.collect()
+        return sorted(
+            (r.doc_id, r.offset, r.kind, r.text, r.media_ref)
+            for r in rows
+        )
+
+    hi = key(extract_spans_auto(documents_in, hf, skew_threshold=10**9))
+    lo = key(extract_spans_auto(documents_in, hf, skew_threshold=500,
+                                spans_per_chunk=200))
+    assert hi == lo
+
+
 def test_sections_split_cutoff_doc_single_row(spark):
     """A big doc whose spans are ALL removed by the start_page cutoff
     (and one whose TOC survives) must come out of the sections split

@@ -32,8 +32,17 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 EMB_DIM = 64
-NUM_PLANES = 16
-PLANE_BANDS = 4  # 4 bands x 4 bits
+NUM_PLANES = 128
+PLANE_BANDS = 8  # 8 bands x 16 bits
+# Band width is the scale lever for neardup_lsh: expected FALSE
+# candidates for a random corpus are ~ bands * C(N,2) / 2^width, so
+# 4-bit bands (the original config) made the band self-join
+# near-quadratic — measured 513,741 candidate pairs from the 2,080
+# fixture vectors (25% of ALL pairs) vs 662 at 16-bit bands, with
+# planted-pair recall 1.0 in both (planted cosines ~0.999; theoretical
+# recall at the 0.99 contract threshold: 1-(1-p^16)^8 = 0.994 with
+# p = 1 - arccos(0.99)/pi). Width should grow ~log2(N) at production
+# scale; bands buy recall back linearly in cost.
 
 
 def _plane(p: int, dim: int = EMB_DIM) -> list[float]:

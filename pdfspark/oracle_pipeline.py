@@ -385,11 +385,14 @@ FROM ranked WHERE rank <= {k}
 
 def neardup_lsh_sql(fix: str, threshold: float = 0.99) -> str:
     w = NUM_PLANES // PLANE_BANDS
-    bits = " || ".join(
+    # variadic concat, not a || chain: DuckDB binds a || b || c ... as
+    # nested binary calls and hits its 128-deep binder recursion limit
+    # at NUM_PLANES=128
+    bits = "concat(" + ", ".join(
         f"CASE WHEN {_dot('v', f'({plane_sql_literal(p)}::DOUBLE[])')} > 0"
         f" THEN '1' ELSE '0' END"
         for p in range(NUM_PLANES)
-    )
+    ) + ")"
     band_rows = "\n  UNION ALL\n  ".join(
         f"SELECT vec_id, {b} AS band, substr(sig, {b * w + 1}, {w})"
         f" AS band_bits FROM vsig"

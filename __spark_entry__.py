@@ -354,17 +354,21 @@ def _q_extract_spans(spark, sf_dir):
     manifest-statistics-only while the deleted branches are real
     scans of a 100 TB table. Chunking a merely-large doc (20k spans
     folds in ~0.2 s in one task) measured as a net loss, hence the
-    straggler-only default threshold. The skew path itself stays
-    driver-exercised by the scaling job (extract_spans_split x48) and
-    pinned equal by the forced-threshold tests. The DuckDB oracle
-    replicates the quirk-mode semantics relationally (labels are
-    state-free, see pdfspark/fold.py)."""
+    same straggler-only 50k threshold as the sections query (the
+    function default, 4096, would mis-route the planted 20k-span
+    sf0.1 doc onto the chunk machinery). The skew path itself
+    (extract_spans_split_rows) is pinned equal to this route by the
+    forced-threshold tests; its array-collecting sibling
+    extract_spans_split is what the bench scaling job drives. The
+    DuckDB oracle replicates the quirk-mode semantics relationally
+    (labels are state-free, see pdfspark/fold.py)."""
     from pdfspark.operators.boilerplate import all_doc_headers_footers
     from pdfspark.operators.extract import extract_spans_auto
 
     geom = _geom(spark, sf_dir)
     hf = all_doc_headers_footers(geom)
-    return extract_spans_auto(_docs_in(spark, sf_dir), hf)
+    return extract_spans_auto(_docs_in(spark, sf_dir), hf,
+                              skew_threshold=50_000)
 
 
 def _q_extract_spans_sql(spark, sf_dir):

@@ -159,6 +159,35 @@ CHUNKED_SPANS = T.StructType(
 )
 
 
+def _max_span_count(documents_in: DataFrame) -> int:
+    """Corpus-wide max spans-per-doc — the probe both *_auto routers
+    share. One aggregate locally; on a production Iceberg table this
+    reads per-file element-count bounds from manifest statistics
+    instead of scanning."""
+    return (
+        documents_in.select(F.max(F.size("spans")).alias("m")).first().m
+        or 0
+    )
+
+
+def _explode_span_rows(folded: DataFrame) -> DataFrame:
+    """Nested (doc_id, spans) -> one flat row per span — the single
+    source of truth for the exploded span-row projection, shared by
+    extract_spans_auto's unskewed route and extract_spans_split_rows'
+    small-doc branch (route equality depends on both emitting the
+    exact same shape)."""
+    return (
+        folded.select("doc_id", F.posexplode("spans").alias("_i", "s"))
+        .select(
+            "doc_id",
+            F.col("s.offset").alias("offset"),
+            F.col("s.kind").alias("kind"),
+            F.col("s.text").alias("text"),
+            F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+
+
 def _split_inputs(documents_in, header_footer_df, skew_threshold):
     """(small, big, big_bad) partition of the input by size and the
     DecodeError quarantine marker. A pathologically large doc can
@@ -893,10 +922,7 @@ def extract_sections_auto(
     only. Both routes emit identical rows (the split path's small-doc
     branch IS the sequential fold; equality of the chunked branch is
     pinned by the forced-threshold tests)."""
-    mx = (
-        documents_in.select(F.max(F.size("spans")).alias("m")).first().m
-        or 0
-    )
+    mx = _max_span_count(documents_in)
     if mx <= skew_threshold:
         return extract_documents(documents_in, header_footer_df, cfg).select(
             "doc_id", "status", "sections"
@@ -926,24 +952,13 @@ def extract_spans_auto(
     routes emit identical rows: the split path's small-doc branch IS
     this fold (pinned by the forced-threshold test).
     """
-    mx = (
-        documents_in.select(F.max(F.size("spans")).alias("m")).first().m
-        or 0
-    )
+    mx = _max_span_count(documents_in)
     if mx > skew_threshold:
         return extract_spans_split_rows(documents_in, header_footer_df,
                                         cfg, skew_threshold,
                                         spans_per_chunk)
-    return (
+    return _explode_span_rows(
         extract_documents(documents_in, header_footer_df, cfg)
-        .select("doc_id", F.posexplode("spans").alias("_i", "s"))
-        .select(
-            "doc_id",
-            F.col("s.offset").alias("offset"),
-            F.col("s.kind").alias("kind"),
-            F.col("s.text").alias("text"),
-            F.col("s.media_ref").alias("media_ref"),
-        )
     )
 
 
@@ -974,17 +989,9 @@ def extract_spans_split_rows(
     # big+bad docs: quarantined, no span rows at all (exploded shape
     # has no empty-doc rows by definition)
 
-    small_out = (
+    small_out = _explode_span_rows(
         small.repartition(F.xxhash64("doc_id"))
         .mapInPandas(_fold_batches(cfg), EXTRACT_FULL)
-        .select("doc_id", F.posexplode("spans").alias("_i", "s"))
-        .select(
-            "doc_id",
-            F.col("s.offset").alias("offset"),
-            F.col("s.kind").alias("kind"),
-            F.col("s.text").alias("text"),
-            F.col("s.media_ref").alias("media_ref"),
-        )
     )
 
     folded = _fold_big_chunks(big, cfg, spans_per_chunk)

@@ -289,8 +289,8 @@ def neardup_lsh(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
     cosine verification of candidates only."""
     w = NUM_PLANES // PLANE_BANDS
     sigs = hyperplane_signature(emb)
-    # persist across the self-join: the 16 hyperplane dot products per
-    # vector must not be recomputed once per join side
+    # persist across the self-join: the NUM_PLANES (128) hyperplane dot
+    # products per vector must not be recomputed once per join side
     bands = sigs.select(
         "vec_id",
         F.posexplode(

@@ -221,6 +221,33 @@ def test_spans_auto_routes_equal(spark, documents_in, spans_geom):
     assert hi == lo
 
 
+def test_spans_auto_routing_choice(spark, documents_in, spans_geom,
+                                   monkeypatch):
+    """The probe must pick the one-scan sequential fold when no doc
+    crosses the threshold, and the split path only when one does —
+    the round-3 review caught the flagship call site shipping with a
+    threshold below the planted sf-fixture doc, silently putting the
+    whole corpus on the chunk machinery."""
+    import pdfspark.operators.extract as X
+
+    hf = all_doc_headers_footers(spans_geom)
+
+    def boom(*a, **k):
+        raise AssertionError("split path engaged")
+
+    # no doc crosses: the split path must NOT be touched
+    monkeypatch.setattr(X, "extract_spans_split_rows", boom)
+    assert X.extract_spans_auto(documents_in, hf,
+                                skew_threshold=10**9).count() > 0
+
+    # a doc crosses: the split path MUST be the route
+    sentinel = object()
+    monkeypatch.setattr(X, "extract_spans_split_rows",
+                        lambda *a, **k: sentinel)
+    assert X.extract_spans_auto(documents_in, hf,
+                                skew_threshold=1) is sentinel
+
+
 def test_sections_split_cutoff_doc_single_row(spark):
     """A big doc whose spans are ALL removed by the start_page cutoff
     (and one whose TOC survives) must come out of the sections split

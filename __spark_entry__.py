@@ -64,7 +64,7 @@ def entry(spark: SparkSession) -> DataFrame:
     """Flagship: span-ize the sf0.001 documents table, union with the
     layout fixtures, run boilerplate-strip -> classify -> section
     fill-down -> section assembly; returns the sections table."""
-    from pdfspark.operators.boilerplate import all_doc_headers_footers
+    from pdfspark.operators.boilerplate import header_footer
     from pdfspark.operators.classify import (
         classify_spans,
         explode_documents,
@@ -81,7 +81,7 @@ def entry(spark: SparkSession) -> DataFrame:
     all_docs = spanized.unionByName(fixture_docs)
 
     geom = _geom(spark, sf_dir)
-    hf = all_doc_headers_footers(geom)
+    hf = header_footer(geom)
 
     spans = explode_documents(all_docs)
     spans = strip_boilerplate(spans, hf)
@@ -190,11 +190,11 @@ def _q_embeddings_upsert(spark, sf_dir):
 
 
 def _tables_sql(spark, sf_dir):
-    from pdfspark.operators.boilerplate import all_doc_headers_footers
+    from pdfspark.operators.boilerplate import header_footer
     from pdfspark.operators.tables import extract_tables_sql
 
     geom = _geom(spark, sf_dir)
-    hf = all_doc_headers_footers(geom)
+    hf = header_footer(geom)
     return extract_tables_sql(geom, hf)
 
 
@@ -214,11 +214,11 @@ def _q_tables_doc_scope(spark, sf_dir):
     """EP3 doc-scope variant (ref textboxes_to_tabular_json fed the
     whole doc stream): continued titles do NOT open a table; their
     rows continue the current one across pages."""
-    from pdfspark.operators.boilerplate import all_doc_headers_footers
+    from pdfspark.operators.boilerplate import header_footer
     from pdfspark.operators.tables import extract_tables_sql
 
     geom = _geom(spark, sf_dir)
-    hf = all_doc_headers_footers(geom)
+    hf = header_footer(geom)
     t = extract_tables_sql(geom, hf, scope="doc")
     return t.select(
         "doc_id",
@@ -246,11 +246,11 @@ def _q_tables_merged(spark, sf_dir):
 def _q_tables_exact(spark, sf_dir):
     """Exact-parity fold (applyInPandas) — no SQL oracle; checked by
     pytest against the pure-Python oracle instead (rows-only here)."""
-    from pdfspark.operators.boilerplate import all_doc_headers_footers
+    from pdfspark.operators.boilerplate import header_footer
     from pdfspark.operators.tables import extract_tables_exact
 
     geom = _geom(spark, sf_dir)
-    hf = all_doc_headers_footers(geom)
+    hf = header_footer(geom)
     t = extract_tables_exact(geom, hf)
     return t.select(
         "doc_id", "page_id", "table_id", "title", "row_id",
@@ -277,7 +277,7 @@ def _q_toc_skeleton(spark, sf_dir):
 
 
 def _classified(spark, sf_dir):
-    from pdfspark.operators.boilerplate import all_doc_headers_footers
+    from pdfspark.operators.boilerplate import header_footer
     from pdfspark.operators.classify import (
         classify_spans,
         explode_documents,
@@ -286,7 +286,7 @@ def _classified(spark, sf_dir):
     )
 
     geom = _geom(spark, sf_dir)
-    hf = all_doc_headers_footers(geom)
+    hf = header_footer(geom)
     spans = explode_documents(_docs_in(spark, sf_dir))
     spans = strip_boilerplate(spans, hf)
     return with_current_section(classify_spans(spans))
@@ -362,11 +362,11 @@ def _q_extract_spans(spark, sf_dir):
     extract_spans_split is what the bench scaling job drives. The
     DuckDB oracle replicates the quirk-mode semantics relationally
     (labels are state-free, see pdfspark/fold.py)."""
-    from pdfspark.operators.boilerplate import all_doc_headers_footers
+    from pdfspark.operators.boilerplate import header_footer
     from pdfspark.operators.extract import extract_spans_auto
 
     geom = _geom(spark, sf_dir)
-    hf = all_doc_headers_footers(geom)
+    hf = header_footer(geom)
     return extract_spans_auto(_docs_in(spark, sf_dir), hf,
                               skew_threshold=50_000)
 
@@ -386,11 +386,11 @@ def _q_extract_sections(spark, sf_dir):
     (spans, sections) row is never built) — oracle = materialized
     output of the independent reference transliteration; parity is
     additionally pytest-gated (tests/test_extract_parity)."""
-    from pdfspark.operators.boilerplate import all_doc_headers_footers
+    from pdfspark.operators.boilerplate import header_footer
     from pdfspark.operators.extract import extract_sections_auto
 
     geom = _geom(spark, sf_dir)
-    hf = all_doc_headers_footers(geom)
+    hf = header_footer(geom)
     # threshold targets genuine stragglers (docs whose sequential fold
     # time rivals a whole partition, ~50k+ spans); round-3 A/B showed
     # chunking a 20k-span doc LOSES ~1 s to the chunk machinery, and
@@ -417,11 +417,11 @@ def _q_lineage(spark, sf_dir):
     table (extract.lineage_table, exercised by jobs/extract_job and its
     pytest) rolls up from. Fully SQL-oracled: spans_in/bytes_in from
     the input span arrays, spans_out from the extract-spans oracle."""
-    from pdfspark.operators.boilerplate import all_doc_headers_footers
+    from pdfspark.operators.boilerplate import header_footer
     from pdfspark.operators.extract import extract_documents
 
     geom = _geom(spark, sf_dir)
-    hf = all_doc_headers_footers(geom)
+    hf = header_footer(geom)
     out = extract_documents(_docs_in(spark, sf_dir), hf)
     return out.select(
         "doc_id",

@@ -97,7 +97,7 @@ def _scaling_job(spark, sf_dir: str, k: int):
     every stage's work grows with K — same job, bigger input."""
     from pyspark.sql import functions as F
 
-    from pdfspark.operators.boilerplate import all_doc_headers_footers
+    from pdfspark.operators.boilerplate import header_footer
     from pdfspark.operators.extract import extract_spans_split
 
     reps = spark.range(k).select(F.col("id").cast("string").alias("rep"))
@@ -107,7 +107,7 @@ def _scaling_job(spark, sf_dir: str, k: int):
     geom_k = geom.crossJoin(reps).select(
         rep_id, *[c for c in geom.columns if c != "doc_id"]
     )
-    hf_k = all_doc_headers_footers(geom_k)
+    hf_k = header_footer(geom_k)
 
     docs = E._docs_in(spark, sf_dir)
     docs_k = docs.crossJoin(reps).select(rep_id, "spans")

@@ -70,7 +70,7 @@ def main(argv=None) -> int:
     else:
         spark = build_session()
 
-    from pdfspark.operators.boilerplate import all_doc_headers_footers
+    from pdfspark.operators.boilerplate import header_footer
     from pdfspark.operators.extract import (
         extract_documents,
         lineage_table,
@@ -78,7 +78,7 @@ def main(argv=None) -> int:
     )
 
     docs = spark.read.parquet(args.input)
-    hf = all_doc_headers_footers(spark.read.parquet(args.geom)) \
+    hf = header_footer(spark.read.parquet(args.geom)) \
         if args.geom else None
 
     from pdfspark.sinks.snapshot import commit_append, read_committed

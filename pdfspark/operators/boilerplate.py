@@ -23,14 +23,29 @@ from pdfspark.config import BOTTOM_MARGIN, PAGE_H, TOP_MARGIN
 
 
 def with_page_y1(spans_geom: DataFrame) -> DataFrame:
-    """Page top edge from the PageStart marker rows (fallback PAGE_H)."""
-    w = Window.partitionBy("doc_id", "page_id")
-    return spans_geom.withColumn(
-        "page_y1",
-        F.coalesce(
-            F.max(F.when(F.col("kind") == "PageStart", F.col("y1"))).over(w),
-            F.lit(PAGE_H),
-        ),
+    """Page top edge from the PageStart marker rows (fallback PAGE_H).
+
+    An aggregate over the PageStart rows joined back, NOT a window over
+    the whole frame: a window partitioned by (doc_id, page_id) shuffles
+    every row of every kind AND blocks Catalyst from pushing the
+    callers' kind filters below it, whereas with a join the
+    ``kind == 'TextBox'`` filter reaches the scan and only the
+    one-row-per-page tops frame aggregates (AQE broadcasts it at small
+    scale; at 10^12 docs it degrades to an equi-join shuffle of
+    candidate rows only — still strictly smaller than the window's
+    all-kinds shuffle). Measured 2.2 s -> sub-second for the
+    header/footer derivation at sf0.1."""
+    tops = (
+        spans_geom.filter(F.col("kind") == "PageStart")
+        .groupBy("doc_id", "page_id")
+        .agg(F.max("y1").alias("_page_top"))
+    )
+    return (
+        spans_geom.join(tops, ["doc_id", "page_id"], "left")
+        .withColumn(
+            "page_y1", F.coalesce(F.col("_page_top"), F.lit(PAGE_H))
+        )
+        .drop("_page_top")
     )
 
 
@@ -94,7 +109,13 @@ def all_doc_headers_footers(spans_geom: DataFrame, docs: DataFrame | None = None
                             **kw) -> DataFrame:
     """header_footer() left-joined back onto the full doc list so docs
     with no margin spans get empty strings (reference initializes
-    header/footer to '', parse_util.py:421-425)."""
+    header/footer to '', parse_util.py:421-425).
+
+    Only needed when the hf table itself is the output (a1). Every
+    extract/tables/classify consumer left-joins hf onto its own doc
+    stream and fillna('')s, which makes this base join redundant
+    there — those call sites use header_footer() directly and save a
+    distinct-aggregate over the geometry table plus a join."""
     hf = header_footer(spans_geom, **kw)
     base = (docs if docs is not None else spans_geom.select("doc_id").distinct())
     return (

@@ -15,7 +15,10 @@ Behavior (all per SURVEY.md §4 / BASELINE.json north_rule):
  - salted repartition on xxhash64(doc_id) before the Arrow fold
  - skew splitter for documents above --skew-threshold spans
  - per-partition lineage rows (partition_id, doc_count, bytes_in,
-   spans_out, wall_ms) appended to --metrics
+   spans_out, wall_ms) committed to --metrics under the SAME snapshot
+   id as the data (multi-table commit; a crash between the two
+   manifest publishes is healed by reconcile_aux at the next start,
+   so committed documents can never lose their lineage rows)
  - every append is a manifest-committed snapshot
    (pdfspark/sinks/snapshot.py: staging write -> atomic rename ->
    manifest marker); --resume anti-joins against doc_ids in MANIFESTED
@@ -72,7 +75,9 @@ def main(argv=None) -> int:
 
     from pdfspark.operators.boilerplate import header_footer
     from pdfspark.operators.extract import (
+        _max_span_count,
         extract_documents,
+        extract_documents_split,
         lineage_table,
         resume_filter,
     )
@@ -81,7 +86,16 @@ def main(argv=None) -> int:
     hf = header_footer(spark.read.parquet(args.geom)) \
         if args.geom else None
 
-    from pdfspark.sinks.snapshot import commit_append, read_committed
+    from pdfspark.sinks.snapshot import (
+        commit_append,
+        read_committed,
+        reconcile_aux,
+    )
+
+    if args.metrics:
+        # a prior run may have died between the data commit and the
+        # metrics commit — republish those metrics manifests first
+        reconcile_aux(args.output, [args.metrics])
 
     if args.resume:
         # only MANIFESTED snapshots count as committed: a crash that
@@ -91,25 +105,49 @@ def main(argv=None) -> int:
         if committed is not None:
             docs = resume_filter(docs, committed)
 
-    full = extract_documents(docs, hf)
+    from pyspark.sql import functions as F
+
+    # probe-routed skew splitter (same shape as extract_spans_auto):
+    # the plain salted fold unless a doc crosses --skew-threshold
+    mx = _max_span_count(docs)
+    if mx > args.skew_threshold:
+        full = extract_documents_split(
+            docs, hf, skew_threshold=args.skew_threshold,
+            spans_per_chunk=args.spans_per_chunk,
+        )
+        # the chunk-parallel path has no per-doc fold timings (one
+        # doc's fold spans many tasks); lineage degrades to
+        # output-derived sizes with a null wall_ms, attributed to the
+        # output partition
+        full = (
+            full.withColumn("spans_out", F.size("spans").cast("long"))
+            .withColumn(
+                "bytes_in",
+                F.aggregate(
+                    "spans", F.lit(0).cast("long"),
+                    lambda a, s: a
+                    + F.length(F.coalesce(s["text"], F.lit(""))),
+                ),
+            )
+            .withColumn("partition_id", F.spark_partition_id())
+            .withColumn("wall_ms", F.lit(None).cast("double"))
+        )
+    else:
+        full = extract_documents(docs, hf)
     # persist once: spans + sections feed the output, the same pass
     # feeds the metrics aggregation (no second fold)
     full.persist()
     n = full.count()
     out = full.select("doc_id", "status", "spans", "sections")
+    aux = [(lineage_table(full), args.metrics)] if args.metrics else None
     if args.buckets > 0:
-        from pyspark.sql import functions as F
-
         out = out.withColumn(
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(args.buckets))
         )
         commit_append(out, args.output, fmt=args.format,
-                      partition_by="bucket")
+                      partition_by="bucket", aux=aux)
     else:
-        commit_append(out, args.output, fmt=args.format)
-    if args.metrics:
-        (lineage_table(full)
-            .write.mode("append").parquet(args.metrics))
+        commit_append(out, args.output, fmt=args.format, aux=aux)
     full.unpersist()
     print(f"extract_job: wrote {n} documents to {args.output}")
     return 0

@@ -50,16 +50,14 @@ def _publish(output: str, snap: str) -> None:
     os.replace(tmp, os.path.join(mdir, f"{snap}.manifest"))
 
 
-def commit_append(
-    df: DataFrame, output: str, fmt: str = "parquet",
+def _stage_snapshot(
+    df: DataFrame, output: str, snap: str, fmt: str,
     partition_by: str | None = None,
-) -> str | None:
-    """Append ``df`` to ``output`` as one atomically-committed
-    snapshot; returns the snapshot id, or None for an empty ``df``
-    (a file-less parquet snapshot cannot be read back — e.g. a resume
-    run with nothing left to do commits nothing, like an Iceberg
-    empty-append fast path)."""
-    snap = f"snap-{time.time_ns()}-{uuid.uuid4().hex[:8]}"
+) -> bool:
+    """Write ``df`` under _staging/<snap> and atomically rename into
+    place (still unmanifested). Returns False (and cleans up) when the
+    write produced no data files — a file-less parquet snapshot cannot
+    be read back."""
     staging = os.path.join(output, STAGING_DIR, snap)
     w = df.write.mode("overwrite").format(fmt)
     if partition_by:
@@ -74,11 +72,67 @@ def commit_append(
         import shutil
 
         shutil.rmtree(staging, ignore_errors=True)
+        return False
+    os.rename(staging, os.path.join(output, snap))
+    return True
+
+
+def commit_append(
+    df: DataFrame, output: str, fmt: str = "parquet",
+    partition_by: str | None = None,
+    aux: list[tuple[DataFrame, str]] | None = None,
+) -> str | None:
+    """Append ``df`` to ``output`` as one atomically-committed
+    snapshot; returns the snapshot id, or None for an empty ``df``
+    (a resume run with nothing left to do commits nothing, like an
+    Iceberg empty-append fast path).
+
+    ``aux`` — side tables (e.g. the lineage metrics) committed under
+    the SAME snapshot id, analogous to an Iceberg multi-table commit.
+    Ordering closes every crash window:
+
+        1. stage + rename the data snapshot      (unmanifested)
+        2. stage + rename each aux snapshot      (unmanifested)
+        3. publish the DATA manifest             <- commit point
+        4. publish each aux manifest
+
+    A crash before 3 leaves everything invisible (resume re-emits the
+    documents and the orphan aux dirs are never read). A crash between
+    3 and 4 leaves the aux DATA fully on disk, only its marker
+    missing — ``reconcile_aux`` republishes it on the next run, so the
+    lineage rows for a committed data snapshot can never be lost."""
+    snap = f"snap-{time.time_ns()}-{uuid.uuid4().hex[:8]}"
+    if not _stage_snapshot(df, output, snap, fmt, partition_by):
         return None
-    final = os.path.join(output, snap)
-    os.rename(staging, final)
+    aux_staged = []
+    for aux_df, aux_output in aux or []:
+        if _stage_snapshot(aux_df, aux_output, snap, "parquet"):
+            aux_staged.append(aux_output)
     _publish(output, snap)
+    for aux_output in aux_staged:
+        _publish(aux_output, snap)
     return snap
+
+
+def reconcile_aux(output: str, aux_outputs: list[str]) -> int:
+    """Close the commit protocol's last crash window: for every
+    manifested DATA snapshot whose aux snapshot directory exists but
+    whose aux manifest is missing (died between steps 3 and 4 of
+    ``commit_append``), publish the aux manifest. Run at job start
+    before reading any aux table. Returns the number published."""
+    n = 0
+    for snap in committed_snapshots(output):
+        for aux_output in aux_outputs:
+            if os.path.isdir(os.path.join(aux_output, snap)) and not (
+                os.path.isfile(
+                    os.path.join(
+                        aux_output, MANIFEST_DIR, f"{snap}.manifest"
+                    )
+                )
+            ):
+                _publish(aux_output, snap)
+                n += 1
+    return n
 
 
 def committed_snapshots(output: str) -> list[str]:

@@ -74,48 +74,52 @@ def extract_payload_stream(
             F.lit(0).cast("int").alias("offset"),
         )
     )
-    docs = (
+    from pdfspark.operators.extract import _with_hf, lineage_table
+
+    # the stream has no geometry side input: _with_hf(df, None) is the
+    # batch fold's own empty-header/footer defaulting seam, reused so
+    # the two paths cannot drift
+    docs = _with_hf(
         decoded.withColumn(
             "spans",
             F.when(F.col("status") == "ok", F.col("spans")).otherwise(err_span),
-        )
-        .withColumn("header", F.lit(""))
-        .withColumn("footer", F.lit(""))
+        ),
+        None,
     )
     folded = docs.repartition(F.xxhash64("doc_id")).mapInPandas(
         _fold_batches(cfg), EXTRACT_FULL
     )
 
-    if metrics_path is None:
-        out = folded.select("doc_id", "status", "spans", "spans_in",
-                            "spans_out")
-        q = (
-            out.writeStream.format("parquet")
-            .option("path", out_path)
-            .option("checkpointLocation", checkpoint_dir)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-    else:
-        from pdfspark.operators.extract import lineage_table
-
-        def sink(batch_df, epoch_id: int) -> None:
+    # BOTH modes sink through foreachBatch plain appends. The earlier
+    # split — streaming file sink without metrics, foreachBatch with —
+    # wrote incompatible layouts to the same out_path: the file sink's
+    # _spark_metadata log makes batch reads list only log-registered
+    # files, silently hiding anything a later foreachBatch run
+    # appended. One layout means checkpointed restarts can switch
+    # metrics on/off freely; output is at-least-once on
+    # crash-during-write either way (input stays exactly-once per file
+    # via the source checkpoint) — dedupe by doc_id downstream or let
+    # the batch job's resume anti-join reconcile.
+    def sink(batch_df, epoch_id: int) -> None:
+        write_metrics = metrics_path is not None
+        if write_metrics:
             batch_df.persist()
-            try:
-                (batch_df.select("doc_id", "status", "spans", "spans_in",
-                                 "spans_out")
-                 .write.mode("append").parquet(out_path))
+        try:
+            (batch_df.select("doc_id", "status", "spans", "spans_in",
+                             "spans_out")
+             .write.mode("append").parquet(out_path))
+            if write_metrics:
                 (lineage_table(batch_df)
                  .withColumn("epoch_id", F.lit(epoch_id).cast("long"))
                  .write.mode("append").parquet(metrics_path))
-            finally:
+        finally:
+            if write_metrics:
                 batch_df.unpersist()
 
-        q = (
-            folded.writeStream.foreachBatch(sink)
-            .option("checkpointLocation", checkpoint_dir)
-            .trigger(availableNow=True)
-            .start()
-        )
+    q = (
+        folded.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
     q.awaitTermination()

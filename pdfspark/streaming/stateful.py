@@ -9,11 +9,21 @@ tail (required so finite availableNow input flushes the last session),
 and the reader dedupes per (user_id, session_id) keeping the snapshot
 with the most events — counts are cumulative, so the last emission IS
 the complete session regardless of how many micro-batches the input
-arrived in. On a finite input the result therefore equals the batch
-gaps-and-islands result, which is exactly what the DuckDB oracle
-computes — the stateful streaming path is hash-verified, and
+arrived in. On a finite, batch-time-ordered input the result equals
+the batch gaps-and-islands result, which is exactly what the DuckDB
+oracle computes — the stateful streaming path is hash-verified, and
 tests/test_streaming.py re-verifies it under a forced multi-batch
 split (maxFilesPerTrigger=1 over two files).
+
+Out-of-order arrival ACROSS micro-batches (a later file carrying
+earlier timestamps, e.g. a backfill landing behind live data) gets
+watermark-style semantics: an event inside the open session's
+[start, end] span is absorbed (provably identical to the batch
+answer — inserting a point between two members of an island never
+splits it); an event older than the open session's start is dropped
+as late data (the batch answer would need an already-emitted session
+reopened, i.e. unbounded state). Within a batch rows are sorted, so
+this only concerns the cross-batch seam.
 
 At scale: state is keyed by user_id (hash-distributed), size O(1) per
 user; with a real unbounded source add a GroupStateTimeout to evict
@@ -22,7 +32,6 @@ idle users instead of relying on the end-of-input snapshot.
 
 from __future__ import annotations
 
-import os
 import uuid
 from collections.abc import Iterator
 
@@ -67,17 +76,31 @@ def _sessionize_group(key, pdfs: Iterator[pd.DataFrame], state: GroupState,
 
     if state.exists:
         sid, last_us, start_ts, n_ev, total, end_ts = state.get
+        start_us = (
+            pd.Timestamp(start_ts).value // 1000 if start_ts else None
+        )
     else:
         sid, last_us, start_ts, n_ev, total, end_ts = 0, None, None, 0, 0.0, None
+        start_us = None
 
     out = []
     for ts, ev, val in zip(rows["ts"], rows["event_id"], rows["value"]):
         us = ts.value // 1000
         s = ts.strftime(FMT)
+        if last_us is not None and us < last_us:
+            # out-of-order cross-batch arrival (within a batch rows
+            # are sorted). Inside the open session's span: absorb —
+            # exactly the batch gaps-and-islands answer. Older than
+            # the open session: late data, dropped (see module doc).
+            if start_us is not None and us >= start_us:
+                n_ev += 1
+                total += float(val)
+            continue
         if last_us is None or us - last_us > gap_us:
             if n_ev:
                 out.append((user_id, sid, n_ev, start_ts, end_ts, total))
             sid, start_ts, n_ev, total = sid + 1, s, 0, 0.0
+            start_us = us
         last_us, end_ts = us, s
         n_ev += 1
         total += float(val)
@@ -105,16 +128,14 @@ def sessionize_stream(
     memory sink) and return the materialized sessions.
 
     `max_files_per_trigger` forces a multi-micro-batch run (used by
-    tests to prove cross-batch session merging); `path_glob` widens the
-    file filter beyond the single basename of `events_path`."""
-    schema = spark.read.parquet(events_path).schema
-    reader = spark.readStream.schema(schema).option(
-        "pathGlobFilter", path_glob or os.path.basename(events_path)
-    )
-    if max_files_per_trigger:
-        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    tests to prove cross-batch session merging); `path_glob` overrides
+    the source's default file filter (exact basename for a file input,
+    *.parquet for a directory dataset — see streaming/source.py)."""
+    from pdfspark.streaming.source import parquet_stream
+
     stream = (
-        reader.parquet(os.path.dirname(events_path))
+        parquet_stream(spark, events_path, path_glob,
+                       max_files_per_trigger)
         .withColumn("ts", F.col("ts").cast("timestamp"))
         .select("user_id", "event_id", "ts", "value")
     )
@@ -143,7 +164,7 @@ def sessionize_stream(
     w = Window.partitionBy("user_id", "session_id").orderBy(
         F.desc("n_events"), F.desc("end_ts")
     )
-    return (
+    out = (
         spark.table(sink)
         .withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)
@@ -152,3 +173,9 @@ def sessionize_stream(
             F.round("total_value", 2).alias("total_value"),
         )
     )
+    # the memory sink pins the full result set on the driver for the
+    # session lifetime; materialize off it and drop the temp view so
+    # repeated calls don't leak one table per call
+    out = out.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out

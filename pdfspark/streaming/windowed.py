@@ -2,21 +2,27 @@
 
 The reference is strictly batch; this module shows the engine's
 streaming path on the driver's `events` table: file-source readStream
--> watermark -> tumbling-window aggregate -> availableNow trigger ->
-memory sink. On a finite input the result equals the batch
-`groupBy(window(...))`, which is what the DuckDB oracle computes —
-so even the streaming query is hash-verified.
+-> tumbling-window aggregate -> availableNow trigger -> memory sink.
+On a finite input the result equals the batch `groupBy(window(...))`,
+which is what the DuckDB oracle computes — so even the streaming
+query is hash-verified.
 
-At scale this is the standard ingestion topology: the file source
-becomes Kafka/Iceberg streaming, availableNow becomes continuous
-micro-batches, and the 10-minute watermark bounds state for late
-data. State is keyed by (window, event_type) — small cardinality, no
-skew concern.
+Output-mode honesty: this query runs in COMPLETE mode so that a
+finite availableNow drain emits every window (the oracle compares the
+full result). In complete mode a watermark would be a NO-OP — state
+is never evicted and late data is never dropped — so none is set
+here. The unbounded-source variant is the opposite trade:
+``output_mode="append"`` plus the 10-minute watermark bounds state
+and finalizes each window once, but a finite drain then emits ONLY
+windows older than the watermark (the tail stays buffered), which is
+why it is not the oracle-checked default. At scale the append+
+watermark form is the one to run continuously (file source swapped
+for Kafka/Iceberg streaming); state is keyed by (window, event_type)
+— small cardinality, no skew concern.
 """
 
 from __future__ import annotations
 
-import os
 import uuid
 
 from pyspark.sql import DataFrame, SparkSession
@@ -24,38 +30,45 @@ from pyspark.sql import functions as F
 
 
 def windowed_counts_stream(
-    spark: SparkSession, events_path: str, window: str = "1 hour"
+    spark: SparkSession, events_path: str, window: str = "1 hour",
+    output_mode: str = "complete", path_glob: str | None = None,
 ) -> DataFrame:
     """Run the windowed aggregation as a real streaming query
-    (availableNow) and return the materialized result."""
-    schema = spark.read.parquet(events_path).schema
+    (availableNow) and return the materialized result. See the module
+    docstring for the complete-vs-append trade; append mode attaches
+    the 10-minute watermark (where it actually takes effect)."""
+    from pdfspark.streaming.source import parquet_stream
+
     stream = (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", os.path.basename(events_path))
-        .parquet(os.path.dirname(events_path))
-    )
-    agg = (
         # parquet TIMESTAMP_NTZ -> TIMESTAMP (session TZ = UTC, exact)
-        stream.withColumn("ts", F.col("ts").cast("timestamp"))
-        .withWatermark("ts", "10 minutes")
-        .groupBy(F.window("ts", window).alias("w"), "event_type")
-        .agg(
-            F.count("*").cast("int").alias("n_events"),
-            F.round(F.sum("value"), 2).alias("total_value"),
-        )
+        parquet_stream(spark, events_path, path_glob)
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    )
+    if output_mode == "append":
+        stream = stream.withWatermark("ts", "10 minutes")
+    agg = stream.groupBy(
+        F.window("ts", window).alias("w"), "event_type"
+    ).agg(
+        F.count("*").cast("int").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("total_value"),
     )
     sink = f"stream_windowed_{uuid.uuid4().hex[:8]}"
     q = (
         agg.writeStream.format("memory")
         .queryName(sink)
-        .outputMode("complete")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination()
-    return spark.table(sink).select(
+    out = spark.table(sink).select(
         F.col("w.start").cast("string").alias("window_start"),
         "event_type",
         "n_events",
         "total_value",
     )
+    # the memory sink pins the result on the driver for the session
+    # lifetime; materialize off it and drop the view (no per-call leak)
+    out = out.localCheckpoint(eager=True)
+    spark.catalog.dropTempView(sink)
+    return out

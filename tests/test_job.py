@@ -61,12 +61,77 @@ def test_job_bucket_layout(job_paths):
 
 def test_job_metrics_rows(spark, job_paths):
     docs = spark.read.parquet(job_paths["input"])
-    m = spark.read.parquet(job_paths["metrics"])
+    m = _read_out(spark, job_paths["metrics"])
     assert {"partition_id", "doc_count", "bytes_in", "spans_out", "wall_ms"} \
         <= set(m.columns)
     agg = m.groupBy().sum("doc_count").collect()[0][0]
     assert agg == docs.count()
     assert all(r.wall_ms >= 0 for r in m.collect())
+    # metrics commit under the SAME snapshot id as the data
+    assert committed_snapshots(job_paths["metrics"]) == \
+        committed_snapshots(job_paths["output"])
+
+
+def test_job_skew_flag_routes_split_path(spark, job_paths, tmp_path):
+    """--skew-threshold below the corpus max must engage the
+    chunk-split path (the flags were once parsed but unused) and still
+    write every doc once, with metrics doc counts intact (wall_ms is
+    null on the split path — per-doc fold time is not attributable
+    across chunk tasks)."""
+    out = str(tmp_path / "skew_out")
+    metrics = str(tmp_path / "skew_metrics")
+    rc = main([
+        "--input", job_paths["input"], "--geom", job_paths["geom"],
+        "--output", out, "--metrics", metrics,
+        "--skew-threshold", "5", "--spans-per-chunk", "4",
+    ])
+    assert rc == 0
+    docs = spark.read.parquet(job_paths["input"])
+    o = _read_out(spark, out)
+    assert o.count() == docs.count()
+    assert o.select("doc_id").distinct().count() == docs.count()
+    m = _read_out(spark, metrics)
+    assert m.groupBy().sum("doc_count").collect()[0][0] == docs.count()
+
+
+def test_job_crash_between_data_and_metrics_manifest_heals(
+        spark, job_paths, tmp_path, monkeypatch):
+    """Kill between the data manifest publish and the metrics manifest
+    publish: the data is committed, the metrics data is on disk but
+    unmanifested. The next run's reconcile_aux must republish it —
+    sum(doc_count) over committed metrics equals the docs committed."""
+    import pdfspark.sinks.snapshot as S
+
+    out = str(tmp_path / "mcrash_out")
+    metrics = str(tmp_path / "mcrash_metrics")
+    real_publish = S._publish
+    calls = []
+
+    def dying_publish(output, snap):
+        calls.append(output)
+        if len(calls) == 2:  # data manifest published; die on metrics
+            raise RuntimeError("simulated crash before metrics manifest")
+        real_publish(output, snap)
+
+    monkeypatch.setattr(S, "_publish", dying_publish)
+    with pytest.raises(RuntimeError):
+        main([
+            "--input", job_paths["input"], "--geom", job_paths["geom"],
+            "--output", out, "--metrics", metrics,
+        ])
+    assert len(committed_snapshots(out)) == 1
+    assert committed_snapshots(metrics) == []
+
+    monkeypatch.setattr(S, "_publish", real_publish)
+    rc = main([
+        "--input", job_paths["input"], "--geom", job_paths["geom"],
+        "--output", out, "--metrics", metrics, "--resume",
+    ])
+    assert rc == 0
+    docs = spark.read.parquet(job_paths["input"])
+    assert _read_out(spark, out).count() == docs.count()
+    m = _read_out(spark, metrics)
+    assert m.groupBy().sum("doc_count").collect()[0][0] == docs.count()
 
 
 def test_job_resume_is_exactly_once(spark, job_paths):

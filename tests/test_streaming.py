@@ -160,3 +160,89 @@ def test_extract_payload_stream_metrics(spark, fixture_dir, tmp_path):
     assert m.select("epoch_id").distinct().count() >= 2  # multi-batch
     assert {"partition_id", "doc_count", "bytes_in", "spans_out",
             "wall_ms", "epoch_id"} <= set(m.columns)
+
+
+def test_stateful_stream_out_of_order_backfill(spark, tmp_path):
+    """Cross-batch out-of-order arrival (a backfill file landing after
+    live data): an event inside the open session's span is absorbed
+    (batch-identical), an event older than the open session's start is
+    dropped as late data, and end_ts never regresses."""
+    import pandas as pd
+
+    t0 = pd.Timestamp("2026-01-01 10:00:00")
+    mk = lambda rows: pd.DataFrame(
+        rows, columns=["user_id", "event_id", "ts", "value"]
+    ).astype({"user_id": "int64", "event_id": "int64", "value": "float64"})
+    live = mk([(1, 1, t0, 1.0), (1, 2, t0 + pd.Timedelta(minutes=10), 2.0)])
+    backfill = mk([
+        (1, 3, t0 + pd.Timedelta(minutes=5), 4.0),   # inside span: absorb
+        (1, 4, t0 - pd.Timedelta(hours=2), 8.0),     # before start: drop
+    ])
+    d = str(tmp_path)
+    p0, p1 = os.path.join(d, "part-0.parquet"), os.path.join(d, "part-1.parquet")
+    live.to_parquet(p0, coerce_timestamps="us")
+    backfill.to_parquet(p1, coerce_timestamps="us")
+    os.utime(p0, (1_000_000, 1_000_000))   # live batch first
+    os.utime(p1, (2_000_000, 2_000_000))   # backfill second
+
+    rows = sessionize_stream(
+        spark, p0, max_files_per_trigger=1, path_glob="part-*.parquet"
+    ).collect()
+    assert len(rows) == 1
+    (r,) = rows
+    assert r.n_events == 3                       # absorbed, not 2 or 4
+    assert r.total_value == 7.0                  # 1 + 2 + 4; 8 dropped
+    assert r.start_ts.startswith("2026-01-01 10:00:00")
+    assert r.end_ts.startswith("2026-01-01 10:10:00")  # no regression
+
+
+def test_sessionize_stream_directory_dataset(spark, tmp_path):
+    """A directory-shaped parquet dataset (the standard Spark output
+    layout) must stream completely — the old basename-glob default
+    matched nothing and silently drained an empty stream."""
+    d = str(tmp_path / "events_ds")
+    spark.read.parquet(EVENTS).write.parquet(d)
+    batch = {
+        (r.user_id, r.session_id): (r.n_events, r.start_ts, r.end_ts,
+                                    r.total_value)
+        for r in sessionize_events(spark.read.parquet(d)).collect()
+    }
+    stream = {
+        (r.user_id, r.session_id): (r.n_events, r.start_ts, r.end_ts,
+                                    r.total_value)
+        for r in sessionize_stream(spark, d).collect()
+    }
+    assert stream == batch
+    assert len(stream) > 0
+
+
+def test_extract_payload_stream_mode_switch_single_layout(
+        spark, fixture_dir, tmp_path):
+    """Restarting the same checkpoint/out_path with metrics toggled ON
+    must not hide earlier output: both modes write one compatible
+    layout (the old split wrote a _spark_metadata-logged file sink
+    first, making later plain appends invisible to batch reads)."""
+    import shutil
+
+    from pdfspark.streaming.extract_stream import extract_payload_stream
+
+    src = os.path.join(fixture_dir, "payloads")
+    names = sorted(os.listdir(src))
+    first, later = names[:-2], names[-2:]
+    pdir = str(tmp_path / "payloads")
+    os.makedirs(pdir)
+    for n in first:
+        shutil.copy(os.path.join(src, n), pdir)
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    extract_payload_stream(spark, pdir, out, cp)            # no metrics
+    for n in later:
+        shutil.copy(os.path.join(src, n), pdir)
+    metrics = str(tmp_path / "metrics")
+    extract_payload_stream(spark, pdir, out, cp,            # with metrics
+                           metrics_path=metrics)
+    got = spark.read.parquet(out)
+    assert got.count() == len(names)                # nothing hidden
+    assert got.select("doc_id").distinct().count() == len(names)
+    m = spark.read.parquet(metrics)
+    assert m.groupBy().sum("doc_count").collect()[0][0] == len(later)

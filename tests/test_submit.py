@@ -60,5 +60,6 @@ def test_spark_submit_py_files(fixture_dir, tmp_path, spark):
 
     written = read_committed(spark, out)
     assert written is not None and written.count() == docs.count()
-    m = spark.read.parquet(metrics)
+    m = read_committed(spark, metrics)
+    assert m is not None
     assert m.groupBy().sum("doc_count").collect()[0][0] == docs.count()

@@ -989,17 +989,20 @@ _CLASSIFY_CTE = f"""
 spans AS (SELECT doc_id, kind, text, media_ref, "offset" AS o FROM sg),
 strip0 AS (SELECT s.*, hf.header, hf.footer FROM spans s LEFT JOIN hf USING (doc_id)),
 stripped AS (
+  -- pytrim + NULL coercion: Python str.strip() semantics, matching
+  -- the fold and the Spark side's (?U)-trim (plain trim() = spaces
+  -- only; NULL text folds as '')
   SELECT * FROM strip0
   WHERE kind <> 'TextBox' OR (
-    NOT ((length(header) > 0 AND contains(header, replace(trim(text), chr(10), '')))
-         OR (length(footer) > 0 AND contains(footer, replace(trim(text), chr(10), ''))))
-    AND NOT regexp_matches(trim(text), '{_PAGENO}'))),
+    NOT ((length(header) > 0 AND contains(header, replace(regexp_replace(coalesce(text, ''), '(^[\\s\\x0B]+)|([\\s\\x0B]+$)', '', 'g'), chr(10), '')))
+         OR (length(footer) > 0 AND contains(footer, replace(regexp_replace(coalesce(text, ''), '(^[\\s\\x0B]+)|([\\s\\x0B]+$)', '', 'g'), chr(10), ''))))
+    AND NOT regexp_matches(regexp_replace(coalesce(text, ''), '(^[\\s\\x0B]+)|([\\s\\x0B]+$)', '', 'g'), '{_PAGENO}'))),
 cls AS (
   SELECT doc_id, kind, text, media_ref, o,
-         trim(text) AS content,
-         regexp_replace(split_part(trim(text), chr(10), 1), '\\s{{2,}}', ' ', 'g') AS first_line,
-         CASE WHEN trim(text) = '' THEN 0
-              ELSE len(string_split(trim(text), chr(10))) END AS line_count
+         regexp_replace(coalesce(text, ''), '(^[\\s\\x0B]+)|([\\s\\x0B]+$)', '', 'g') AS content,
+         regexp_replace(split_part(regexp_replace(coalesce(text, ''), '(^[\\s\\x0B]+)|([\\s\\x0B]+$)', '', 'g'), chr(10), 1), '\\s{{2,}}', ' ', 'g') AS first_line,
+         CASE WHEN regexp_replace(coalesce(text, ''), '(^[\\s\\x0B]+)|([\\s\\x0B]+$)', '', 'g') = '' THEN 0
+              ELSE len(string_split(regexp_replace(coalesce(text, ''), '(^[\\s\\x0B]+)|([\\s\\x0B]+$)', '', 'g'), chr(10))) END AS line_count
   FROM stripped),
 flagged AS (
   SELECT *,
@@ -1014,9 +1017,10 @@ flagged AS (
     (kind = 'TextBox' AND regexp_matches(content, '{_TABLE_TITLE}')) AS is_table_title
   FROM cls),
 headed AS (
+  -- branch PRIORITY (reference if/elif): heading wins over figure,
+  -- no demotion — mirrors classify_spans
   SELECT *,
-    ((is_section OR is_named OR is_appendix)
-     AND NOT is_figure AND NOT is_table_title) AS is_heading
+    (is_section OR is_named OR is_appendix) AS is_heading
   FROM flagged),
 cursec AS (
   SELECT *,

@@ -41,7 +41,14 @@ def strip_boilerplate(
         )
     else:
         df = df.withColumn("header", F.lit("")).withColumn("footer", F.lit(""))
-    content = F.trim(F.col("text"))
+    # Python str.strip() semantics + NULL coercion, matching the fold
+    # (fold.py: s["text"].lstrip().rstrip() if not None else '') — see
+    # the same pytrim seam in extract.py's relational path: F.trim is
+    # spaces-only and an un-coalesced NULL would propagate through the
+    # predicates and silently drop the row
+    content = F.regexp_replace(
+        F.coalesce(F.col("text"), F.lit("")), r"(?U)^\s+|\s+$", ""
+    )
     nl_stripped = F.regexp_replace(content, "\n", "")
     keep = (
         ~(
@@ -59,7 +66,9 @@ def classify_spans(spans: DataFrame) -> DataFrame:
     section_title, is_named, is_appendix, is_figure, is_table_title,
     is_heading.
     """
-    content = F.trim(F.col("text"))
+    content = F.regexp_replace(  # pytrim + NULL coercion (see above)
+        F.coalesce(F.col("text"), F.lit("")), r"(?U)^\s+|\s+$", ""
+    )
     fl = replace_extra_space(first_line(content))
     df = (
         spans.withColumn("content", content)
@@ -92,11 +101,15 @@ def classify_spans(spans: DataFrame) -> DataFrame:
             "is_table_title", is_tb & F.col("content").rlike(P.JAVA_TABLE_TITLE)
         )
     )
+    # branch PRIORITY, not demotion: the reference (and the fold,
+    # fold.py branch ladder) checks the heading branch BEFORE the
+    # figure branch (element_processors.py:114,160 if/elif), so a
+    # first line matching both section and figure patterns is a
+    # heading; the old "& ~is_figure & ~is_table_title" demotion
+    # inverted that and routed such spans to the figures array
     return df.withColumn(
         "is_heading",
-        (F.col("is_section") | F.col("is_named") | F.col("is_appendix"))
-        & ~F.col("is_figure")
-        & ~F.col("is_table_title"),
+        F.col("is_section") | F.col("is_named") | F.col("is_appendix"),
     )
 
 
@@ -133,7 +146,10 @@ def toc_skeleton(spans: DataFrame, patterns_to_strip=None) -> DataFrame:
     from pdfspark.config import PATTERNS_TO_STRIP
     from pdfspark.functions.text import strip_characters
 
-    pats = patterns_to_strip or PATTERNS_TO_STRIP
+    # None means defaults; an explicit empty sequence means strip
+    # nothing (mirrors ExtractConfig(patterns_to_strip=()) — a plain
+    # `or` would silently re-apply the defaults)
+    pats = PATTERNS_TO_STRIP if patterns_to_strip is None else patterns_to_strip
     toc = spans.filter(F.col("kind") == "TOC")
     cleaned = F.trim(replace_extra_space(strip_characters(F.col("text"), pats)))
     w = Window.partitionBy("doc_id").orderBy("offset")
@@ -265,8 +281,13 @@ def headings_to_toc(
         probe = cand.filter(F.col("is_safe"))
     else:
         probe = cand
+    # (?U): Java's \b and (?i) are ASCII-only by default, Python's
+    # re is Unicode — same hardening as every JAVA_ pattern in
+    # functions/patterns.py, applied to this dynamically-built one
+    # (é is a word char to the fold's find_section_by_heading, so an
+    # ASCII \b would match where the fold does not)
     probe = probe.withColumn(
-        "pat", F.concat(F.lit("(?i)\\b"), F.col("clean"), F.lit("\\b"))
+        "pat", F.concat(F.lit("(?iU)\\b"), F.col("clean"), F.lit("\\b"))
     )
     joined = probe.join(
         F.broadcast(toc),

@@ -6,12 +6,15 @@ table. Everything is pure DataFrame/SQL — no Python UDFs — so the
 plans stay inside whole-stage codegen and every step has a DuckDB
 oracle twin (__spark_entry__.oracle_sql).
 
-Engine-parity design note: MinHash permutations are realized as
-``min(md5(i || ':' || shingle))`` (lexicographic min over a keyed
-cryptographic hash), which is a valid minwise family and — unlike
-murmur/xxhash — produces bit-identical values in Spark and DuckDB.
-SimHash bits come from the md5 hex digits of each token (digit >= 8
-=> +1 else -1), again engine-portable.
+Engine-parity design note: MinHash permutations are a universal-hash
+family ``min((a_i * h + b_i) mod P)`` over ONE md5-derived 64-bit
+value per shingle (one cryptographic hash instead of NUM_PERM — md5
+dominated the signature stage otherwise), which is a valid minwise
+family and — unlike murmur/xxhash — produces bit-identical values in
+Spark and DuckDB. SimHash bit weights are the magnitude-offset md5
+hex digits of each token ((digit - 7.5) summed per bit position, sign
+of the sum), again engine-portable; see the inline comments at the
+kernels for the exact parity-pinned formulations.
 
 At 100 TB the shapes hold: shingling is a narrow explode; signatures
 are one hash-partitioned groupBy(doc_id); LSH banding turns the
@@ -209,11 +212,16 @@ def minhash_verified(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     cands = minhash_candidates(docs, shingles=sh)
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
-    # broadcast the candidate pairs (|candidates| << corpus): the full
-    # shingle frame is then filtered map-side instead of being hash-
-    # shuffled just to discover which docs participate at all
+    # candidate pairs first (|candidates| << corpus in the typical
+    # case): the shingle frame is filtered down to participating docs
+    # before the heavy shingle-level join. NO forced broadcast: exact-
+    # duplicate clusters make |candidates| quadratic in cluster size
+    # (m identical docs share every band -> C(m,2) pairs), so a
+    # boilerplate-heavy corpus could OOM the driver under a broadcast
+    # hint — AQE broadcasts when the frame is actually small and falls
+    # back to a distributed join when it is not
     inter = (
-        F.broadcast(cands.select("doc_a", "doc_b"))
+        cands.select("doc_a", "doc_b")
         .join(sh_a, "doc_a")
         .join(sh_b, ["doc_b", "shingle"])
         .groupBy("doc_a", "doc_b")

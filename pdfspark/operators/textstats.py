@@ -26,14 +26,11 @@ from pyspark.sql import types as T
 
 from pdfspark.operators.dedup import normalized_text
 
-# marker stopwords per language; deterministic tie-break = list order.
-LANG_MARKERS: dict[str, list[str]] = {
-    "en": ["the", "a", "of", "and", "is"],
-    "es": ["el", "la", "de", "que", "los"],
-    "de": ["der", "die", "das", "und", "ist"],
-    "fr": ["le", "la", "les", "des", "est"],
-    "zh": ["de", "shi", "zai", "he", "le"],
-}
+# English stopword markers for the quality score's stopword-ratio
+# feature. (The per-language marker table that once drove language_id
+# was retired with the round-3 Cavnar-Trenkle trigram classifier in
+# functions/langprof.py — only this list is still read.)
+EN_STOPWORDS: list[str] = ["the", "a", "of", "and", "is"]
 
 # BPE-ish pre-tokenizer: letter runs | digit runs | punct runs.
 # Kept lookahead-free so the Java-regex (Spark) and RE2 (DuckDB)
@@ -176,7 +173,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
     n_words = F.when(norm == "", 0).otherwise(F.size(F.split(norm, " ")))
     n_punct = F.size(F.regexp_extract_all(text, F.lit(r"[^a-zA-Z0-9\s]"), 0))
     n_digit = F.size(F.regexp_extract_all(text, F.lit("[0-9]"), 0))
-    n_stop = _tok_count(norm, LANG_MARKERS["en"])
+    n_stop = _tok_count(norm, EN_STOPWORDS)
     safe_w = F.greatest(n_words, F.lit(1))
     safe_c = F.greatest(n_chars, F.lit(1))
     mean_wl = F.round(

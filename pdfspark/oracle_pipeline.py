@@ -27,7 +27,7 @@ from pdfspark.operators.textstats import (
     BPE_TOKEN_RE,
     FP_K,
     FP_W,
-    LANG_MARKERS,
+    EN_STOPWORDS,
 )
 
 NORM = "trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))"
@@ -248,7 +248,7 @@ SELECT doc_id, {pred} AS pred_lang, {casts} FROM full0
 
 
 def quality_sql(fix: str) -> str:
-    en = ", ".join(f"'{w}'" for w in LANG_MARKERS["en"])
+    en = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
     return f"""
 WITH {_docs_all(fix)},
 feat AS (

@@ -37,6 +37,7 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_INFO_RE = re.compile(rb"/Info\s+(\d+)\s+\d+\s+R")
 _TITLE_RE = re.compile(rb"/Title\s*\(((?:[^()\\]|\\.)*)\)")
 _BT_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
 _SHOW_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj|\[(.*?)\]\s*TJ",
@@ -60,6 +61,15 @@ def _unescape(raw: bytes) -> str:
         c = raw[i:i + 1]
         if c == b"\\" and i + 1 < n:
             nxt = raw[i + 1:i + 2]
+            if nxt in b"\r\n":
+                # line continuation (PDF 7.3.4.2): the reverse solidus
+                # AND the end-of-line marker are BOTH disregarded;
+                # keeping the newline would inject a spurious line
+                # break and change first_line/line_count downstream
+                i += 2
+                if nxt == b"\r" and raw[i:i + 1] == b"\n":
+                    i += 1
+                continue
             if nxt in _ESCAPES:
                 out += _ESCAPES[nxt]
                 i += 2
@@ -223,11 +233,23 @@ def decode_tiny_pdf(content: bytes) -> dict:
     if not page_ids:
         raise ValueError("empty /Kids")
 
+    # doc_id comes from the trailer-designated Info dict, NOT from the
+    # last /Title of any object: an outline/annotation object carrying
+    # its own /Title must not override the document title and mis-key
+    # every downstream doc_id join
     title = None
-    for body in objs.values():
-        m = _TITLE_RE.search(body)
-        if m is not None and b"/Title" in body:
+    tpos = content.rfind(b"trailer")
+    im = _INFO_RE.search(content, tpos) if tpos != -1 else None
+    if im is not None:
+        m = _TITLE_RE.search(objs.get(int(im.group(1)), b""))
+        if m is not None:
             title = _unescape(m.group(1))
+    if title is None:
+        # legacy payloads without an Info reference: last /Title wins
+        for body in objs.values():
+            m = _TITLE_RE.search(body)
+            if m is not None:
+                title = _unescape(m.group(1))
     doc_id = title
 
     spans: list[dict] = []

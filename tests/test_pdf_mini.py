@@ -171,3 +171,35 @@ def test_pdf_payloads_through_spark_seam(spark, tmp_path):
     assert rows["json-b"].status == "ok"
     assert rows["bad"].status == "decode_error"
     assert list(rows["bad"].spans) == []
+
+
+def test_pdf_line_continuation_drops_backslash_and_eol():
+    """PDF 7.3.4.2: a reverse solidus at end-of-line is a line
+    continuation — BOTH the backslash and the EOL marker are
+    disregarded (the old decoder kept the newline, injecting a
+    spurious line break into the span)."""
+    pdf = build_tiny_pdf("cont", [["placeholder"]])
+    raw = pdf.replace(b"(placeholder) Tj", b"(long \\\n text) Tj")
+    out = decode_tiny_pdf(raw)
+    texts = [s["text"] for s in out["spans"] if s["kind"] == "TextBox"]
+    assert texts == ["long  text"]
+    # \r\n and \r forms collapse identically
+    raw = pdf.replace(b"(placeholder) Tj", b"(a\\\r\nb) Tj")
+    assert [s["text"] for s in decode_tiny_pdf(raw)["spans"]
+            if s["kind"] == "TextBox"] == ["ab"]
+    raw = pdf.replace(b"(placeholder) Tj", b"(a\\\rb) Tj")
+    assert [s["text"] for s in decode_tiny_pdf(raw)["spans"]
+            if s["kind"] == "TextBox"] == ["ab"]
+
+
+def test_pdf_title_resolved_via_trailer_info():
+    """doc_id must come from the trailer's /Info object; a /Title in a
+    LATER non-Info object (outline, annotation) must not override it
+    (the old decoder took the last /Title anywhere)."""
+    pdf = build_tiny_pdf("real-title", [["text line"]])
+    # append an extra object carrying its own /Title after everything;
+    # keep the original trailer (startxref tail is not parsed)
+    extra = b"9 0 obj\n<< /Title (outline-imposter) >>\nendobj\n"
+    raw = pdf.replace(b"trailer", extra + b"trailer")
+    out = decode_tiny_pdf(raw)
+    assert out["doc_id"] == "real-title"

@@ -659,3 +659,35 @@ def test_word_shingles_match_python_reference(spark, docs_all):
         if sh:
             want[r.doc_id] = sh
     assert got == want
+
+
+def test_classify_fold_parity_edges(spark):
+    """Three latent fold-vs-SQL divergences found by review, pinned:
+    (1) branch PRIORITY — a first line matching both the section and
+    the (unanchored) figure pattern is a heading, as in the reference's
+    if/elif ladder; (2) Python-strip semantics — a leading newline/tab
+    must not blank first_line; (3) NULL text — coerced to '' and kept,
+    exactly like fold_document, not silently dropped."""
+    from pdfspark.operators.classify import classify_spans, strip_boilerplate
+
+    rows = [
+        ("d1", "TextBox", "2.3 Results, see Fig. 7\nbody", None, 0),
+        ("d1", "TextBox", "\n2. Methods\nbody text", None, 1),
+        ("d1", "TextBox", None, None, 2),
+    ]
+    spans = spark.createDataFrame(
+        rows, "doc_id string, kind string, text string, "
+              "media_ref string, offset int")
+
+    kept = strip_boilerplate(spans)
+    assert kept.count() == 3  # NULL-text row not dropped
+
+    c = {r.offset: r for r in classify_spans(kept).collect()}
+    # (1) priority: section + figure overlap is a HEADING
+    assert c[0].is_section and c[0].is_figure and c[0].is_heading
+    # (2) leading whitespace stripped like str.strip(): real first_line
+    assert c[1].first_line == "2. Methods"
+    assert c[1].is_section and c[1].is_heading
+    # (3) NULL text behaves as '' (fold_document coercion)
+    assert c[2].content == "" and c[2].line_count == 0
+    assert not c[2].is_heading

@@ -121,6 +121,12 @@ def cosine_topk_np(
     import pandas as pd
 
     q_rows = queries.select("vec_id", "embedding").collect()  # model-sized
+    if not q_rows:
+        # np.array([]) is 1-D: the axis=1 norm below would raise on the
+        # driver where the HOF twin just returns an empty frame
+        return emb.sparkSession.createDataFrame(
+            [], "query_id long, rank int, vec_id long, sim double"
+        )
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     qm = np.array([r.embedding for r in q_rows], dtype=np.float64)
     qn = np.linalg.norm(qm, axis=1)

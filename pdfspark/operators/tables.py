@@ -288,14 +288,36 @@ def extract_tables_sql(
     return out.select("doc_id", "page_id", "table_id", "title", "row_id", "cells")
 
 
-def merge_continued_tables(tables: DataFrame, cache_input: bool = True) -> DataFrame:
-    """J3 v2 — merge '(continued)' tables into their base table iff the
-    column count matches (ref src/utilities/parse_util.py:327-345:
-    base = title.split('(')[0].strip(); previous title must equal base,
-    case-insensitive; column lists must be equal).
+def merge_continued_tables(tables: DataFrame, cache_input: bool = True,
+                           drop_mismatched: bool = False) -> DataFrame:
+    """J3 v3 — merge '(continued)' tables into their BASE table
+    (ref src/utilities/parse_util.py:327-345: base =
+    title.split('(')[0].strip(); current_table's title must equal
+    base, case-insensitive; column arity must match).
 
-    Input/out: TABLE_ROWS_SCHEMA-shaped flat rows. Cross-page merge:
-    tables ordered by (page_id, table_id) per doc.
+    The reference keeps ``current_table`` pointing at the BASE after a
+    merge, so a table continued across 3+ pages merges fully — a naive
+    lag(title) comparison breaks the chain at the third fragment
+    (fragment 3's predecessor title still contains '(continued)').
+    State machine, made relational: the anchor of a fragment is the
+    last NON-continued table before it; a fragment whose base differs
+    from the anchor's title becomes standalone (reference: appended +
+    becomes current_table), and because its raw title contains '(' no
+    later base can ever match it, every following fragment in the
+    anchor group is standalone too — hence "standalone from the first
+    title mismatch onward", a per-group aggregate, no recursion.
+
+    ``drop_mismatched``: the reference silently DISCARDS a title-
+    matching fragment whose arity differs (parse_util.py:336-337 logs
+    and drops the rows). Default False keeps such fragments as
+    standalone tables — a deliberate, documented deviation (don't
+    silently lose rows); True reproduces the reference exactly.
+
+    Input/out: TABLE_ROWS_SCHEMA-shaped flat rows (page_id preserved;
+    row_id renumbered per merged table). Accepts both the SQL path's
+    1-based row_id and the exact path's 0-based (header arity is read
+    from the lowest non-negative row_id, not a hardcoded row 1;
+    row_id=-1 empty-table markers are ignored for arity).
 
     The merge is a diamond over its input (a table-level aggregate
     joined back onto the row stream), so without materialization the
@@ -321,7 +343,10 @@ def merge_continued_tables(tables: DataFrame, cache_input: bool = True) -> DataF
                   "is_cont")
         .agg(
             F.count("*").alias("nr"),
-            F.max(F.when(F.col("row_id") == 1, F.size("cells"))).alias("n_cols"),
+            F.expr(
+                "min_by(size(cells), CASE WHEN row_id >= 0 "
+                "THEN row_id END)"
+            ).alias("n_cols"),
         )
         .withColumn(
             "tord",
@@ -330,37 +355,69 @@ def merge_continued_tables(tables: DataFrame, cache_input: bool = True) -> DataF
             ),
         )
     )
-    w_doc = Window.partitionBy("doc_id").orderBy("tord")
-    prev_title = F.lag("title").over(w_doc)
-    prev_cols = F.lag("n_cols").over(w_doc)
-    mergeable = (
-        F.col("is_cont")
-        & prev_title.isNotNull()
-        & (F.lower(prev_title) == F.lower(F.col("base_title")))
-        & (prev_cols == F.col("n_cols"))
+    w_run = (
+        Window.partitionBy("doc_id").orderBy("tord")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    tbl = tbl.withColumn(
-        "merged_id",
-        F.sum((~mergeable).cast("int")).over(
-            Window.partitionBy("doc_id").orderBy("tord")
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    anchor = lambda c: F.last(  # noqa: E731 — three parallel fill-downs
+        F.when(~F.col("is_cont"), F.col(c)), ignorenulls=True
+    ).over(w_run)
+    tbl = (
+        tbl.withColumn("anchor_tord", anchor("tord"))
+        .withColumn("anchor_title", anchor("title"))
+        .withColumn("anchor_cols", anchor("n_cols"))
+    )
+    title_bad = F.col("is_cont") & (
+        F.col("anchor_tord").isNull()
+        | (F.lower(F.col("anchor_title")) != F.lower(F.col("base_title")))
+    )
+    tbl = tbl.withColumn("title_bad", title_bad).withColumn(
+        "first_bad",
+        F.min(F.when(F.col("title_bad"), F.col("tord"))).over(
+            Window.partitionBy("doc_id", "anchor_tord")
         ),
     )
+    title_ok = (
+        F.col("is_cont")
+        & ~F.col("title_bad")
+        & (F.col("first_bad").isNull()
+           | (F.col("tord") < F.col("first_bad")))
+    )
+    arity_ok = F.col("anchor_cols").eqNullSafe(F.col("n_cols"))
+    tbl = tbl.withColumn("merged", title_ok & arity_ok)
+    if drop_mismatched:
+        tbl = tbl.filter(~(title_ok & ~arity_ok))
+    tbl = (
+        tbl.withColumn(
+            "grp_tord",
+            F.when(F.col("merged"), F.col("anchor_tord"))
+            .otherwise(F.col("tord")),
+        )
+        .withColumn(
+            "out_title",
+            F.when(F.col("merged"), F.col("anchor_title"))
+            .otherwise(F.col("title")),
+        )
+        .withColumn(
+            "merged_id",
+            F.dense_rank().over(
+                Window.partitionBy("doc_id").orderBy("grp_tord")
+            ),
+        )
+    )
     keyed = t.join(
-        tbl.select("doc_id", "page_id", "table_id", "merged_id"),
+        tbl.select("doc_id", "page_id", "table_id", "merged_id",
+                   "out_title"),
         ["doc_id", "page_id", "table_id"],
     )
     w_merged = Window.partitionBy("doc_id", "merged_id").orderBy(
         "page_id", "table_id", "row_id"
     )
-    out = keyed.withColumn("row_id", F.row_number().over(w_merged))
-    first_title = F.first("title").over(
-        w_merged.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    return out.withColumn("title", first_title).select(
+    return keyed.withColumn("row_id", F.row_number().over(w_merged)).select(
         "doc_id",
+        "page_id",
         F.col("merged_id").alias("table_id"),
-        "title",
+        F.col("out_title").alias("title"),
         "row_id",
         "cells",
     )

@@ -299,8 +299,7 @@ def generate_docs(sf_name: str):
     for i in range(n_docs):
         fam = FAMILIES[i % len(FAMILIES)]
         doc_id = f"{fam}-{i:05d}"
-        rng = random.Random((42, sf_name, doc_id).__hash__() & 0x7FFFFFFF)
-        # hash() is salted per-process; use a stable seed instead:
+        # hash() is salted per-process; a stable f-string seed instead
         rng = random.Random(f"42|{sf_name}|{doc_id}")
         b = DocBuilder(doc_id)
         shuffle_rng = rng if "table" in fam else None

@@ -109,3 +109,85 @@ def test_merge_continued(spark, spans_geom, hf):
     titles = {r.title for r in out}
     assert not any("Throughput (continued)" in t for t in titles)
     assert any("Mixed (continued)" in t for t in titles)
+
+
+def _tables_frame(spark, rows):
+    return spark.createDataFrame(
+        rows, "doc_id string, page_id int, table_id long, title string, "
+              "row_id long, cells array<string>")
+
+
+def test_merge_chain_three_pages(spark):
+    """Reference parity (parse_util.py:327-345): current_table stays
+    the BASE after a merge, so a table continued across 3+ pages
+    merges fully — the old lag(title) form broke the chain at the
+    third fragment."""
+    from pdfspark.operators.tables import merge_continued_tables
+
+    rows = []
+    for p, title in enumerate(["Table 2: X", "Table 2: X (continued)",
+                               "Table 2: X (continued)"], start=1):
+        for r in (1, 2):
+            rows.append(("d1", p, 1, title, r, [f"a{p}{r}", f"b{p}{r}"]))
+    out = merge_continued_tables(_tables_frame(spark, rows),
+                                 cache_input=False).collect()
+    assert {r.table_id for r in out} == {1}
+    assert {r.title for r in out} == {"Table 2: X"}
+    assert sorted(r.row_id for r in out) == [1, 2, 3, 4, 5, 6]
+    assert {r.page_id for r in out} == {1, 2, 3}  # page_id preserved
+
+
+def test_merge_state_machine_after_title_mismatch(spark):
+    """A continued fragment whose base does not match the anchor
+    becomes standalone AND becomes the reference's current_table —
+    so a later fragment whose base DOES match the original anchor
+    still cannot merge (its comparison target now holds a
+    '(continued)' title)."""
+    from pdfspark.operators.tables import merge_continued_tables
+
+    rows = [
+        ("d2", 1, 1, "Table 1: Y", 1, ["a", "b"]),
+        ("d2", 2, 1, "Table 9: Z (continued)", 1, ["c", "d"]),
+        ("d2", 3, 1, "Table 1: Y (continued)", 1, ["e", "f"]),
+    ]
+    out = merge_continued_tables(_tables_frame(spark, rows),
+                                 cache_input=False).collect()
+    assert len({r.table_id for r in out}) == 3  # nothing merged
+
+
+def test_merge_arity_mismatch_keep_vs_drop(spark):
+    """Default: an arity-mismatched continuation is kept standalone
+    (documented deviation — don't silently lose rows);
+    drop_mismatched=True reproduces the reference's silent discard."""
+    from pdfspark.operators.tables import merge_continued_tables
+
+    rows = [
+        ("d3", 1, 1, "Table 4: Mixed", 1, ["a", "b"]),
+        ("d3", 2, 1, "Table 4: Mixed (continued)", 1, ["c", "d", "e"]),
+    ]
+    keep = merge_continued_tables(_tables_frame(spark, rows),
+                                  cache_input=False).collect()
+    assert len({r.table_id for r in keep}) == 2
+    assert any("(continued)" in r.title for r in keep)
+    drop = merge_continued_tables(_tables_frame(spark, rows),
+                                  cache_input=False,
+                                  drop_mismatched=True).collect()
+    assert len(drop) == 1 and drop[0].title == "Table 4: Mixed"
+
+
+def test_merge_zero_based_row_ids(spark):
+    """Header arity must come from the lowest non-negative row_id, not
+    a hardcoded row 1: the exact path emits 0-based rows (and -1
+    empty-table markers, which must not define arity)."""
+    from pdfspark.operators.tables import merge_continued_tables
+
+    rows = [
+        ("d4", 1, 1, "Table 7: Z", 0, ["a", "b"]),
+        ("d4", 1, 1, "Table 7: Z", 1, ["c", "d"]),
+        ("d4", 2, 1, "Table 7: Z (continued)", 0, ["e", "f"]),
+    ]
+    out = merge_continued_tables(_tables_frame(spark, rows),
+                                 cache_input=False).collect()
+    assert {r.table_id for r in out} == {1}
+    assert {r.title for r in out} == {"Table 7: Z"}
+    assert len(out) == 3

@@ -384,7 +384,7 @@ def write_fixtures(sf_name: str, out_dir: str) -> None:
     pq.write_table(geom_tbl, os.path.join(out_dir, "spans_geom.parquet"),
                    row_group_size=20_000)
     write_elements(sf_name, out_dir)
-    write_oracle_outputs(sf_name, out_dir)
+    write_oracle_outputs(sf_name, out_dir, docs=docs)
     write_payloads(docs, out_dir)
 
 
@@ -490,7 +490,8 @@ def _hf_local(doc) -> tuple[str, str]:
     return header, footer
 
 
-def write_oracle_outputs(sf_name: str, out_dir: str) -> None:
+def write_oracle_outputs(sf_name: str, out_dir: str,
+                         docs=None) -> None:
     """Materialize the reference-transliteration oracle's outputs so
     the driver's DuckDB twin can read_parquet them: the extraction
     sections side-output (pdfspark/oracle.py, independent of fold.py)
@@ -501,7 +502,11 @@ def write_oracle_outputs(sf_name: str, out_dir: str) -> None:
     from pdfspark.operators.tables import fold_tables_page
     from pdfspark.oracle import oracle_extract
 
-    docs = generate_docs(sf_name)
+    # accept the caller's corpus (write_fixtures just generated it) —
+    # regenerating 6k+ docs doubles fixture time and adds a second
+    # place where seed drift could desynchronize oracle from input
+    if docs is None:
+        docs = generate_docs(sf_name)
     cfg = ExtractConfig()
 
     sec_rows = []

@@ -858,7 +858,8 @@ withy AS (
       OVER (PARTITION BY doc_id, page_id), 792.0) AS page_y1
   FROM sg),
 cand AS (
-  SELECT doc_id, "offset" AS o, replace(text, chr(10), '') AS txt,
+  SELECT doc_id, "offset" AS o,
+         replace(coalesce(text, ''), chr(10), '') AS txt,
          ((page_y1 - y0) <= 50.0) AS is_header,
          (NOT ((page_y1 - y0) <= 50.0) AND y0 <= 20.0) AS is_footer
   FROM withy WHERE kind = 'TextBox'),

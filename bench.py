@@ -115,29 +115,6 @@ def _scaling_job(spark, sf_dir: str, k: int):
                                spans_per_chunk=512)
 
 
-def _run_once(master: str, shuffle: int, sf_dir: str, k: int = REPLICATE,
-              repeats: int = 3):
-    """Best-of-N timing: the min over repeats estimates unloaded
-    capacity (the sandbox hosts other periodic jobs, so single-shot
-    wall times are contaminated by external load)."""
-    spark = build_session(master=master, shuffle_partitions=shuffle)
-    try:
-        n_docs = _scaling_job(spark, sf_dir, k).select(
-            "doc_id"
-        ).distinct().count()
-        # warm the JVM + python workers once (small pass), then measure
-        _force(_flagship(spark, sf_dir))
-        dt = None
-        for _ in range(repeats):
-            t0 = time.time()
-            _force(_scaling_job(spark, sf_dir, k))
-            d = time.time() - t0
-            dt = d if dt is None else min(dt, d)
-    finally:
-        spark.stop()
-    return n_docs, dt
-
-
 LEVELS = [2, 8, 32]
 
 
@@ -244,7 +221,9 @@ def main() -> int:
         # host load is bursty (~4x) and Python workers warm lazily, so
         # single-shot orderings systematically bias later queries
         cycles = int(os.environ.get("PDFSPARK_BENCH_CYCLES", "3"))
-        _force(_flagship(spark, SF_DIR))  # worker warm-up, untimed
+        # (the n_docs distinct-count above already executed the full
+        # flagship fold — count() cannot prune through mapInPandas — so
+        # the JVM and Python workers are warm; no extra warm-up pass)
         best: dict[str, float] = {}
         for _cyc in range(max(1, cycles)):
             for name in names:

@@ -57,7 +57,14 @@ def margin_candidates(
     """F10/F11 — TextBox spans in the header/footer bands, with the
     newline-stripped comparison text."""
     df = with_page_y1(spans_geom).filter(F.col("kind") == "TextBox")
-    df = df.withColumn("txt", F.regexp_replace("text", "\n", ""))
+    # coalesce: one NULL-text candidate would otherwise null the whole
+    # doc's _dedup_concat fold (concat is null-intolerant and the NULL
+    # acc then survives every later iteration), silently erasing the
+    # header/footer string instead of stripping boilerplate
+    df = df.withColumn(
+        "txt",
+        F.regexp_replace(F.coalesce(F.col("text"), F.lit("")), "\n", ""),
+    )
     is_hdr = (F.col("page_y1") - F.col("y0")) <= F.lit(top_margin)
     is_ftr = (~is_hdr) & (F.col("y0") <= F.lit(bottom_margin))
     return (

@@ -56,6 +56,15 @@ EXTRACT_FULL = T.StructType(
 )
 
 
+# EXTRACT_FULL minus the sections column — the spans-only fold variant
+# (Spark cannot prune columns inside mapInPandas, so a discarded
+# sections array would still be computed by SectionState AND shipped
+# through Arrow on every doc)
+EXTRACT_SPANS_ONLY = T.StructType(
+    [f for f in EXTRACT_FULL.fields if f.name != "sections"]
+)
+
+
 def _with_hf(documents_in: DataFrame, header_footer_df: DataFrame | None):
     if header_footer_df is None:
         return documents_in.withColumn("header", F.lit("")).withColumn(
@@ -66,7 +75,13 @@ def _with_hf(documents_in: DataFrame, header_footer_df: DataFrame | None):
     )
 
 
-def _fold_batches(cfg: ExtractConfig):
+def _fold_batches(cfg: ExtractConfig, spans_only: bool = False):
+    """``spans_only=True`` skips the sections attachment state machine
+    (fold_document's skip_sections — span labels never depend on it)
+    and omits the sections column from the Arrow batches; pair it with
+    EXTRACT_SPANS_ONLY."""
+    schema = EXTRACT_SPANS_ONLY if spans_only else EXTRACT_FULL
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         from pyspark import TaskContext
 
@@ -80,23 +95,24 @@ def _fold_batches(cfg: ExtractConfig):
                          media_ref=s["media_ref"], offset=s["offset"])
                     for s in (r.spans if r.spans is not None else [])
                 ]
-                res = fold_document(spans, r.header or "", r.footer or "", cfg)
+                res = fold_document(spans, r.header or "", r.footer or "",
+                                    cfg, skip_sections=spans_only)
                 wall = (time.perf_counter() - t0) * 1000.0
-                rows.append(
-                    dict(
-                        doc_id=r.doc_id,
-                        status=res["status"],
-                        spans=res["out_spans"],
-                        sections=res["sections"],
-                        spans_in=res["spans_in"],
-                        spans_out=res["spans_out"],
-                        bytes_in=sum(len(s["text"] or "") for s in spans),
-                        partition_id=pid,
-                        wall_ms=wall,
-                    )
+                row = dict(
+                    doc_id=r.doc_id,
+                    status=res["status"],
+                    spans=res["out_spans"],
+                    spans_in=res["spans_in"],
+                    spans_out=res["spans_out"],
+                    bytes_in=sum(len(s["text"] or "") for s in spans),
+                    partition_id=pid,
+                    wall_ms=wall,
                 )
+                if not spans_only:
+                    row["sections"] = res["sections"]
+                rows.append(row)
             yield pd.DataFrame(
-                rows, columns=[f.name for f in EXTRACT_FULL.fields]
+                rows, columns=[f.name for f in schema.fields]
             )
 
     return run
@@ -107,14 +123,20 @@ def extract_documents(
     header_footer_df: DataFrame | None = None,
     cfg: ExtractConfig = ExtractConfig(),
     num_partitions: int | None = None,
+    spans_only: bool = False,
 ) -> DataFrame:
-    """Sequential-per-doc exact fold; salted repartition first."""
+    """Sequential-per-doc exact fold; salted repartition first.
+    ``spans_only`` drops the sections side-output at the fold (see
+    _fold_batches) — for consumers that never read it."""
     df = _with_hf(documents_in, header_footer_df)
     n = num_partitions or df.sparkSession.sparkContext.defaultParallelism
     # hash-repartition on doc_id: uniform unless one doc is huge (that
     # case goes through extract_spans_split)
     df = df.repartition(n, F.xxhash64("doc_id"))
-    return df.mapInPandas(_fold_batches(cfg), EXTRACT_FULL)
+    return df.mapInPandas(
+        _fold_batches(cfg, spans_only=spans_only),
+        EXTRACT_SPANS_ONLY if spans_only else EXTRACT_FULL,
+    )
 
 
 def chunk_exploded_spans(exploded: DataFrame, cfg: ExtractConfig,
@@ -184,6 +206,23 @@ def _explode_span_rows(folded: DataFrame) -> DataFrame:
             F.col("s.kind").alias("kind"),
             F.col("s.text").alias("text"),
             F.col("s.media_ref").alias("media_ref"),
+        )
+    )
+
+
+def _toc_lines(big: DataFrame) -> DataFrame:
+    """Per-doc ordered TOC line texts of the skew-path big docs — the
+    replay's section-skeleton input, shared by both full-output skew
+    paths (a change to TOC collection semantics must hit both)."""
+    return (
+        big.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+        .filter(F.col("s.kind") == "TOC")
+        .groupBy("doc_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                lambda x: x["s"]["text"],
+            ).alias("toc_lines")
         )
     )
 
@@ -303,7 +342,8 @@ def extract_spans_split(
 
     small_out = (
         small.repartition(F.xxhash64("doc_id"))
-        .mapInPandas(_fold_batches(cfg), EXTRACT_FULL)
+        .mapInPandas(_fold_batches(cfg, spans_only=True),
+                     EXTRACT_SPANS_ONLY)
         .select("doc_id", "spans")
     )
 
@@ -429,17 +469,7 @@ def extract_documents_split(
         .select("doc_id", "status", "spans", "sections")
     )
 
-    toc = (
-        big.select("doc_id", F.posexplode("spans").alias("pos", "s"))
-        .filter(F.col("s.kind") == "TOC")
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "s"))),
-                lambda x: x["s"]["text"],
-            ).alias("toc_lines")
-        )
-    )
+    toc = _toc_lines(big)
     folded = _fold_big_chunks(big, cfg, spans_per_chunk,
                               collect_events=True)
     assembled = (
@@ -616,17 +646,7 @@ def extract_sections_split(
         .select("doc_id", "status", "sections")
     )
 
-    toc = (
-        big.select("doc_id", F.posexplode("spans").alias("pos", "s"))
-        .filter(F.col("s.kind") == "TOC")
-        .groupBy("doc_id")
-        .agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "s"))),
-                lambda x: x["s"]["text"],
-            ).alias("toc_lines")
-        )
-    )
+    toc = _toc_lines(big)
     folded = _fold_big_chunks(big, cfg, spans_per_chunk,
                               collect_events=True)
 
@@ -958,7 +978,8 @@ def extract_spans_auto(
                                         cfg, skew_threshold,
                                         spans_per_chunk)
     return _explode_span_rows(
-        extract_documents(documents_in, header_footer_df, cfg)
+        extract_documents(documents_in, header_footer_df, cfg,
+                          spans_only=True)
     )
 
 
@@ -991,7 +1012,8 @@ def extract_spans_split_rows(
 
     small_out = _explode_span_rows(
         small.repartition(F.xxhash64("doc_id"))
-        .mapInPandas(_fold_batches(cfg), EXTRACT_FULL)
+        .mapInPandas(_fold_batches(cfg, spans_only=True),
+                     EXTRACT_SPANS_ONLY)
     )
 
     folded = _fold_big_chunks(big, cfg, spans_per_chunk)

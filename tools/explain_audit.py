@@ -47,7 +47,7 @@ def main() -> int:
         )
         rows.append((name, summary))
     spark.stop()
-    w = max(len(n) for n, _ in rows)
+    w = max((len(n) for n, _ in rows), default=0)
     for name, summary in rows:
         print(f"{name:<{w}}  {summary}")
     bad = [n for n, s in rows if s.startswith("ERROR")]

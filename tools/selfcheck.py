@@ -29,7 +29,16 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
     cols = sorted(df.columns)
     d = df[cols].copy()
     for c in cols:
-        d[c] = d[c].map(lambda v: "NULL" if v is None or (isinstance(v, float) and pd.isna(v)) else str(v))
+        # escape the join separators (and the escape char itself): span
+        # text legitimately contains \x1c-\x1f control characters (the
+        # adversarial trim corpus), and unescaped separators could make
+        # genuinely different tables hash identical (false MATCH)
+        d[c] = d[c].map(
+            lambda v: "NULL"
+            if v is None or (isinstance(v, float) and pd.isna(v))
+            else str(v).replace("\\", "\\\\")
+                       .replace("\x1f", "\\u1f").replace("\x1e", "\\u1e")
+        )
     rows = sorted("\x1f".join(r) for r in d.itertuples(index=False, name=None))
     h = hashlib.md5("\x1e".join(rows).encode()).hexdigest()
     return len(df), cols, h

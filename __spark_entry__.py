@@ -174,7 +174,16 @@ def _q_embeddings_upsert(spark, sf_dir):
     cur = spark.read.parquet(os.path.join(sf_dir, "embeddings.parquet"))
     upd = spark.read.parquet(
         os.path.join(_fixture_dir(sf_dir), "embeddings_aug.parquet")
-    ).withColumn("vec_id", F.col("vec_id") - 1_000_000)  # overlap half the ids
+    ).withColumn(
+        # aug ids are base+1M with base a multiple of 25: ids at %50==0
+        # map back onto existing rows (replace branch), the rest keep
+        # their +1M offset (insert branch) — the previous blanket -1M
+        # made EVERY update collide, so the union's insert-new-key path
+        # was never driver-exercised
+        "vec_id",
+        F.when(F.col("vec_id") % 50 == 0,
+               F.col("vec_id") - 1_000_000).otherwise(F.col("vec_id")),
+    )
     merged = upsert_embeddings(cur.select("vec_id", "embedding"),
                                upd.select("vec_id", "embedding"))
     norm = F.round(
@@ -422,7 +431,9 @@ def _q_lineage(spark, sf_dir):
 
     geom = _geom(spark, sf_dir)
     hf = header_footer(geom)
-    out = extract_documents(_docs_in(spark, sf_dir), hf)
+    # spans_only: this query reads five scalar columns — no reason to
+    # run the sections state machine or ship its arrays through Arrow
+    out = extract_documents(_docs_in(spark, sf_dir), hf, spans_only=True)
     return out.select(
         "doc_id",
         "status",
@@ -744,11 +755,22 @@ def _q_stream_extract(spark, sf_dir):
     fold -> parquet sink with checkpoint (availableNow drain), read
     back and exploded. Quarantined payloads surface as a single
     __quarantined__ row each."""
+    import hashlib
+    import shutil
     import tempfile
 
     from pdfspark.streaming.extract_stream import extract_payload_stream
 
-    d = tempfile.mkdtemp(prefix="pdfspark_stream_extract_")
+    # fixed per-sf_dir scratch location, wiped at entry: a fresh
+    # mkdtemp per call leaked one payload-corpus copy + checkpoint
+    # into /tmp per driver run (and the wipe also guarantees the
+    # checkpoint never skips this run's files)
+    d = os.path.join(
+        tempfile.gettempdir(),
+        "pdfspark_stream_extract_"
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+    )
+    shutil.rmtree(d, ignore_errors=True)
     out, cp = os.path.join(d, "out"), os.path.join(d, "cp")
     extract_payload_stream(
         spark, os.path.join(_fixture_dir(sf_dir), "payloads"), out, cp
@@ -1188,7 +1210,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "s13_embeddings_upsert": f"""
             WITH upd AS (
-              SELECT vec_id - 1000000 AS vec_id, embedding
+              SELECT CASE WHEN vec_id % 50 = 0 THEN vec_id - 1000000
+                          ELSE vec_id END AS vec_id, embedding
               FROM read_parquet('{FIX01}/embeddings_aug.parquet')),
             cur AS (SELECT vec_id, embedding FROM embeddings),
             merged AS (
@@ -1272,10 +1295,19 @@ def oracle_sql() -> dict[str, str]:
               FROM allspans s JOIN pf USING (doc_id))
             SELECT * FROM okrows
             UNION ALL
-            SELECT doc_id, CAST(-1 AS INT) AS offset,
+            SELECT pf.doc_id, CAST(-1 AS INT) AS offset,
                    '__quarantined__' AS kind, '' AS text,
                    CAST(NULL AS VARCHAR) AS media_ref
-            FROM pf WHERE doc_id LIKE 'corrupt%'
+            FROM pf LEFT JOIN (
+              SELECT doc_id, len(spans) AS n_spans,
+                     len(list_filter(spans, s -> s['kind'] = 'DecodeError'))
+                       AS n_bad
+              FROM {DOCS01}) d USING (doc_id)
+            -- structural, not name-based: a payload is quarantined iff
+            -- its bytes don't decode to a known doc (corrupt garbage),
+            -- it carries a DecodeError span, or it has no spans at all
+            -- ('empty' status) — exactly the engine's status != 'ok'
+            WHERE d.doc_id IS NULL OR d.n_bad > 0 OR d.n_spans = 0
         """,
         "lineage_metrics": f"""
             WITH base AS (

@@ -189,7 +189,9 @@ def fold_document(
         return dict(status="empty", out_spans=[], sections=[],
                     spans_in=0, spans_out=0, events=[])
 
-    toc_lines = [s["text"] for s in spans if s["kind"] == "TOC"]
+    # None text coerced like every other span path (a NULL TOC line
+    # would otherwise crash clean_toc_line's re.sub)
+    toc_lines = [s["text"] or "" for s in spans if s["kind"] == "TOC"]
     state = SectionState(toc_lines, cfg)
     sections = state.sections
     lookup = state.lookup

@@ -56,6 +56,19 @@ class _TableParser(HTMLParser):
         self._cell_kind: str | None = None  # 'th' | 'td'
         self._buf: list[str] = []
 
+    def _flush_cell(self):
+        # implied end tag (valid HTML5: <tr><td>1<td>2</tr>): commit the
+        # open cell when a new cell/row starts or the row/table closes —
+        # BeautifulSoup (the reference parser) does this implicitly
+        if self._cell_kind is None:
+            return
+        text = "".join(self._buf)
+        if self._cell_kind == "th":
+            self.ths.append(text)
+        elif self._in_tr and self.trs:
+            self.trs[-1].append(text)
+        self._cell_kind = None
+
     def handle_starttag(self, tag, attrs):
         if tag == "h1" and not self._h1_done:
             self._in_h1 = True
@@ -66,9 +79,11 @@ class _TableParser(HTMLParser):
             self._table_depth += 1
         elif self._table_depth and not self._table_done:
             if tag == "tr":
+                self._flush_cell()
                 self._in_tr = True
                 self.trs.append([])
             elif tag in ("th", "td"):
+                self._flush_cell()
                 self._cell_kind = tag
                 self._buf = []
 
@@ -78,19 +93,16 @@ class _TableParser(HTMLParser):
             self._in_h1 = False
             self._h1_done = True
         elif tag == "table" and self._table_depth:
+            self._flush_cell()
             self._table_depth -= 1
             if self._table_depth == 0:
                 self._table_done = True
         elif self._table_depth and not self._table_done:
             if tag == "tr":
+                self._flush_cell()
                 self._in_tr = False
-            elif tag in ("th", "td") and self._cell_kind == tag:
-                text = "".join(self._buf)
-                if tag == "th":
-                    self.ths.append(text)
-                elif self._in_tr and self.trs:
-                    self.trs[-1].append(text)
-                self._cell_kind = None
+            elif tag in ("th", "td") and self._cell_kind is not None:
+                self._flush_cell()
 
     def handle_data(self, data):
         if self._in_h1 or self._cell_kind is not None:
@@ -98,7 +110,9 @@ class _TableParser(HTMLParser):
 
 
 def parse_html_table(doc_id: int, html: str) -> list[tuple]:
-    if html is None or "<table" not in html:
+    # case-insensitive precheck: HTMLParser (and the reference's
+    # BeautifulSoup) lowercase tag names, so <TABLE> must not be dropped
+    if html is None or "<table" not in html.lower():
         return []
     p = _TableParser()
     p.feed(html)

@@ -158,7 +158,7 @@ def oracle_extract(spans, header, footer, cfg):
     document = _Document()
     for s in spans:
         if s["kind"] == "TOC":
-            line = s["text"]
+            line = s["text"] or ""  # NULL coerced, same as TextBoxes
             for pat in cfg.patterns_to_strip:  # ref pdf_extractor.py:174-177
                 line = re.sub(pat, " ", line)
             line = re.sub(r"\s{2,}", " ", line)

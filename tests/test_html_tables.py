@@ -52,3 +52,25 @@ def test_second_table_ignored():
         "<table><tr><th>z</th></tr><tr><td>9</td></tr></table>",
     )
     assert rows == [(5, "No Title", 0, "a=1")]
+
+
+def test_parse_html_implied_end_tags():
+    """Valid HTML5 omits </td>/</th>/</tr>; BeautifulSoup (the
+    reference parser) closes them implicitly, so the stdlib parser
+    must flush open cells on the next cell/row/table boundary."""
+    from pdfspark.operators.html_tables import parse_html_table
+
+    html = ("<table><tr><th>a<th>b</tr>"
+            "<tr><td>1<td>2</tr><tr><td>3<td>4</table>")
+    rows = parse_html_table(7, html)
+    assert [r[3] for r in rows] == ["a=1|b=2", "a=3|b=4"]
+
+
+def test_parse_html_uppercase_tags():
+    """HTMLParser lowercases tag names; the <table> precheck must be
+    case-insensitive too (BeautifulSoup's find('table') is)."""
+    from pdfspark.operators.html_tables import parse_html_table
+
+    html = ("<TABLE><TR><TH>a</TH></TR>"
+            "<TR><TD>1</TD></TR></TABLE>")
+    assert len(parse_html_table(8, html)) == 1

@@ -174,26 +174,35 @@ def lsh_bands(sigs: DataFrame) -> DataFrame:
 def minhash_candidates(
     docs: DataFrame, shingles: DataFrame | None = None
 ) -> DataFrame:
-    """Candidate near-dup pairs: docs sharing >= 1 LSH band.
+    """Star-shaped candidate near-dup pairs: each doc paired with the
+    representative (min doc_id) of every LSH bucket it lands in.
 
-    The self-join is an equi-join on (band, band_key) — Catalyst picks
-    sort-merge/shuffled-hash with AQE skew splitting; no quadratic
-    compare ever happens. The band frame is persisted across the two
-    sides of the self-join: without it the whole shingle+signature
-    pipeline executes once per side.
+    Candidate volume is O(m) per bucket, not the C(m,2) of an
+    all-pairs bucket self-join: m identical docs share every band, so
+    all-pairs emitted ~m^2/2 rows — a 1M-doc boilerplate cluster in a
+    100 TB crawl would emit ~5*10^11 pairs before verification. The
+    star keeps exactly the edges (bucket_min, member), whose connected
+    components equal the all-pairs graph's (every member of a bucket
+    is connected through its representative), so keep-first dedup —
+    keep the min doc_id per component — is unchanged. Both the
+    representative aggregate and the join back are (band, band_key)
+    equi-ops; AQE broadcasts the rep frame when it is small.
+
+    `n_shared_bands` counts the bands in which doc_b's bucket is
+    represented by doc_a (for an identical cluster: all NUM_BANDS);
+    doc_a < doc_b still holds because the representative is the
+    bucket min. The DuckDB oracle twin mirrors the star shape
+    (oracle_pipeline._minhash_cte).
     """
     bands = lsh_bands(minhash_signatures(docs, shingles)).persist()
-    a = bands.alias("a")
-    b = bands.alias("b")
+    reps = bands.groupBy("band", "band_key").agg(
+        F.min("doc_id").alias("rep_id")
+    )
     return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        bands.join(reps, ["band", "band_key"])
+        .filter(F.col("doc_id") != F.col("rep_id"))
         .groupBy(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+            F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
         )
         .agg(F.count("*").cast("int").alias("n_shared_bands"))
     )
@@ -203,9 +212,14 @@ def minhash_verified(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """LSH candidates verified with exact shingle Jaccard >= threshold.
 
     Shingle sets are joined only for candidate pairs (the scale path:
-    |candidates| << |docs|^2). The shingle frame feeds four consumers
-    (signatures, sizes, both sides of the intersection join), so it is
-    persisted once instead of re-exploding the corpus per consumer.
+    |candidates| << |docs|^2). Candidates are star-shaped (see
+    minhash_candidates), so the verified edges are member-vs-bucket-
+    representative — exactly the decision surface keep-first dedup
+    needs (drop a doc iff it near-matches its cluster representative);
+    intra-bucket member-member pairs are intentionally never scored.
+    The shingle frame feeds four consumers (signatures, sizes, both
+    sides of the intersection join), so it is persisted once instead
+    of re-exploding the corpus per consumer.
     """
     sh = word_shingles(docs).persist()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
@@ -214,12 +228,11 @@ def minhash_verified(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     # candidate pairs first (|candidates| << corpus in the typical
     # case): the shingle frame is filtered down to participating docs
-    # before the heavy shingle-level join. NO forced broadcast: exact-
-    # duplicate clusters make |candidates| quadratic in cluster size
-    # (m identical docs share every band -> C(m,2) pairs), so a
-    # boilerplate-heavy corpus could OOM the driver under a broadcast
-    # hint — AQE broadcasts when the frame is actually small and falls
-    # back to a distributed join when it is not
+    # before the heavy shingle-level join. NO forced broadcast: even
+    # with star-shaped candidates (O(m) per bucket) a dup-heavy corpus
+    # still yields candidates proportional to the corpus, so a
+    # broadcast hint could OOM the driver — AQE broadcasts when the
+    # frame is actually small and falls back otherwise
     inter = (
         cands.select("doc_a", "doc_b")
         .join(sh_a, "doc_a")
@@ -307,30 +320,35 @@ def simhash_candidates(docs: DataFrame) -> DataFrame:
     edit-distance contracts (h<=3 on 64 bits) make 16-bit bands exact
     by pigeonhole and collision-bounded by 2^-16."""
     w = SIMHASH_HEX // SIMHASH_BANDS
-    # persist across the self-join: the signature aggregation (a full
-    # bigram explode + 32-column groupBy) must not run once per side
-    sigs = simhash_signatures(docs).persist()
-    bands = sigs.select(
+    # persist across the rep-aggregate/join diamond: the signature
+    # aggregation (a full bigram explode + 32-column groupBy) must not
+    # run once per consumer
+    bands = simhash_signatures(docs).select(
         "doc_id",
         "simhash",
         F.posexplode(
             F.array(*[F.substring("simhash", b * w + 1, w)
                       for b in range(SIMHASH_BANDS)])
         ).alias("band", "band_bits"),
+    ).persist()
+    # star-shaped candidates (same rationale + component-equivalence
+    # argument as minhash_candidates): pair each bucket member with
+    # the bucket representative (min doc_id) instead of all-pairs —
+    # O(m) per bucket, immune to the C(m,2) blowup on identical
+    # clusters. min_by carries the representative's signature so the
+    # Hamming verify below never re-joins the signature frame.
+    reps = bands.groupBy("band", "band_bits").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.min_by("simhash", "doc_id").alias("rep_sh"),
     )
-    a, b = bands.alias("a"), bands.alias("b")
     pairs = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_bits") == F.col("b.band_bits"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
+        bands.join(reps, ["band", "band_bits"])
+        .filter(F.col("doc_id") != F.col("rep_id"))
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.col("a.simhash").alias("sh_a"),
-            F.col("b.simhash").alias("sh_b"),
+            F.col("rep_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.col("rep_sh").alias("sh_a"),
+            F.col("simhash").alias("sh_b"),
         )
         .distinct()
     )

@@ -73,11 +73,12 @@ def _norm(a):
     return F.sqrt(_dot(a, a))
 
 
-def cosine_topk(
+def cosine_topk_hof(
     emb: DataFrame, queries: DataFrame, k: int = 5
 ) -> DataFrame:
-    """Brute-force cosine top-k: broadcast the query side, rank by
-    rounded similarity (desc) with vec_id tie-break, keep k."""
+    """Interpreted HOF twin of cosine_topk — the 1:1 transliteration
+    of the DuckDB oracle SQL; kept for parity tests only (the
+    production kernel below is pinned bit-equal to it)."""
     e = emb.select(
         F.col("vec_id"), _as_double(F.col("embedding")).alias("v"),
         _norm(_as_double(F.col("embedding"))).alias("nv"),
@@ -99,6 +100,103 @@ def cosine_topk(
         .select("query_id", F.col("rank").cast("int").alias("rank"),
                 "vec_id", "sim")
     )
+
+
+def _topk_fold(emb: DataFrame, queries: DataFrame, k: int,
+               metric: str) -> DataFrame:
+    """Shared Arrow/NumPy kernel behind the production cosine_topk /
+    euclidean_topk: per Arrow batch, score every corpus vector against
+    the (model-sized, driver-collected) query block with one
+    vectorized add per dimension in the HOF's left-fold order (see the
+    parity note at `_fold_rows`) — bit-identical pre-rounding values,
+    so ranks and the round-to-4 output match the interpreted HOF twins
+    (`cosine_topk_hof` / `euclidean_topk_hof`, which the DuckDB
+    oracles transliterate) except at the half-even/.00005 seam the
+    fixtures exclude by design. Partial top-k per batch bounds the
+    shuffle at |batches| x |queries| x k rows; a global window
+    finishes."""
+    import numpy as np
+    import pandas as pd
+
+    score_col = "sim" if metric == "cosine" else "dist"
+    asc = metric != "cosine"
+    q_rows = queries.select("vec_id", "embedding").collect()  # model-sized
+    if not q_rows:
+        return emb.sparkSession.createDataFrame(
+            [], f"query_id long, rank int, vec_id long, {score_col} double"
+        )
+    q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
+    qm = np.array([r.embedding for r in q_rows], dtype=np.float64)
+    qn = np.sqrt(_fold_rows(qm * qm))
+
+    out_schema = T.StructType(
+        [
+            T.StructField("query_id", T.LongType()),
+            T.StructField("vec_id", T.LongType()),
+            T.StructField(score_col, T.DoubleType()),
+        ]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            m = _mat(pdf["embedding"])
+            if metric == "cosine":
+                nv = np.sqrt(_fold_rows(m * m))
+            rows = []
+            for j, qid in enumerate(q_ids):
+                if metric == "cosine":
+                    col = np.round(
+                        _fold_rows(m * qm[j]) / (qn[j] * nv), 4
+                    )
+                else:
+                    d = m - qm[j]
+                    col = np.round(np.sqrt(_fold_rows(d * d)), 4)
+                mask = ids != qid
+                cids, cs = ids[mask], col[mask]
+                if not len(cids):
+                    continue
+                # partial top-k per batch (order by score, vec_id)
+                order = np.lexsort((cids, cs if asc else -cs))[:k]
+                rows.extend(
+                    (int(qid), int(cids[i]), float(cs[i])) for i in order
+                )
+            yield pd.DataFrame(
+                rows, columns=["query_id", "vec_id", score_col]
+            )
+
+    partial = emb.select("vec_id", "embedding").mapInPandas(run, out_schema)
+    order_by = (F.asc(score_col) if asc else F.desc(score_col),
+                F.asc("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(*order_by)
+    return (
+        partial.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("rank").cast("int").alias("rank"),
+                "vec_id", score_col)
+    )
+
+
+def cosine_topk(emb: DataFrame, queries: DataFrame, k: int = 5) -> DataFrame:
+    """Brute-force cosine top-k (production form): fold-order
+    Arrow/NumPy scan, rank by rounded similarity (desc) with vec_id
+    tie-break, keep k. Output equals cosine_topk_hof row-for-row
+    (pytest-pinned); the HOF twin remains the DuckDB oracle's shape."""
+    return _topk_fold(emb, queries, k, "cosine")
+
+
+def euclidean_topk(
+    emb: DataFrame, queries: DataFrame, k: int = 5
+) -> DataFrame:
+    """Reference Pinecone semantics (J5), production form: top_k by
+    euclidean distance via the fold-order Arrow/NumPy kernel; equals
+    euclidean_topk_hof row-for-row (pytest-pinned).
+
+    Reference basis: src/data/vector_store_retreiver.py queries
+    Pinecone's euclidean index top_k."""
+    return _topk_fold(emb, queries, k, "euclidean")
 
 
 def cosine_topk_np(
@@ -171,10 +269,11 @@ def cosine_topk_np(
     )
 
 
-def euclidean_topk(
+def euclidean_topk_hof(
     emb: DataFrame, queries: DataFrame, k: int = 5
 ) -> DataFrame:
-    """Reference Pinecone semantics (J5): top_k by euclidean distance."""
+    """Interpreted HOF twin of euclidean_topk (J5 Pinecone semantics)
+    — the DuckDB oracle's transliteration; kept for parity tests."""
     e = emb.select(F.col("vec_id"), _as_double(F.col("embedding")).alias("v"))
     q = queries.select(
         F.col("vec_id").alias("query_id"), _as_double(F.col("embedding")).alias("qv")

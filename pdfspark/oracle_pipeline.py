@@ -83,12 +83,15 @@ hashed AS (SELECT doc_id, ({h_expr}) AS h FROM shingles),
 sigs AS (SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id),
 bands AS (
   {band_rows}),
+reps AS (
+  SELECT band, band_key, min(doc_id) AS rep_id
+  FROM bands GROUP BY 1, 2),
 pairs AS (
-  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  SELECT r.rep_id AS doc_a, b.doc_id AS doc_b,
          CAST(count(*) AS INT) AS n_shared_bands
-  FROM bands a JOIN bands b
-       ON a.band = b.band AND a.band_key = b.band_key
-          AND a.doc_id < b.doc_id
+  FROM bands b JOIN reps r
+       ON b.band = r.band AND b.band_key = r.band_key
+  WHERE b.doc_id <> r.rep_id
   GROUP BY 1, 2)
 """
 
@@ -170,12 +173,16 @@ def simhash_pairs_sql(fix: str) -> str:
 WITH {_docs_all(fix)}, {_shingles(2, "shingles2")}, {_simhash_cte()},
 sbands AS (
   {band_rows}),
+sreps AS (
+  SELECT band, band_bits, min(doc_id) AS rep_id,
+         arg_min(simhash, doc_id) AS rep_sh
+  FROM sbands GROUP BY 1, 2),
 spairs AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.simhash AS sh_a, b.simhash AS sh_b
-  FROM sbands a JOIN sbands b
-       ON a.band = b.band AND a.band_bits = b.band_bits
-          AND a.doc_id < b.doc_id)
+  SELECT DISTINCT r.rep_id AS doc_a, b.doc_id AS doc_b,
+         r.rep_sh AS sh_a, b.simhash AS sh_b
+  FROM sbands b JOIN sreps r
+       ON b.band = r.band AND b.band_bits = r.band_bits
+  WHERE b.doc_id <> r.rep_id)
 SELECT doc_a, doc_b, sh_a, sh_b, CAST({ham} AS INT) AS hamming FROM spairs
 """
 

@@ -98,6 +98,42 @@ def test_simhash_close_for_neardups(docs_all):
     assert cands.filter(F.col("hamming") == 0).count() > 0
 
 
+def test_star_candidates_linear_in_cluster_size(spark):
+    """A planted 1,000-member identical cluster must emit O(m)
+    candidate rows (each member paired with the cluster min), not the
+    ~C(m,2)=499,500 of an all-pairs bucket join — the 100 TB
+    boilerplate-cluster pathology the star-shaped generation exists
+    to kill. Same invariant for simhash."""
+    text = "the quick brown fox jumps over the lazy dog every day"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(1000)], "doc_id long, text string"
+    )
+    mh = minhash_candidates(docs).collect()
+    assert len(mh) == 999
+    assert all(r.doc_a == 0 and r.n_shared_bands == 4 for r in mh)
+    sh = simhash_candidates(docs).collect()
+    assert len(sh) == 999
+    assert all(r.doc_a == 0 and r.hamming == 0 for r in sh)
+
+
+def test_star_candidates_component_equivalence(spark):
+    """On a mixed corpus the star graph's connected components equal
+    the all-pairs graph's: every bucket member connects through the
+    bucket representative."""
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    rows = [(0, base), (1, base), (2, base),
+            (3, base.replace("delta", "DELTA-EDIT")),
+            (4, "totally different words nothing shared here at all ok")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    edges = {(r.doc_a, r.doc_b)
+             for r in minhash_candidates(docs).collect()}
+    # identical docs 1,2 pair with rep 0; member-member edge (1,2)
+    # is intentionally absent but the component {0,1,2} holds
+    assert (0, 1) in edges and (0, 2) in edges
+    assert (1, 2) not in edges
+    assert not any(4 in e for e in edges)
+
+
 def test_dedup_deterministic_under_repartition(docs_all):
     base = sorted(
         (r.doc_a, r.doc_b, r.n_shared_bands)
@@ -532,8 +568,8 @@ def test_ivf_centroid_checkpoint_roundtrip(spark, emb_all, tmp_path):
 
 
 def test_cosine_topk_np_equals_hof(spark, emb_all):
-    """The Arrow/NumPy matmul fast path must reproduce the HOF
-    (oracle-matched) brute-force cosine top-k on the fixture."""
+    """The Arrow/NumPy matmul fast path must reproduce the production
+    fold-order brute-force cosine top-k on the fixture."""
     from pdfspark.operators.similarity import cosine_topk_np
 
     q = emb_all.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 1000000))
@@ -542,6 +578,36 @@ def test_cosine_topk_np_equals_hof(spark, emb_all):
     b = {(r.query_id, r.rank): (r.vec_id, r.sim)
          for r in cosine_topk_np(emb_all, q).collect()}
     assert a == b
+
+
+def test_topk_fold_kernels_equal_hof_twins(spark, emb_all):
+    """The production fold-order kernels must equal the interpreted
+    HOF twins (the DuckDB-oracled forms) row-for-row, sims/dists
+    included — the bit-exact left-fold accumulation claim."""
+    from pdfspark.operators.similarity import (
+        cosine_topk_hof,
+        euclidean_topk_hof,
+    )
+
+    q = emb_all.filter((F.col("vec_id") % 50 == 0) & (F.col("vec_id") < 1000000))
+    a = sorted((r.query_id, r.rank, r.vec_id, r.sim)
+               for r in cosine_topk(emb_all, q).collect())
+    b = sorted((r.query_id, r.rank, r.vec_id, r.sim)
+               for r in cosine_topk_hof(emb_all, q).collect())
+    assert a == b
+    c = sorted((r.query_id, r.rank, r.vec_id, r.dist)
+               for r in euclidean_topk(emb_all, q).collect())
+    d = sorted((r.query_id, r.rank, r.vec_id, r.dist)
+               for r in euclidean_topk_hof(emb_all, q).collect())
+    assert c == d
+
+
+def test_topk_fold_empty_queries(spark, emb_all):
+    from pdfspark.operators.similarity import euclidean_topk
+
+    q = emb_all.filter(F.col("vec_id") < 0)
+    assert cosine_topk(emb_all, q).count() == 0
+    assert euclidean_topk(emb_all, q).count() == 0
 
 
 HOLDOUT_SENTENCES = [

@@ -761,16 +761,22 @@ def _q_stream_extract(spark, sf_dir):
 
     from pdfspark.streaming.extract_stream import extract_payload_stream
 
-    # fixed per-sf_dir scratch location, wiped at entry: a fresh
-    # mkdtemp per call leaked one payload-corpus copy + checkpoint
-    # into /tmp per driver run (and the wipe also guarantees the
-    # checkpoint never skips this run's files)
+    # per-(sf_dir, pid) scratch location, wiped at entry and removed
+    # at interpreter exit: the wipe guarantees the checkpoint never
+    # skips this run's files, the PID scope keeps two concurrent
+    # drivers on one host (e.g. selfcheck and bench) from rmtree-ing
+    # each other's live checkpoint mid-drain, and the atexit hook
+    # keeps per-process dirs from accumulating in /tmp
+    import atexit
+
     d = os.path.join(
         tempfile.gettempdir(),
         "pdfspark_stream_extract_"
-        + hashlib.md5(sf_dir.encode()).hexdigest()[:12],
+        + hashlib.md5(sf_dir.encode()).hexdigest()[:12]
+        + f"_{os.getpid()}",
     )
     shutil.rmtree(d, ignore_errors=True)
+    atexit.register(shutil.rmtree, d, ignore_errors=True)
     out, cp = os.path.join(d, "out"), os.path.join(d, "cp")
     extract_payload_stream(
         spark, os.path.join(_fixture_dir(sf_dir), "payloads"), out, cp
@@ -1139,16 +1145,7 @@ def oracle_sql() -> dict[str, str]:
         "ts_quality": OP.quality_sql(FIX01),
         "ts_tokens": OP.tokens_sql(FIX01),
         "ts_fingerprints": OP.fingerprints_sql(FIX01),
-        "td_curation": f"""
-            WITH cq AS (SELECT * FROM ({OP.quality_sql(FIX01)})),
-            cl AS (SELECT doc_id, pred_lang FROM ({OP.langid_sql(FIX01)})),
-            ck AS (SELECT keeper_doc_id AS doc_id
-                   FROM ({OP.exact_dups_sql(FIX01)}))
-            SELECT cq.doc_id, cl.pred_lang, cq.quality_score,
-                   cq.n_words, cq.n_chars
-            FROM cq JOIN cl USING (doc_id) JOIN ck USING (doc_id)
-            WHERE cl.pred_lang = 'en' AND cq.quality_score >= 0.5
-        """,
+        "td_curation": OP.curation_sql(FIX01),
         "sim_ann_topk": OP.ann_cosine_sql(FIX01),
         "sim_ivf_topk": OP.ivf_topk_sql(FIX01),
         "j5_topk_euclidean": OP.euclidean_topk_sql(FIX01),

@@ -56,6 +56,14 @@ def main(argv=None) -> int:
              "file_util.py:58-146)",
     )
     ap.add_argument(
+        "--commit-protocol", choices=("rename", "manifest-only"),
+        default="rename",
+        help="snapshot commit protocol: rename (atomic dir rename, "
+             "default) or manifest-only (no directory rename; the "
+             "manifest lists data files — for object stores like raw "
+             "S3 whose only atomic primitive is a single-object PUT)",
+    )
+    ap.add_argument(
         "--buckets", type=int, default=0,
         help="partition output by pmod(xxhash64(doc_id), N) — the "
              "parquet stand-in for Iceberg's bucket(N, doc_id) "
@@ -88,6 +96,7 @@ def main(argv=None) -> int:
 
     from pdfspark.sinks.snapshot import (
         commit_append,
+        gc_orphans,
         read_committed,
         reconcile_aux,
     )
@@ -96,6 +105,12 @@ def main(argv=None) -> int:
         # a prior run may have died between the data commit and the
         # metrics commit — republish those metrics manifests first
         reconcile_aux(args.output, [args.metrics])
+    # reclaim unmanifested crash debris (never visible to resume, but
+    # it would otherwise accumulate disk forever); the grace period
+    # protects any concurrent writer's in-flight commit
+    for tgt in [args.output] + ([args.metrics] if args.metrics else []):
+        if os.path.isdir(tgt):
+            gc_orphans(tgt)
 
     if args.resume:
         # only MANIFESTED snapshots count as committed: a crash that
@@ -145,9 +160,11 @@ def main(argv=None) -> int:
             "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(args.buckets))
         )
         commit_append(out, args.output, fmt=args.format,
-                      partition_by="bucket", aux=aux)
+                      partition_by="bucket", aux=aux,
+                      protocol=args.commit_protocol)
     else:
-        commit_append(out, args.output, fmt=args.format, aux=aux)
+        commit_append(out, args.output, fmt=args.format, aux=aux,
+                      protocol=args.commit_protocol)
     full.unpersist()
     print(f"extract_job: wrote {n} documents to {args.output}")
     return 0

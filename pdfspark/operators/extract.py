@@ -1085,7 +1085,10 @@ def extract_spans_relational(documents_in: DataFrame) -> DataFrame:
     pytrim = F.regexp_replace(
         F.coalesce(F.col("s.text"), F.lit("")), r"(?U)^\s+|\s+$", ""
     )
-    df = exploded.join(F.broadcast(bad_docs), "doc_id", "left_anti").select(
+    # no forced broadcast: the DecodeError doc_id set is unbounded on
+    # a corrupt-heavy corpus (driver-OOM risk under a hint) — AQE
+    # broadcasts when it is actually small
+    df = exploded.join(bad_docs, "doc_id", "left_anti").select(
         "doc_id",
         F.col("s.offset").alias("pos"),
         F.col("s.kind").alias("k"),

@@ -302,40 +302,62 @@ def fingerprints(docs: DataFrame) -> DataFrame:
 
 
 def curate_documents(
-    docs: DataFrame, min_quality: float = 0.5, lang: str = "en"
+    docs: DataFrame, min_quality: float = 0.5, lang: str = "en",
+    near_dedup: bool = True,
 ) -> DataFrame:
     """Composed training-data curation pass — the operators above used
     the way a 100 TB pipeline chains them: exact-dedup keep-first
-    (cheapest pass, runs first), then language filter, then quality
-    filter. Shapes: one hash shuffle for the dedup groupBy, a semi-join
-    on the keeper set, and two narrow per-row feature projections
-    joined on doc_id — no window, no cross joins; every filter is a
-    deterministic predicate over oracle-matched rounded features.
+    (cheapest pass, runs first), then MinHash near-dedup over the
+    exact survivors, then language filter, then quality filter.
+    Shapes: one hash shuffle for the dedup groupBy, a semi-join on the
+    keeper set, the banded star-candidate join of minhash_verified,
+    and two narrow per-row feature projections joined on doc_id — no
+    window, no cross joins; every filter is a deterministic predicate
+    over oracle-matched rounded features.
 
-    Filter ordering: language_id is the one expensive feature (a full
-    per-doc trigram classification), so it runs only on the docs that
-    survive the dedup semi-join AND the quality threshold — all three
-    filters are independent per-doc predicates, so they commute and
-    the composed result is identical (the DuckDB twin computes the
-    unordered conjunction). At sf0.1 this cuts the langid input ~4x;
-    at 100 TB it is the difference between profiling the corpus and
-    profiling the survivors."""
-    from pdfspark.operators.dedup import exact_duplicates
+    Near-dedup semantics (``near_dedup=True``): a doc is dropped iff
+    it is the non-representative side (doc_b) of a Jaccard-verified
+    star candidate pair — keep-first at the near-dup level, mirroring
+    the exact pass. The near-dup stage is pinned to run on the
+    exact-dedup survivors (the standard pipeline order; the pair set
+    depends on the corpus it runs over, so the order is part of the
+    contract and the DuckDB twin computes the same staging).
+
+    Filter ordering: language_id is the one expensive per-doc feature
+    (a full trigram classification), so it runs only on the docs that
+    survive dedup AND the quality threshold — these per-doc predicates
+    commute, so computing quality on the full corpus and joining is
+    identical. At sf0.1 this cuts the langid input ~4x; at 100 TB it
+    is the difference between profiling the corpus and profiling the
+    survivors."""
+    from pdfspark.operators.dedup import exact_duplicates, minhash_verified
 
     keep = exact_duplicates(docs).select(
         F.col("keeper_doc_id").alias("doc_id")
     )
+    uniq = docs.select("doc_id", "text").join(keep, "doc_id", "left_semi")
+    if near_dedup:
+        nd_drop = minhash_verified(uniq).select(
+            F.col("doc_b").alias("doc_id")
+        )
+        keep = uniq.join(nd_drop, "doc_id", "left_anti").select("doc_id")
     q = quality_scores(docs)
     # survivors feeds three consumers (language_id's trigram side, its
-    # doc_id spine, and the final join) — without persist the dedup
-    # groupBy and the quality regex scans over the full corpus execute
-    # once per consumer (the usual diamond rule; ~5% at sf0.1 where
-    # fixed stage cost dominates, survivor-set-sized at 100 TB)
+    # doc_id spine, and the final join) — without materialization the
+    # dedup groupBy and the quality regex scans over the full corpus
+    # execute once per consumer (the usual diamond rule; ~5% at sf0.1
+    # where fixed stage cost dominates, survivor-set-sized at 100 TB).
+    # localCheckpoint instead of persist: a returned lazy frame has no
+    # "after the final action" hook to unpersist at, and SQL-cache
+    # entries are never reclaimed by the ContextCleaner — repeated
+    # curate calls in a long-lived session would pin executor storage
+    # forever. Local-checkpoint blocks ARE GC-reclaimed once the
+    # returned frame becomes unreachable.
     survivors = (
         docs.select("doc_id", "text")
         .join(keep, "doc_id", "left_semi")
         .join(q.filter(F.col("quality_score") >= min_quality), "doc_id")
-    ).persist()
+    ).localCheckpoint(eager=True)
     lid = language_id(survivors)
     return (
         survivors.join(lid.select("doc_id", "pred_lang"), "doc_id")

@@ -45,14 +45,14 @@ tokend AS (SELECT doc_id, text, norm, string_split(norm, ' ') AS toks
 """
 
 
-def _shingles(n: int, name: str = "shingles") -> str:
+def _shingles(n: int, name: str = "shingles", src: str = "tokend") -> str:
     parts = " || ' ' || ".join(f"toks[i+{j}]" for j in range(n))
     return f"""
 {name} AS (
   SELECT DISTINCT doc_id,
     unnest(list_transform(generate_series(1, greatest(len(toks)-{n - 1}, 0)),
                           i -> {parts})) AS shingle
-  FROM tokend)
+  FROM {src})
 """
 
 
@@ -131,6 +131,45 @@ FROM inter i
 JOIN sizes na ON na.doc_id = i.doc_a
 JOIN sizes nb ON nb.doc_id = i.doc_b
 WHERE round(i.n_inter / (na.n_sh + nb.n_sh - i.n_inter), 4) >= {threshold}
+"""
+
+
+def curation_sql(fix: str, threshold: float = 0.5,
+                 min_quality: float = 0.5, lang: str = "en") -> str:
+    """Twin of textstats.curate_documents with near_dedup=True: exact
+    keep-first, then MinHash star-pair verification over the exact
+    survivors (same staging as the engine — the pair set depends on
+    the corpus it runs over), then the per-doc language/quality
+    predicates."""
+    return f"""
+WITH {_docs_all(fix)},
+keepers AS (SELECT min(doc_id) AS doc_id FROM normed GROUP BY md5(norm)),
+uniqd AS (SELECT n.doc_id, n.norm FROM normed n JOIN keepers k
+          ON n.doc_id = k.doc_id),
+tokend_u AS (SELECT doc_id, string_split(norm, ' ') AS toks FROM uniqd),
+{_shingles(SHINGLE_WORDS, src="tokend_u")}, {_minhash_cte()},
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+  FROM pairs c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+  GROUP BY 1, 2),
+nd_drop AS (
+  SELECT DISTINCT i.doc_b AS doc_id
+  FROM inter i
+  JOIN sizes na ON na.doc_id = i.doc_a
+  JOIN sizes nb ON nb.doc_id = i.doc_b
+  WHERE round(i.n_inter / (na.n_sh + nb.n_sh - i.n_inter), 4)
+        >= {threshold}),
+cq AS (SELECT * FROM ({quality_sql(fix)})),
+cl AS (SELECT doc_id, pred_lang FROM ({langid_sql(fix)}))
+SELECT cq.doc_id, cl.pred_lang, cq.quality_score, cq.n_words, cq.n_chars
+FROM uniqd u
+JOIN cq ON cq.doc_id = u.doc_id
+JOIN cl ON cl.doc_id = u.doc_id
+WHERE cl.pred_lang = '{lang}' AND cq.quality_score >= {min_quality}
+  AND u.doc_id NOT IN (SELECT doc_id FROM nd_drop)
 """
 
 

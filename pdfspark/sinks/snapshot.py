@@ -4,32 +4,48 @@ snapshot commit (S9; ref append sinks src/utilities/file_util.py:58-146).
 Plain ``mode("append")`` parquet has a torn-write window: a crash mid-
 write leaves partial part-files that a resume anti-join then treats as
 committed, losing the unfinished documents forever. Iceberg closes
-this with snapshot manifests; this module reproduces that protocol on
-any rename-atomic filesystem:
+this with snapshot manifests; this module reproduces that protocol in
+two variants:
+
+``protocol="rename"`` (default, any rename-atomic filesystem):
 
     <output>/
         _staging/<snap>/...    in-flight write (never read)
         <snap>/...             data, atomically renamed from staging
         _manifests/<snap>.manifest   commit marker, written LAST
 
-Commit = write staging -> atomic dir rename -> atomic manifest
-publish (tmp + os.replace). Readers (and resume) list ONLY manifested
-snapshots, so every possible crash point is safe:
+``protocol="manifest-only"`` (object stores without atomic directory
+rename — raw S3): the data stays where it was written, under
+``_staging/<snap>/``, and the manifest itself lists the data file
+paths. The only atomic primitive used is the single-object manifest
+publish (an S3 PUT is atomic per object); ``os.rename`` of a
+directory is never called.
+
+Either way, commit = write data -> publish manifest LAST. Readers
+(and resume) list ONLY manifested snapshots, so every possible crash
+point is safe:
 
     * during the data write: garbage stays under _staging;
-    * after rename, before manifest: the snapshot dir exists but is
-      unmanifested — invisible to readers, re-emitted by resume;
-    * after manifest: fully committed, resume skips its doc_ids.
+    * after the data is in place, before the manifest: invisible to
+      readers, re-emitted by resume;
+    * after the manifest: fully committed, resume skips its doc_ids.
+
+Crashed runs leave orphans (unmanifested snapshot/staging dirs) that
+resume never reads but also never reclaims; ``gc_orphans`` deletes
+them at job start, with a grace period so a concurrently-committing
+writer's in-flight snapshot is never swept. Consequently ``output``
+must only ever be read via ``read_committed`` — a plain
+``spark.read.parquet(output)`` would double-count orphans (and, under
+the rename protocol, read uncommitted data).
 
 On a real cluster, swap this module for ``format("iceberg")`` with a
-catalog — the job's call sites are the only coupling. Object stores
-without atomic rename (raw S3) need the manifest-only variant: skip
-the rename and list data paths inside the manifest instead.
+catalog — the job's call sites are the only coupling.
 """
 
 from __future__ import annotations
 
 import os
+import shutil
 import time
 import uuid
 
@@ -39,23 +55,37 @@ MANIFEST_DIR = "_manifests"
 STAGING_DIR = "_staging"
 
 
-def _publish(output: str, snap: str) -> None:
-    """Atomic commit marker: the LAST step of a commit. Separated out
-    so crash-injection tests can fail a commit after its data write."""
+def _publish(output: str, snap: str, files: list[str] | None = None) -> None:
+    """Atomic commit marker: the LAST step of a commit. Line 1 is the
+    snapshot id; any further lines are output-relative data file paths
+    (the manifest-only protocol). Separated out so crash-injection
+    tests can fail a commit after its data write."""
     mdir = os.path.join(output, MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".{snap}.tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(snap + "\n")
+        for f in files or []:
+            fh.write(f + "\n")
     os.replace(tmp, os.path.join(mdir, f"{snap}.manifest"))
+
+
+def _manifest_files(output: str, snap: str) -> list[str]:
+    """Data file list recorded in a manifest ([] = rename protocol:
+    the data lives under <output>/<snap>)."""
+    p = os.path.join(output, MANIFEST_DIR, f"{snap}.manifest")
+    with open(p, encoding="utf-8") as fh:
+        return [ln for ln in fh.read().splitlines()[1:] if ln]
 
 
 def _stage_snapshot(
     df: DataFrame, output: str, snap: str, fmt: str,
-    partition_by: str | None = None,
-) -> bool:
-    """Write ``df`` under _staging/<snap> and atomically rename into
-    place (still unmanifested). Returns False (and cleans up) when the
+    partition_by: str | None = None, rename: bool = True,
+) -> list[str] | None:
+    """Write ``df`` under _staging/<snap> and either atomically rename
+    into place (rename protocol; returns []) or leave it staged and
+    return the output-relative data file list for the manifest
+    (manifest-only protocol). Returns None (and cleans up) when the
     write produced no data files — a file-less parquet snapshot cannot
     be read back."""
     staging = os.path.join(output, STAGING_DIR, snap)
@@ -63,37 +93,42 @@ def _stage_snapshot(
     if partition_by:
         w = w.partitionBy(partition_by)
     w.save(staging)
-    has_data = any(
-        fn and not fn.startswith(("_", "."))
-        for _dir, _sub, files in os.walk(staging)
-        for fn in files
+    files = sorted(
+        os.path.relpath(os.path.join(d, fn), output)
+        for d, _sub, fns in os.walk(staging)
+        for fn in fns
+        if fn and not fn.startswith(("_", "."))
     )
-    if not has_data:
-        import shutil
-
+    if not files:
         shutil.rmtree(staging, ignore_errors=True)
-        return False
-    os.rename(staging, os.path.join(output, snap))
-    return True
+        return None
+    if rename:
+        os.rename(staging, os.path.join(output, snap))
+        return []
+    return files
 
 
 def commit_append(
     df: DataFrame, output: str, fmt: str = "parquet",
     partition_by: str | None = None,
     aux: list[tuple[DataFrame, str]] | None = None,
+    protocol: str = "rename",
 ) -> str | None:
     """Append ``df`` to ``output`` as one atomically-committed
     snapshot; returns the snapshot id, or None for an empty ``df``
     (a resume run with nothing left to do commits nothing, like an
     Iceberg empty-append fast path).
 
+    ``protocol`` — "rename" (default) or "manifest-only" (see module
+    docstring; pick the latter for stores without atomic rename).
+
     ``aux`` — side tables (e.g. the lineage metrics) committed under
     the SAME snapshot id, analogous to an Iceberg multi-table commit.
     Ordering closes every crash window:
 
-        1. stage + rename the data snapshot      (unmanifested)
-        2. stage + rename each aux snapshot      (unmanifested)
-        3. publish the DATA manifest             <- commit point
+        1. stage the data snapshot (+ rename, rename protocol only)
+        2. stage each aux snapshot likewise          (unmanifested)
+        3. publish the DATA manifest                 <- commit point
         4. publish each aux manifest
 
     A crash before 3 leaves everything invisible (resume re-emits the
@@ -101,37 +136,97 @@ def commit_append(
     3 and 4 leaves the aux DATA fully on disk, only its marker
     missing — ``reconcile_aux`` republishes it on the next run, so the
     lineage rows for a committed data snapshot can never be lost."""
+    if protocol not in ("rename", "manifest-only"):
+        raise ValueError(f"unknown snapshot protocol: {protocol!r}")
+    rename = protocol == "rename"
     snap = f"snap-{time.time_ns()}-{uuid.uuid4().hex[:8]}"
-    if not _stage_snapshot(df, output, snap, fmt, partition_by):
+    files = _stage_snapshot(df, output, snap, fmt, partition_by,
+                            rename=rename)
+    if files is None:
         return None
     aux_staged = []
     for aux_df, aux_output in aux or []:
-        if _stage_snapshot(aux_df, aux_output, snap, "parquet"):
-            aux_staged.append(aux_output)
-    _publish(output, snap)
-    for aux_output in aux_staged:
-        _publish(aux_output, snap)
+        af = _stage_snapshot(aux_df, aux_output, snap, "parquet",
+                             rename=rename)
+        if af is not None:
+            aux_staged.append((aux_output, af))
+    _publish(output, snap, files)
+    for aux_output, af in aux_staged:
+        _publish(aux_output, snap, af)
     return snap
 
 
 def reconcile_aux(output: str, aux_outputs: list[str]) -> int:
     """Close the commit protocol's last crash window: for every
-    manifested DATA snapshot whose aux snapshot directory exists but
-    whose aux manifest is missing (died between steps 3 and 4 of
+    manifested DATA snapshot whose aux snapshot data exists but whose
+    aux manifest is missing (died between steps 3 and 4 of
     ``commit_append``), publish the aux manifest. Run at job start
     before reading any aux table. Returns the number published."""
     n = 0
     for snap in committed_snapshots(output):
         for aux_output in aux_outputs:
-            if os.path.isdir(os.path.join(aux_output, snap)) and not (
-                os.path.isfile(
-                    os.path.join(
-                        aux_output, MANIFEST_DIR, f"{snap}.manifest"
-                    )
-                )
+            if os.path.isfile(
+                os.path.join(aux_output, MANIFEST_DIR, f"{snap}.manifest")
             ):
+                continue
+            renamed = os.path.join(aux_output, snap)
+            staged = os.path.join(aux_output, STAGING_DIR, snap)
+            if os.path.isdir(renamed):
                 _publish(aux_output, snap)
                 n += 1
+            elif os.path.isdir(staged):
+                files = sorted(
+                    os.path.relpath(os.path.join(d, fn), aux_output)
+                    for d, _sub, fns in os.walk(staged)
+                    for fn in fns
+                    if fn and not fn.startswith(("_", "."))
+                )
+                if files:
+                    _publish(aux_output, snap, files)
+                    n += 1
+    return n
+
+
+def gc_orphans(output: str, grace_s: float = 3600.0) -> int:
+    """Reclaim crash debris: unmanifested snapshot dirs (rename
+    protocol, died between rename and publish) and unmanifested
+    staging entries (either protocol, died mid-write). Returns the
+    number of directories removed.
+
+    ``grace_s`` — minimum age (mtime) before an orphan is swept, so a
+    concurrent writer's snapshot that is between its data write and
+    its manifest publish is never deleted. Run at job start (the
+    extract job does, alongside ``reconcile_aux``); orphans are
+    invisible to ``read_committed``/resume either way — GC only
+    reclaims the disk."""
+    committed = set(committed_snapshots(output))
+    now = time.time()
+    n = 0
+
+    def sweep(base: str) -> int:
+        removed = 0
+        if not os.path.isdir(base):
+            return 0
+        for name in os.listdir(base):
+            if not name.startswith("snap-") or name in committed:
+                continue
+            p = os.path.join(base, name)
+            if not os.path.isdir(p):
+                continue
+            try:
+                age = now - os.path.getmtime(p)
+            except OSError:
+                continue
+            if age < grace_s:
+                continue
+            shutil.rmtree(p, ignore_errors=True)
+            removed += 1
+        return removed
+
+    n += sweep(output)
+    # manifest-only committed snapshots keep their data under
+    # _staging/<snap> forever — `committed` excludes them from sweep
+    n += sweep(os.path.join(output, STAGING_DIR))
     return n
 
 
@@ -150,13 +245,25 @@ def read_committed(
     spark: SparkSession, output: str, fmt: str = "parquet"
 ) -> DataFrame | None:
     """Union of all manifested snapshots, or None when nothing has
-    committed yet (partial/staging data is never visible)."""
+    committed yet (partial/staging data is never visible). Handles
+    both protocols per snapshot: a manifest with a file list is read
+    by explicit paths (basePath keeps partition-column inference);
+    an empty list means the renamed <output>/<snap> directory."""
     snaps = committed_snapshots(output)
     if not snaps:
         return None
     out = None
     for s in snaps:
-        df = spark.read.format(fmt).load(os.path.join(output, s))
+        files = _manifest_files(output, s)
+        if files:
+            base = os.path.join(output, STAGING_DIR, s)
+            df = (
+                spark.read.format(fmt)
+                .option("basePath", base)
+                .load([os.path.join(output, f) for f in files])
+            )
+        else:
+            df = spark.read.format(fmt).load(os.path.join(output, s))
         out = df if out is None else out.unionByName(
             df, allowMissingColumns=True
         )

@@ -107,11 +107,11 @@ def test_job_crash_between_data_and_metrics_manifest_heals(
     real_publish = S._publish
     calls = []
 
-    def dying_publish(output, snap):
+    def dying_publish(output, snap, files=None):
         calls.append(output)
         if len(calls) == 2:  # data manifest published; die on metrics
             raise RuntimeError("simulated crash before metrics manifest")
-        real_publish(output, snap)
+        real_publish(output, snap, files)
 
     monkeypatch.setattr(S, "_publish", dying_publish)
     with pytest.raises(RuntimeError):
@@ -198,7 +198,7 @@ def test_job_crash_before_manifest_neither_loses_nor_duplicates(
     out = str(tmp_path / "crash_out")
     real_publish = S._publish
 
-    def dying_publish(output, snap):
+    def dying_publish(output, snap, files=None):
         raise RuntimeError("simulated crash before manifest publish")
 
     monkeypatch.setattr(S, "_publish", dying_publish)
@@ -245,3 +245,110 @@ def test_job_crash_mid_staging_is_invisible(spark, job_paths, tmp_path):
     ])
     assert rc == 0
     assert _read_out(spark, out).count() == docs.count()
+
+
+def test_manifest_only_protocol_never_renames(spark, job_paths, tmp_path,
+                                              monkeypatch):
+    """The manifest-only commit must run end-to-end on a store that
+    forbids directory rename (raw-S3 semantics): os.rename raises for
+    directories, yet the job commits, resumes exactly-once, and the
+    metrics land — and a kill before the manifest publish is invisible."""
+    import pdfspark.sinks.snapshot as S
+
+    out = str(tmp_path / "mo_out")
+    metrics = str(tmp_path / "mo_metrics")
+    real_rename = os.rename
+
+    def no_dir_rename(src, dst, *a, **kw):
+        if os.path.isdir(src):
+            raise OSError("directory rename forbidden (object store)")
+        return real_rename(src, dst, *a, **kw)
+
+    monkeypatch.setattr(os, "rename", no_dir_rename)
+
+    # crash AFTER the data write, BEFORE the manifest publish
+    real_publish = S._publish
+
+    def dying_publish(output, snap, files=None):
+        raise RuntimeError("simulated crash before manifest publish")
+
+    monkeypatch.setattr(S, "_publish", dying_publish)
+    with pytest.raises(RuntimeError):
+        main([
+            "--input", job_paths["input"], "--geom", job_paths["geom"],
+            "--output", out, "--metrics", metrics,
+            "--commit-protocol", "manifest-only",
+        ])
+    assert committed_snapshots(out) == []
+    assert read_committed(spark, out) is None
+
+    # healthy rerun with --resume: exactly once, no rename ever called
+    monkeypatch.setattr(S, "_publish", real_publish)
+    rc = main([
+        "--input", job_paths["input"], "--geom", job_paths["geom"],
+        "--output", out, "--metrics", metrics, "--resume",
+        "--commit-protocol", "manifest-only",
+    ])
+    assert rc == 0
+    docs = spark.read.parquet(job_paths["input"])
+    committed = _read_out(spark, out)
+    assert committed.count() == docs.count()
+    assert committed.select("doc_id").distinct().count() == docs.count()
+    m = _read_out(spark, metrics)
+    assert m.groupBy().sum("doc_count").collect()[0][0] == docs.count()
+    # no renamed snapshot dirs exist; the data lives under _staging
+    assert not any(e.startswith("snap-") for e in os.listdir(out))
+
+
+def test_manifest_only_partitioned_roundtrip(spark, job_paths, tmp_path):
+    """Bucket-partitioned output under manifest-only: explicit-path
+    reads must still infer the partition column (basePath)."""
+    out = str(tmp_path / "mo_bucket_out")
+    rc = main([
+        "--input", job_paths["input"], "--geom", job_paths["geom"],
+        "--output", out, "--buckets", "4",
+        "--commit-protocol", "manifest-only",
+    ])
+    assert rc == 0
+    df = _read_out(spark, out)
+    assert "bucket" in df.columns
+    assert df.select("bucket").distinct().count() > 1
+    docs = spark.read.parquet(job_paths["input"])
+    assert df.count() == docs.count()
+
+
+def test_gc_orphans_reclaims_crash_debris(spark, job_paths, tmp_path):
+    """Unmanifested snapshot/staging dirs past the grace period are
+    swept; committed data (both protocols) is untouched."""
+    from pdfspark.sinks.snapshot import gc_orphans
+
+    out = str(tmp_path / "gc_out")
+    rc = main([
+        "--input", job_paths["input"], "--geom", job_paths["geom"],
+        "--output", out,
+    ])
+    assert rc == 0
+    rc = main([
+        "--input", job_paths["input"], "--geom", job_paths["geom"],
+        "--output", out, "--commit-protocol", "manifest-only",
+    ])
+    assert rc == 0
+    before = _read_out(spark, out).count()
+
+    # plant orphans: an unmanifested renamed snapshot + staging junk
+    for orphan in [os.path.join(out, "snap-000-orphan", "p.parquet"),
+                   os.path.join(out, "_staging", "snap-001-dead",
+                                "p.parquet")]:
+        os.makedirs(os.path.dirname(orphan), exist_ok=True)
+        with open(orphan, "wb") as fh:
+            fh.write(b"\x00torn")
+
+    assert gc_orphans(out, grace_s=3600) == 0  # inside grace: kept
+    assert os.path.isdir(os.path.join(out, "snap-000-orphan"))
+    assert gc_orphans(out, grace_s=0) == 2  # past grace: swept
+    assert not os.path.isdir(os.path.join(out, "snap-000-orphan"))
+    assert not os.path.isdir(os.path.join(out, "_staging",
+                                          "snap-001-dead"))
+    # committed snapshots (rename-protocol dir + manifest-only staging
+    # data) survive and still read back identically
+    assert _read_out(spark, out).count() == before

@@ -134,6 +134,29 @@ def test_star_candidates_component_equivalence(spark):
     assert not any(4 in e for e in edges)
 
 
+def test_curation_near_dedup_is_keep_first_subset(docs_all):
+    """near_dedup=True must drop exactly the docs that are the
+    non-representative side of a Jaccard-verified star pair over the
+    exact-dedup survivors — nothing more, nothing less."""
+    from pdfspark.operators.dedup import exact_duplicates
+    from pdfspark.operators.textstats import curate_documents
+
+    with_nd = {r.doc_id for r in curate_documents(docs_all).collect()}
+    without = {
+        r.doc_id
+        for r in curate_documents(docs_all, near_dedup=False).collect()
+    }
+    assert with_nd <= without
+    keep = exact_duplicates(docs_all).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    uniq = docs_all.select("doc_id", "text").join(keep, "doc_id",
+                                                  "left_semi")
+    nd_b = {r.doc_b for r in minhash_verified(uniq).collect()}
+    assert without - with_nd == nd_b & without
+    assert nd_b, "fixture should plant at least one verified near-dup"
+
+
 def test_dedup_deterministic_under_repartition(docs_all):
     base = sorted(
         (r.doc_a, r.doc_b, r.n_shared_bands)

@@ -22,9 +22,31 @@ every real-world PDF writer emits) are supported via stdlib zlib;
 stream bytes are sliced by the dict's /Length when present because a
 regex scan to `endstream` is unsound over binary deflate output.
 
+PDF 1.5+ structure (what modern writers emit by default) is covered:
+
+* **cross-reference streams** (`/Type /XRef`): located via
+  ``startxref`` and followed through ``/Prev`` (incremental updates);
+  FlateDecode plus PNG predictors 10-12 (`/DecodeParms /Predictor`,
+  the near-universal writer choice) are decoded, ``/W``-packed
+  entries parsed, and the stream dict supplies the trailer fields
+  (``/Root /Info``) that 1.5 files carry instead of a ``trailer``
+  keyword;
+* **object streams** (`/Type /ObjStm`): type-2 xref entries name the
+  object streams holding the live compressed objects; each is
+  inflated and its ``/N`` ``/First`` header pairs expanded into the
+  object table (any scanned ObjStm is also expanded as a fallback so
+  a damaged xref degrades to the whole-file scan, never to silent
+  data loss);
+* **outline tree** (`/Outlines`, S5; ref src/pdf_extractor.py:40-72):
+  walked depth-first (children before next sibling, pdfminer's
+  ``get_outlines`` order, cycle-guarded), one ``kind='TOC'`` span per
+  ``/Title`` — emitted ahead of the page spans, so the TOC skeleton
+  operator runs from raw bytes.
+
 Out of scope (quarantined as decode errors, like any malformed
-payload): filters other than FlateDecode, filter chains, xref
-streams, encryption, non-literal strings beyond the standard escapes.
+payload): filters other than FlateDecode (single, or a one-element
+``[/FlateDecode]`` array), filter chains, encryption, non-literal
+strings beyond the standard escapes.
 """
 
 from __future__ import annotations
@@ -49,6 +71,18 @@ _STREAM_START_RE = re.compile(rb"stream(\r\n|\n)")
 # "5" ("0 0 R" fails the lookahead's \s+, so the prefix sneaks through)
 _LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+0\s+R)")
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/\w+)")
+_STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
+_PREV_RE = re.compile(rb"/Prev\s+(\d+)(?![0-9])")
+_W_RE = re.compile(rb"/W\s*\[\s*(\d+)\s+(\d+)\s+(\d+)\s*\]")
+_INDEX_RE = re.compile(rb"/Index\s*\[([\d\s]*)\]")
+_SIZE_RE = re.compile(rb"/Size\s+(\d+)(?![0-9])")
+_PRED_RE = re.compile(rb"/Predictor\s+(\d+)(?![0-9])")
+_COLS_RE = re.compile(rb"/Columns\s+(\d+)(?![0-9])")
+_N_RE = re.compile(rb"/N\s+(\d+)(?![0-9])")
+_FIRST_OFF_RE = re.compile(rb"/First\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
+_OUTLINES_RE = re.compile(rb"/Outlines\s+(\d+)\s+\d+\s+R")
+_FIRST_REF_RE = re.compile(rb"/First\s+(\d+)\s+\d+\s+R")
+_NEXT_REF_RE = re.compile(rb"/Next\s+(\d+)\s+\d+\s+R")
 
 _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
             b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
@@ -158,8 +192,146 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
     return bytes(buf)
 
 
-def _content_stream(cbody: bytes) -> bytes:
-    """Raw (inflated) bytes of one content-stream object.
+def build_tiny_pdf_15(doc_id: str, pages: list[list[str]],
+                      outlines: list | None = None) -> bytes:
+    """A complete PDF 1.5-style file — the structure modern writers
+    emit by default: every non-stream object packed into one
+    compressed object stream (/Type /ObjStm), content streams
+    FlateDecode'd at top level, and a cross-reference STREAM
+    (/Type /XRef, /W-packed entries, FlateDecode + PNG Up predictor
+    12) instead of an xref table + trailer; /Root and /Info live in
+    the xref stream dict. ``outlines`` is a recursive
+    ``[(title, children), ...]`` tree emitted as /Outlines."""
+    n_pages = len(pages)
+    page_objs = [3 + i for i in range(n_pages)]
+    cont_objs = [3 + n_pages + i for i in range(n_pages)]
+    font_obj = 3 + 2 * n_pages
+    info_obj = font_obj + 1
+
+    # --- compressed (ObjStm-resident) objects -------------------------
+    packed: list[tuple[int, bytes]] = []
+    kids = b" ".join(b"%d 0 R" % p for p in page_objs)
+    cat = b"<< /Type /Catalog /Pages 2 0 R"
+    counter = [info_obj]
+
+    def alloc(items):
+        out = []
+        for title, children in items or []:
+            counter[0] += 1
+            out.append({"num": counter[0], "title": title,
+                        "children": alloc(children)})
+        return out
+
+    def emit_outline(nodes, parent):
+        for i, node in enumerate(nodes):
+            e = [b"/Title (" + _escape(node["title"]) + b")",
+                 b"/Parent %d 0 R" % parent]
+            if i > 0:
+                e.append(b"/Prev %d 0 R" % nodes[i - 1]["num"])
+            if i + 1 < len(nodes):
+                e.append(b"/Next %d 0 R" % nodes[i + 1]["num"])
+            if node["children"]:
+                e.append(b"/First %d 0 R" % node["children"][0]["num"])
+                e.append(b"/Last %d 0 R" % node["children"][-1]["num"])
+                e.append(b"/Count %d" % len(node["children"]))
+            packed.append((node["num"], b"<< " + b" ".join(e) + b" >>"))
+            emit_outline(node["children"], node["num"])
+
+    outline_root = None
+    roots = alloc(outlines)
+    if roots:
+        counter[0] += 1
+        outline_root = counter[0]
+        cat += b" /Outlines %d 0 R" % outline_root
+    cat += b" >>"
+    packed.append((1, cat))
+    packed.append((2, b"<< /Type /Pages /Kids [" + kids
+                   + b"] /Count %d >>" % n_pages))
+    for pobj, cobj in zip(page_objs, cont_objs):
+        packed.append((pobj, (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 %d 0 R >> >> "
+            b"/Contents %d 0 R >>" % (font_obj, cobj))))
+    packed.append((font_obj, b"<< /Type /Font /Subtype /Type1 "
+                   b"/BaseFont /Helvetica >>"))
+    packed.append((info_obj, b"<< /Title (" + _escape(doc_id) + b") >>"))
+    if roots:
+        packed.append((outline_root,
+                       b"<< /Type /Outlines /First %d 0 R /Last %d 0 R "
+                       b"/Count %d >>" % (roots[0]["num"],
+                                          roots[-1]["num"], len(roots))))
+        emit_outline(roots, outline_root)
+
+    objstm_obj = counter[0] + 1
+    xref_obj = objstm_obj + 1
+
+    # ObjStm payload: "num off" pairs, then the bodies at /First
+    offs, parts, off = [], [], 0
+    for num, body in packed:
+        offs.append(b"%d %d" % (num, off))
+        parts.append(body)
+        off += len(body) + 1
+    header = b" ".join(offs) + b"\n"
+    payload = header + b"\n".join(parts)
+    first = len(header)
+    zpayload = zlib.compress(payload)
+    objstm_body = (
+        b"<< /Type /ObjStm /N %d /First %d /Length %d "
+        b"/Filter /FlateDecode >>\nstream\n"
+        % (len(packed), first, len(zpayload)) + zpayload + b"\nendstream")
+
+    # --- file assembly -------------------------------------------------
+    buf = bytearray(b"%PDF-1.5\n%\xc2\xb5\xc2\xb6\n")
+    top_offsets: dict[int, int] = {}
+    for i, cobj in enumerate(cont_objs):
+        ops = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
+        for line in pages[i]:
+            ops.append(b"(" + _escape(line) + b") Tj")
+            ops.append(b"0 -14 Td")
+        ops.append(b"ET")
+        z = zlib.compress(b"\n".join(ops))
+        top_offsets[cobj] = len(buf)
+        buf += (b"%d 0 obj\n<< /Length %d /Filter /FlateDecode >>\n"
+                b"stream\n" % (cobj, len(z)) + z + b"\nendstream\nendobj\n")
+    top_offsets[objstm_obj] = len(buf)
+    buf += b"%d 0 obj\n" % objstm_obj + objstm_body + b"\nendobj\n"
+    xref_at = len(buf)
+    top_offsets[xref_obj] = xref_at
+
+    # xref stream: W [1 3 2]; type 0 = free, 1 = top-level offset,
+    # 2 = (objstm, index); rows PNG-Up-predicted (type-2 filter byte)
+    objstm_index = {num: i for i, (num, _b) in enumerate(packed)}
+    rows = []
+    for num in range(xref_obj + 1):
+        if num == 0:
+            t, f2, f3 = 0, 0, 65535
+        elif num in objstm_index:
+            t, f2, f3 = 2, objstm_obj, objstm_index[num]
+        elif num in top_offsets:
+            t, f2, f3 = 1, top_offsets[num], 0
+        else:
+            t, f2, f3 = 0, 0, 0
+        rows.append(bytes([t]) + f2.to_bytes(3, "big")
+                    + f3.to_bytes(2, "big"))
+    pred = bytearray()
+    prev = bytes(6)
+    for r in rows:
+        pred.append(2)
+        pred += bytes((r[i] - prev[i]) & 0xFF for i in range(6))
+        prev = r
+    zx = zlib.compress(bytes(pred))
+    buf += (b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 3 2] "
+            b"/Root 1 0 R /Info %d 0 R /Filter /FlateDecode "
+            b"/DecodeParms << /Predictor 12 /Columns 6 >> "
+            b"/Length %d >>\nstream\n"
+            % (xref_obj, xref_obj + 1, info_obj, len(zx))
+            + zx + b"\nendstream\nendobj\n")
+    buf += b"startxref\n%d\n%%%%EOF\n" % xref_at
+    return bytes(buf)
+
+
+def _raw_stream_slice(cbody: bytes) -> tuple[bytes, bytes]:
+    """(stream dict prefix, raw stream bytes) of one stream object.
 
     Stream data is sliced by the dict's direct /Length when present —
     the only sound delimiter for binary deflate output, which may
@@ -167,26 +339,13 @@ def _content_stream(cbody: bytes) -> bytes:
     truncate the enclosing object at a phantom ``endobj``, the length
     check below fails and the doc quarantines — never a wrong parse).
     Falls back to the endstream scan for length-less uncompressed
-    payloads. Any filter other than a single FlateDecode (optionally
-    as a one-element array) raises, and the caller quarantines —
-    including a /Filter whose value the dict regex cannot read (an
-    indirect reference like ``/Filter 9 0 R``): treating it as
-    unfiltered would silently drop the page text. Dict keys are only
-    searched in the prefix before ``stream`` so binary stream bytes
-    can never fake a /Filter or /Length."""
+    payloads. Dict keys are only searched in the prefix before
+    ``stream`` so binary stream bytes can never fake a /Filter or
+    /Length."""
     m = _STREAM_START_RE.search(cbody)
     if m is None:
-        raise ValueError("content object without stream")
+        raise ValueError("object without stream")
     sdict = cbody[:m.start()]
-    inflate = False
-    if b"/Filter" in sdict:
-        fm = _FILTER_RE.search(sdict)
-        if fm is None:
-            raise ValueError("unreadable stream filter")
-        names = re.findall(rb"/(\w+)", fm.group(1))
-        if names != [b"FlateDecode"]:
-            raise ValueError("unsupported stream filter")
-        inflate = True
     lm = _LENGTH_RE.search(sdict)
     data = None
     if lm is not None:
@@ -202,14 +361,212 @@ def _content_stream(cbody: bytes) -> bytes:
     if data is None:
         sm = _STREAM_RE.search(cbody)
         if sm is None:
-            raise ValueError("content object without stream")
+            raise ValueError("object without stream")
         data = sm.group(1)
-    if inflate:
+    return sdict, data
+
+
+def _check_filter(sdict: bytes) -> bool:
+    """True iff the stream is FlateDecode-compressed. Any filter other
+    than a single FlateDecode (optionally as a one-element array)
+    raises, and the caller quarantines — including a /Filter whose
+    value the dict regex cannot read (an indirect reference like
+    ``/Filter 9 0 R``): treating it as unfiltered would silently drop
+    the page text."""
+    if b"/Filter" not in sdict:
+        return False
+    fm = _FILTER_RE.search(sdict)
+    if fm is None:
+        raise ValueError("unreadable stream filter")
+    names = re.findall(rb"/(\w+)", fm.group(1))
+    if names != [b"FlateDecode"]:
+        raise ValueError("unsupported stream filter")
+    return True
+
+
+def _png_unpredict(data: bytes, columns: int) -> bytes:
+    """Reverse PNG row predictors (PDF /Predictor >= 10): every row is
+    a filter-type byte + `columns` data bytes. Types 0 (None),
+    1 (Sub) and 2 (Up — what real xref-stream writers emit) are
+    decoded; anything else raises and the doc quarantines."""
+    row_len = columns + 1
+    if columns <= 0 or len(data) % row_len:
+        raise ValueError("bad predictor row geometry")
+    out = bytearray()
+    prev = bytearray(columns)
+    for r in range(0, len(data), row_len):
+        ft = data[r]
+        row = bytearray(data[r + 1:r + row_len])
+        if ft == 1:  # Sub (bpp=1 for integer-packed xref columns)
+            for i in range(1, columns):
+                row[i] = (row[i] + row[i - 1]) & 0xFF
+        elif ft == 2:  # Up
+            for i in range(columns):
+                row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft != 0:
+            raise ValueError(f"unsupported PNG predictor type {ft}")
+        out += row
+        prev = row
+    return bytes(out)
+
+
+def _filtered_stream(cbody: bytes) -> tuple[bytes, bytes]:
+    """(stream dict prefix, fully decoded stream bytes): /Length
+    slice, FlateDecode, then /DecodeParms PNG predictor if present
+    (the xref-stream / object-stream decode path)."""
+    sdict, data = _raw_stream_slice(cbody)
+    if _check_filter(sdict):
+        try:
+            data = zlib.decompress(data)
+        except zlib.error as ex:
+            raise ValueError(f"bad deflate stream: {ex}")
+    pm = _PRED_RE.search(sdict)
+    if pm is not None:
+        pred = int(pm.group(1))
+        if pred >= 10:
+            cm = _COLS_RE.search(sdict)
+            cols = int(cm.group(1)) if cm else 1
+            data = _png_unpredict(data, cols)
+        elif pred != 1:
+            raise ValueError(f"unsupported predictor {pred}")
+    return sdict, data
+
+
+def _content_stream(cbody: bytes) -> bytes:
+    """Raw (inflated) bytes of one content-stream object (no
+    predictors: /DecodeParms is an image/xref concept; a content
+    stream carrying one would be a parse we cannot vouch for)."""
+    sdict, data = _raw_stream_slice(cbody)
+    if _PRED_RE.search(sdict):
+        raise ValueError("predictor on a content stream")
+    if _check_filter(sdict):
         try:
             data = zlib.decompress(data)
         except zlib.error as ex:
             raise ValueError(f"bad deflate stream: {ex}")
     return data
+
+
+def _parse_xref_streams(content: bytes,
+                        objs: dict[int, bytes]) -> tuple[bytes, set]:
+    """Follow startxref -> /Prev through cross-reference STREAMS
+    (PDF 1.5+). Returns (newest xref stream dict or b'', object
+    numbers of live object streams referenced by type-2 entries).
+    A classic ``xref`` table at the startxref offset (PDF 1.4) yields
+    (b'', set()) — the caller's whole-file scan already covers it."""
+    sm = None
+    for sm in _STARTXREF_RE.finditer(content):
+        pass  # last startxref wins (incremental updates append)
+    if sm is None:
+        return b"", set()
+    off = int(sm.group(1))
+    trailer_dict = b""
+    objstm_nums: set[int] = set()
+    seen_offsets = set()
+    for _ in range(16):  # /Prev chain bound
+        if off in seen_offsets or off < 0 or off >= len(content):
+            break
+        seen_offsets.add(off)
+        if content[off:off + 4] == b"xref":
+            break  # classic table — scan path covers it
+        om = _OBJ_RE.match(content, off)
+        if om is None or b"/XRef" not in om.group(2)[:512]:
+            break
+        body = om.group(2)
+        sdict, data = _filtered_stream(body)
+        if not trailer_dict:
+            trailer_dict = sdict
+        wm = _W_RE.search(sdict)
+        zm = _SIZE_RE.search(sdict)
+        if wm is None or zm is None:
+            raise ValueError("xref stream without /W or /Size")
+        w = [int(wm.group(i)) for i in (1, 2, 3)]
+        rec = sum(w)
+        im = _INDEX_RE.search(sdict)
+        if im is not None:
+            nums = [int(x) for x in im.group(1).split()]
+            index = list(zip(nums[::2], nums[1::2]))
+        else:
+            index = [(0, int(zm.group(1)))]
+        pos = 0
+        for _start, count in index:
+            for _i in range(count):
+                if pos + rec > len(data):
+                    raise ValueError("truncated xref stream")
+                f = data[pos:pos + rec]
+                pos += rec
+                etype = int.from_bytes(f[:w[0]], "big") if w[0] else 1
+                if etype == 2:
+                    objstm_nums.add(int.from_bytes(f[w[0]:w[0] + w[1]],
+                                                   "big"))
+        pm = _PREV_RE.search(sdict)
+        if pm is None:
+            break
+        off = int(pm.group(1))
+    return trailer_dict, objstm_nums
+
+
+def _expand_objstm(body: bytes, objs: dict[int, bytes]) -> None:
+    """Inflate one /Type /ObjStm object and register its member
+    objects. Members never override an object the whole-file scan
+    already found (scan results are at least syntactically complete;
+    real 1.5 writers keep compressed objects OUT of the scan anyway)."""
+    sdict, data = _filtered_stream(body)
+    nm = _N_RE.search(sdict)
+    fm = _FIRST_OFF_RE.search(sdict)
+    if nm is None or fm is None:
+        raise ValueError("object stream without /N or /First")
+    n, first = int(nm.group(1)), int(fm.group(1))
+    header = data[:first].split()
+    if len(header) < 2 * n:
+        raise ValueError("truncated object stream header")
+    pairs = [(int(header[2 * i]), int(header[2 * i + 1]))
+             for i in range(n)]
+    for i, (num, rel) in enumerate(pairs):
+        end = pairs[i + 1][1] if i + 1 < n else len(data) - first
+        if num not in objs:
+            objs[num] = data[first + rel:first + end]
+
+
+def _outline_titles(objs: dict[int, bytes]) -> list[str]:
+    """Depth-first /Title walk of the outline tree (children before
+    the next sibling — pdfminer's get_outlines order, which the
+    reference's extract_toc writes one title per line;
+    ref src/pdf_extractor.py:40-72). Cycle-guarded; a malformed tree
+    yields what was walked before the guard tripped."""
+    catalog = next(
+        (b for b in objs.values()
+         if b"/Type /Catalog" in b or b"/Type/Catalog" in b), None)
+    if catalog is None:
+        return []
+    om = _OUTLINES_RE.search(catalog)
+    if om is None:
+        return []
+    root = objs.get(int(om.group(1)))
+    if root is None:
+        return []
+    titles: list[str] = []
+    seen: set[int] = set()
+
+    def walk(num: int, depth: int) -> None:
+        while num is not None and num not in seen and depth < 64:
+            seen.add(num)
+            body = objs.get(num)
+            if body is None:
+                return
+            tm = _TITLE_RE.search(body)
+            if tm is not None:
+                titles.append(_unescape(tm.group(1)))
+            fm = _FIRST_REF_RE.search(body)
+            if fm is not None:
+                walk(int(fm.group(1)), depth + 1)
+            nm = _NEXT_REF_RE.search(body)
+            num = int(nm.group(1)) if nm is not None else None
+
+    fm = _FIRST_REF_RE.search(root)
+    if fm is not None:
+        walk(int(fm.group(1)), 0)
+    return titles
 
 
 def decode_tiny_pdf(content: bytes) -> dict:
@@ -221,6 +578,21 @@ def decode_tiny_pdf(content: bytes) -> dict:
     objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(content)}
     if not objs:
         raise ValueError("no PDF objects")
+    # PDF 1.5+: the xref stream names the live object streams (type-2
+    # entries) and carries the trailer fields; expand every object
+    # stream it names, plus any /Type /ObjStm the scan found (fallback
+    # for a damaged xref — degrade to scan, never silently drop)
+    xref_dict, live_objstms = _parse_xref_streams(content, objs)
+    objstm_nums = set(live_objstms)
+    objstm_nums.update(
+        num for num, body in objs.items()
+        if b"/Type /ObjStm" in body or b"/Type/ObjStm" in body
+    )
+    for num in sorted(objstm_nums):
+        body = objs.get(num)
+        if body is None:
+            raise ValueError(f"missing object stream {num}")
+        _expand_objstm(body, objs)
     pages_obj = next(
         (body for body in objs.values()
          if b"/Type /Pages" in body or b"/Type/Pages" in body), None)
@@ -240,6 +612,10 @@ def decode_tiny_pdf(content: bytes) -> dict:
     title = None
     tpos = content.rfind(b"trailer")
     im = _INFO_RE.search(content, tpos) if tpos != -1 else None
+    if im is None and xref_dict:
+        # 1.5 files have no `trailer` keyword: the xref stream dict
+        # carries /Root and /Info instead
+        im = _INFO_RE.search(xref_dict)
     if im is not None:
         m = _TITLE_RE.search(objs.get(int(im.group(1)), b""))
         if m is not None:
@@ -257,6 +633,11 @@ def decode_tiny_pdf(content: bytes) -> dict:
     def emit(kind, text):
         spans.append(dict(kind=kind, text=text, media_ref=None,
                           offset=len(spans)))
+
+    # S5 outline-tree scan: one TOC span per outline /Title, ahead of
+    # the page spans (document prologue, like the synthetic corpus)
+    for t in _outline_titles(objs):
+        emit("TOC", t)
 
     for pid in page_ids:
         body = objs.get(pid)

@@ -423,7 +423,11 @@ def write_pdf_payloads(out_dir: str) -> None:
     import pyarrow as _pa
     import pyarrow.parquet as _pq
 
-    from pdfspark.sources.pdf_mini import build_tiny_pdf, decode_tiny_pdf
+    from pdfspark.sources.pdf_mini import (
+        build_tiny_pdf,
+        build_tiny_pdf_15,
+        decode_tiny_pdf,
+    )
 
     pdir = os.path.join(out_dir, "payloads_pdf")
     os.makedirs(pdir, exist_ok=True)
@@ -448,6 +452,23 @@ def write_pdf_payloads(out_dir: str) -> None:
         decoded = decode_tiny_pdf(payload)  # Spark-free expected result
         assert decoded["doc_id"] == doc_id
         rows.append((doc_id, "ok", len(decoded["spans"]), len(payload)))
+    # PDF 1.5-style payload: xref STREAM (predictor 12) + object
+    # stream + /Outlines tree -> TOC spans (S5 from raw bytes) — the
+    # structure modern writers emit by default, previously quarantined
+    pdf15_id = "pdfdoc-00015"
+    payload = build_tiny_pdf_15(
+        pdf15_id,
+        [["1. Overview", "Modern xref-stream body."],
+         ["2. Details", "Packed in an object stream."]],
+        outlines=[("1. Overview", [("1.1 Background", [])]),
+                  ("2. Details", [])],
+    )
+    with open(os.path.join(pdir, f"{pdf15_id}.pdf"), "wb") as fh:
+        fh.write(payload)
+    decoded = decode_tiny_pdf(payload)
+    assert decoded["doc_id"] == pdf15_id
+    assert [s["kind"] for s in decoded["spans"][:3]] == ["TOC"] * 3
+    rows.append((pdf15_id, "ok", len(decoded["spans"]), len(payload)))
     corrupt = b"%PDF-1.4\nno objects here, just noise\n%%EOF\n"
     with open(os.path.join(pdir, "corrupt_pdf.pdf"), "wb") as fh:
         fh.write(corrupt)
@@ -815,7 +836,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 7
+FIXTURE_VERSION = 8
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

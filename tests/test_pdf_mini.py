@@ -203,3 +203,84 @@ def test_pdf_title_resolved_via_trailer_info():
     raw = pdf.replace(b"trailer", extra + b"trailer")
     out = decode_tiny_pdf(raw)
     assert out["doc_id"] == "real-title"
+
+
+def test_pdf15_xref_objstm_outline_round_trip():
+    """PDF 1.5 structure end-to-end: every non-stream object lives in
+    a compressed /ObjStm, the xref is a predictor-12 /XRef stream
+    (no trailer keyword), and the /Outlines tree decodes to TOC spans
+    in depth-first (children before next sibling) order — the
+    reference's get_outlines order (pdf_extractor.py:40-72)."""
+    from pdfspark.sources.pdf_mini import build_tiny_pdf_15
+
+    ol = [("1. Introduction", [("1.1 Scope", []), ("1.2 Terms", [])]),
+          ("2. Methods", [])]
+    pdf = build_tiny_pdf_15(
+        "doc-15", [["1. Introduction", "Body (a) text."],
+                   ["2. Methods", "More \\ text."]], outlines=ol)
+    assert pdf.startswith(b"%PDF-1.5")
+    assert b"trailer" not in pdf  # trailer fields live in the XRef dict
+    assert b"/ObjStm" in pdf and b"/XRef" in pdf
+    out = decode_tiny_pdf(pdf)
+    assert out["doc_id"] == "doc-15"  # via XRef-dict /Info, NOT an
+    # outline /Title (several exist and would mis-key the doc)
+    assert [(s["kind"], s["text"]) for s in out["spans"]] == [
+        ("TOC", "1. Introduction"), ("TOC", "1.1 Scope"),
+        ("TOC", "1.2 Terms"), ("TOC", "2. Methods"),
+        ("PageStart", ""),
+        ("TextBox", "1. Introduction"), ("TextBox", "Body (a) text."),
+        ("PageStart", ""),
+        ("TextBox", "2. Methods"), ("TextBox", "More \\ text."),
+    ]
+    assert [s["offset"] for s in out["spans"]] == list(range(10))
+
+
+def test_pdf15_no_outline_has_no_toc_spans():
+    from pdfspark.sources.pdf_mini import build_tiny_pdf_15
+
+    out = decode_tiny_pdf(build_tiny_pdf_15("plain", [["hello"]]))
+    assert [s["kind"] for s in out["spans"]] == ["PageStart", "TextBox"]
+
+
+def test_pdf15_damaged_xref_degrades_to_scan():
+    """Corrupting the startxref pointer must not lose the document:
+    the whole-file scan still finds the ObjStm (expanded as fallback)
+    and the content streams; only the XRef-dict title path is gone,
+    falling back to last-/Title."""
+    from pdfspark.sources.pdf_mini import build_tiny_pdf_15
+
+    pdf = build_tiny_pdf_15("doc-dx", [["page text"]])
+    broken = pdf.replace(b"startxref\n", b"startxref\n9999999\n%", 1)
+    out = decode_tiny_pdf(broken)
+    assert [s["kind"] for s in out["spans"]] == ["PageStart", "TextBox"]
+    assert out["spans"][1]["text"] == "page text"
+
+
+def test_png_unpredict_types():
+    from pdfspark.sources.pdf_mini import _png_unpredict
+
+    # Up rows reconstruct cumulative values
+    data = bytes([2, 1, 2, 3]) + bytes([2, 1, 1, 1])
+    assert _png_unpredict(data, 3) == bytes([1, 2, 3, 2, 3, 4])
+    # Sub adds the left neighbour
+    assert _png_unpredict(bytes([1, 5, 1, 1]), 3) == bytes([5, 6, 7])
+    # unsupported row type quarantines
+    with pytest.raises(ValueError):
+        _png_unpredict(bytes([4, 0, 0, 0]), 3)
+    with pytest.raises(ValueError):
+        _png_unpredict(bytes([2, 0]), 3)  # bad geometry
+
+
+def test_pdf15_unsupported_predictor_quarantines():
+    from pdfspark.sources.pdf_mini import build_tiny_pdf_15
+
+    pdf = build_tiny_pdf_15("doc-p", [["x"]])
+    # TIFF predictor 2 is out of scope: the decode must refuse, not
+    # silently mis-read the xref (degrading to scan is fine — assert
+    # the xref parse itself raises)
+    from pdfspark.sources import pdf_mini as PM
+
+    body = pdf[pdf.rindex(b"/Type /XRef"):]
+    with pytest.raises(ValueError):
+        PM._filtered_stream(
+            body.replace(b"/Predictor 12", b"/Predictor 2"))

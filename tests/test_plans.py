@@ -75,6 +75,10 @@ MAX_EXCHANGES = {
 
 @pytest.fixture(scope="module")
 def plans(spark):
+    # frames cached by earlier test modules would be substituted into
+    # matching plan subtrees (CacheManager reuse), changing exchange
+    # counts run-order-dependently — audit a cold catalog
+    spark.catalog.clearCache()
     return audit(spark, SF_DIR)
 
 

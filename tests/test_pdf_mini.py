@@ -85,12 +85,82 @@ def test_pdf_flate_one_element_filter_array():
 def test_pdf_unsupported_filter_quarantines():
     pdf = build_tiny_pdf("zbad", [["x"]], compress=True)
     chain = pdf.replace(b"/Filter /FlateDecode",
-                        b"/Filter [/ASCII85Decode /FlateDecode]")
+                        b"/Filter [/DCTDecode /FlateDecode]")
     with pytest.raises(ValueError, match="unsupported stream filter"):
         decode_tiny_pdf(chain)
-    lzw = pdf.replace(b"/Filter /FlateDecode", b"/Filter /LZWDecode")
-    with pytest.raises(ValueError, match="unsupported stream filter"):
-        decode_tiny_pdf(lzw)
+
+
+@pytest.mark.parametrize("spec", ["flate", "lzw", "a85", "ahx+flate"])
+def test_pdf_filter_specs_round_trip(spec):
+    """Every supported content-stream filter (and the ASCIIHex+Flate
+    chain) decodes to the exact same span sequence as the
+    uncompressed form."""
+    pages = [["1. Intro", "Body with (parens)."], ["2. More"]]
+    plain = decode_tiny_pdf(build_tiny_pdf("fdoc", pages))
+    pdf = build_tiny_pdf("fdoc", pages, compress=spec)
+    assert b"1. Intro" not in pdf  # text genuinely encoded
+    assert decode_tiny_pdf(pdf) == plain
+
+
+def test_pdf_lzw_spec_vector_and_width_boundary():
+    """Decoder against a hand-simulated code sequence (TIFF early
+    change), encoder emitting exactly those codes, and a round trip
+    across the 9->10 bit width boundary (>511 table entries)."""
+    from pdfspark.sources.pdf_mini import _lzw_decode, _lzw_encode
+
+    def pack(codes):
+        buf = bits = 0
+        out = bytearray()
+        for c in codes:
+            buf = (buf << 9) | c
+            bits += 9
+            while bits >= 8:
+                bits -= 8
+                out.append((buf >> bits) & 0xFF)
+                buf &= (1 << bits) - 1
+        if bits:
+            out.append((buf << (8 - bits)) & 0xFF)
+        return bytes(out)
+
+    codes = [256, 45, 258, 258, 65, 259, 66, 257]
+    data = bytes([45, 45, 45, 45, 45, 65, 45, 45, 45, 66])
+    assert _lzw_decode(pack(codes)) == data
+    assert _lzw_encode(data) == pack(codes)
+    big = bytes((i * 7 + j) % 256 for i in range(200) for j in range(50))
+    assert _lzw_decode(_lzw_encode(big)) == big
+
+
+def test_pdf_hex_strings_round_trip():
+    """Hex text-show operands: `<...> Tj` via the builder flag, hex
+    elements inside TJ arrays, whitespace tolerance, and the
+    odd-final-digit zero pad (PDF 7.3.4.3)."""
+    pages = [["1. Intro", "Body text."], ["2. More"]]
+    plain = decode_tiny_pdf(build_tiny_pdf("hx", pages))
+    pdf = build_tiny_pdf("hx", pages, hex_show=True)
+    assert b"> Tj" in pdf and b"(1. Intro)" not in pdf
+    assert decode_tiny_pdf(pdf) == plain
+    raw = build_tiny_pdf("tj", [["placeholder"]]).replace(
+        b"(placeholder) Tj", b"[(He) <6c 6C> (o) -20 <2>] TJ")
+    texts = [s["text"] for s in decode_tiny_pdf(raw)["spans"]
+             if s["kind"] == "TextBox"]
+    assert texts == ["Hello "]  # <2> pads to 0x20 = space
+
+
+def test_pdf_encrypted_quarantines_both_trailer_forms():
+    """/Encrypt means every string/stream is ciphertext: parsing on
+    would emit garbage spans (a WRONG parse). Both the 1.4 trailer
+    dict and the 1.5 xref-stream dict forms must quarantine."""
+    from pdfspark.sources.pdf_mini import build_tiny_pdf_15
+
+    pages = [["secret line"]]
+    enc = build_tiny_pdf("enc", pages).replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 99 0 R")
+    with pytest.raises(ValueError, match="encrypted"):
+        decode_tiny_pdf(enc)
+    enc15 = build_tiny_pdf_15("enc15", pages).replace(
+        b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 99 0 R")
+    with pytest.raises(ValueError, match="encrypted"):
+        decode_tiny_pdf(enc15)
 
 
 def test_pdf_indirect_filter_quarantines():

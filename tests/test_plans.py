@@ -57,7 +57,10 @@ MAX_EXCHANGES = {
     "dd_simhash_pairs": 5, "ts_langid": 0, "ts_quality": 0,
     "ts_tokens": 0, "ts_fingerprints": 0, "td_curation": 3,
     "sim_ann_topk": 1, "sim_ivf_topk": 2, "j5_topk_euclidean": 1,
-    "sim_ivf_euclidean": 2, "sim_neardup_lsh": 4, "a6_max_score": 1,
+    # sim_neardup_lsh 4 -> 5 (round 4): the star-candidate rewrite
+    # adds the bucket-representative min-aggregate — one extra
+    # exchange bought O(m)-per-bucket candidates instead of C(m,2)
+    "sim_ivf_euclidean": 2, "sim_neardup_lsh": 5, "a6_max_score": 1,
     "j6_keyword_hits": 2, "s11_fill_down": 1, "j7_tabular_pairs": 3,
     "a9_sessionize": 1, "m1_m3_media_features": 1, "m2_frame_sample": 0,
     "m4_audio_chunks": 0, "x11_f3_cleanup": 0, "s1_binary_decode": 0,

@@ -335,29 +335,40 @@ def curate_documents(
     keep = exact_duplicates(docs).select(
         F.col("keeper_doc_id").alias("doc_id")
     )
-    uniq = docs.select("doc_id", "text").join(keep, "doc_id", "left_semi")
+    # the exact-survivor frame feeds the near-dup pipeline (shingle
+    # explode), the quality projection, AND the survivor assembly —
+    # checkpointed once so the dedup groupBy + semi-join run once, not
+    # once per consumer (measured 1.4 s of the td_curation flag at
+    # sf0.1; corpus-scan-sized at 100 TB). Non-eager: the first
+    # downstream action materializes it in-pass.
+    # localCheckpoint instead of persist throughout this operator: a
+    # returned lazy frame has no "after the final action" hook to
+    # unpersist at, and SQL-cache entries are never reclaimed by the
+    # ContextCleaner — repeated curate calls in a long-lived session
+    # would pin executor storage forever. Local-checkpoint blocks ARE
+    # GC-reclaimed once the returned frame becomes unreachable.
+    uniq = (
+        docs.select("doc_id", "text")
+        .join(keep, "doc_id", "left_semi")
+        .localCheckpoint(eager=False)
+    )
+    # quality is a per-row feature, so scoring the exact survivors
+    # equals scoring the corpus and joining (survivors ⊆ uniq) — at a
+    # dup-heavy 100 TB the regex scans run over the survivor set only
+    q = quality_scores(uniq)
+    survivors = uniq.join(
+        q.filter(F.col("quality_score") >= min_quality), "doc_id"
+    )
     if near_dedup:
         nd_drop = minhash_verified(uniq).select(
             F.col("doc_b").alias("doc_id")
         )
-        keep = uniq.join(nd_drop, "doc_id", "left_anti").select("doc_id")
-    q = quality_scores(docs)
+        survivors = survivors.join(nd_drop, "doc_id", "left_anti")
     # survivors feeds three consumers (language_id's trigram side, its
     # doc_id spine, and the final join) — without materialization the
-    # dedup groupBy and the quality regex scans over the full corpus
-    # execute once per consumer (the usual diamond rule; ~5% at sf0.1
-    # where fixed stage cost dominates, survivor-set-sized at 100 TB).
-    # localCheckpoint instead of persist: a returned lazy frame has no
-    # "after the final action" hook to unpersist at, and SQL-cache
-    # entries are never reclaimed by the ContextCleaner — repeated
-    # curate calls in a long-lived session would pin executor storage
-    # forever. Local-checkpoint blocks ARE GC-reclaimed once the
-    # returned frame becomes unreachable.
-    survivors = (
-        docs.select("doc_id", "text")
-        .join(keep, "doc_id", "left_semi")
-        .join(q.filter(F.col("quality_score") >= min_quality), "doc_id")
-    ).localCheckpoint(eager=True)
+    # near-dup pipeline and the quality scans execute once per
+    # consumer (the usual diamond rule)
+    survivors = survivors.localCheckpoint(eager=True)
     lid = language_id(survivors)
     return (
         survivors.join(lid.select("doc_id", "pred_lang"), "doc_id")

@@ -43,6 +43,15 @@ PDF 1.5+ structure (what modern writers emit by default) is covered:
   ``/Title`` — emitted ahead of the page spans, so the TOC skeleton
   operator runs from raw bytes.
 
+Embedded images (the interleaved text+media shape): each page's
+``/Resources /XObject`` map is read, and ``/ImN Do`` paints in the
+content stream emit ``kind='Image'`` spans with a deterministic
+``media_ref`` (``xobj://<obj>/<name>``), interleaved with the text
+blocks in stream order — the media_ref mapping the reference applies
+to its embedded-image fixtures. A ``Do`` naming a missing XObject or
+a Form XObject (a nested content stream we do not recurse into)
+quarantines the document.
+
 Stream filters: FlateDecode (stdlib zlib), ASCIIHexDecode,
 ASCII85Decode (stdlib base64) and LZWDecode (TIFF flavor, EarlyChange
 1 — the only value real writers use), applied as chains in /Filter
@@ -98,6 +107,10 @@ _FIRST_OFF_RE = re.compile(rb"/First\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
 _OUTLINES_RE = re.compile(rb"/Outlines\s+(\d+)\s+\d+\s+R")
 _TRAILER_DICT_RE = re.compile(rb"trailer\s*<<(.*?)>>", re.DOTALL)
 _ENCRYPT_RE = re.compile(rb"/Encrypt\s*(\d+\s+\d+\s+R|<<)")
+_XOBJ_DICT_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.DOTALL)
+_XOBJ_NAME_RE = re.compile(rb"/(\w+)\s+(\d+)\s+0\s+R")
+_DO_RE = re.compile(rb"/(\w+)\s+Do\b")
+_SUBTYPE_IMG_RE = re.compile(rb"/Subtype\s*/Image\b")
 _FIRST_REF_RE = re.compile(rb"/First\s+(\d+)\s+\d+\s+R")
 _NEXT_REF_RE = re.compile(rb"/Next\s+(\d+)\s+\d+\s+R")
 
@@ -227,21 +240,32 @@ def _encode_stream(stream: bytes, spec) -> tuple[bytes, bytes]:
 
 
 def build_tiny_pdf(doc_id: str, pages: list[list[str]],
-                   compress=False, hex_show: bool = False) -> bytes:
+                   compress=False, hex_show: bool = False,
+                   images: list[int] | None = None) -> bytes:
     """A complete PDF: one content stream per page, one Tj text-show
     per line, doc_id in the Info /Title. ``compress`` selects the
     content-stream filter: True/'flate' (/FlateDecode, the real-world
     default), 'lzw', 'a85', or the chain 'ahx+flate'
     (/Filter [/ASCIIHexDecode /FlateDecode]). ``hex_show=True`` emits
     text-show operands as hex strings (`<...> Tj`), the form CID-era
-    writers use for every string."""
+    writers use for every string. ``images`` gives a per-page count of
+    embedded image XObjects, painted with `/ImN Do` after the page's
+    text (4x4 DeviceGray payloads) — the interleaved text+media shape
+    the span model's Image/media_ref rows come from."""
     n_pages = len(pages)
+    images = images or [0] * n_pages
     # object numbering: 1 catalog, 2 pages, 3..2+n page objs,
-    # 3+n..2+2n content streams, 3+2n font, 4+2n info
+    # 3+n..2+2n content streams, 3+2n font, 4+2n info, then one
+    # object per embedded image
     page_objs = [3 + i for i in range(n_pages)]
     cont_objs = [3 + n_pages + i for i in range(n_pages)]
     font_obj = 3 + 2 * n_pages
     info_obj = font_obj + 1
+    img_objs: list[list[int]] = []
+    nxt = info_obj + 1
+    for i in range(n_pages):
+        img_objs.append(list(range(nxt, nxt + images[i])))
+        nxt += images[i]
 
     objs: dict[int, bytes] = {}
     kids = b" ".join(b"%d 0 R" % p for p in page_objs)
@@ -249,10 +273,16 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
     objs[2] = (b"<< /Type /Pages /Kids [" + kids
                + b"] /Count %d >>" % n_pages)
     for i, (pobj, cobj) in enumerate(zip(page_objs, cont_objs)):
+        res = b"<< /Font << /F1 %d 0 R >>" % font_obj
+        if img_objs[i]:
+            xnames = b" ".join(
+                b"/Im%d %d 0 R" % (k + 1, onum)
+                for k, onum in enumerate(img_objs[i]))
+            res += b" /XObject << " + xnames + b" >>"
+        res += b" >>"
         objs[pobj] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << /F1 %d 0 R >> >> "
-            b"/Contents %d 0 R >>" % (font_obj, cobj)
+            b"/Resources " + res + b" /Contents %d 0 R >>" % cobj
         )
         ops = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
         for line in pages[i]:
@@ -263,6 +293,15 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
                 ops.append(b"(" + _escape(line) + b") Tj")
             ops.append(b"0 -14 Td")
         ops.append(b"ET")
+        for k, onum in enumerate(img_objs[i]):
+            ops.append(b"q 100 0 0 80 72 %d cm /Im%d Do Q"
+                       % (600 - 90 * k, k + 1))
+            pix = bytes((k * 16 + j) % 256 for j in range(16))
+            objs[onum] = (
+                b"<< /Type /XObject /Subtype /Image /Width 4 "
+                b"/Height 4 /ColorSpace /DeviceGray "
+                b"/BitsPerComponent 8 /Length %d >>\nstream\n"
+                % len(pix) + pix + b"\nendstream")
         stream = b"\n".join(ops)
         clause, stream = _encode_stream(stream, compress)
         objs[cobj] = (b"<< /Length %d%s >>\nstream\n"
@@ -278,7 +317,7 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
         offsets[num] = len(buf)
         buf += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
     xref_at = len(buf)
-    n_objs = info_obj + 1
+    n_objs = max(objs) + 1
     buf += b"xref\n0 %d\n" % n_objs
     buf += b"0000000000 65535 f \n"
     for num in range(1, n_objs):
@@ -809,8 +848,8 @@ def decode_tiny_pdf(content: bytes) -> dict:
 
     spans: list[dict] = []
 
-    def emit(kind, text):
-        spans.append(dict(kind=kind, text=text, media_ref=None,
+    def emit(kind, text, media_ref=None):
+        spans.append(dict(kind=kind, text=text, media_ref=media_ref,
                           offset=len(spans)))
 
     # S5 outline-tree scan: one TOC span per outline /Title, ahead of
@@ -829,18 +868,53 @@ def decode_tiny_pdf(content: bytes) -> dict:
         if cbody is None:
             raise ValueError("missing content stream object")
         cdata = _content_stream(cbody)
+        # the page's XObject name -> object number map (for Do paints)
+        xobjs: dict[bytes, int] = {}
+        xm = _XOBJ_DICT_RE.search(body)
+        if xm is not None:
+            xobjs = {m.group(1): int(m.group(2))
+                     for m in _XOBJ_NAME_RE.finditer(xm.group(1))}
         emit("PageStart", "")
-        for bt in _BT_RE.finditer(cdata):
-            for show in _SHOW_RE.finditer(bt.group(1)):
+        # interleave BT..ET text blocks and Do image paints in STREAM
+        # order — span order is the document's reading order contract.
+        # A Do inside a BT range is a string byte, not an operator.
+        bts = [(m.start(), m) for m in _BT_RE.finditer(cdata)]
+        spans_bt = [(m.start(), m.end()) for _p, m in bts]
+        events: list[tuple[int, str, object]] = [
+            (p, "bt", m) for p, m in bts
+        ]
+        for dm in _DO_RE.finditer(cdata):
+            if any(s <= dm.start() < e for s, e in spans_bt):
+                continue
+            events.append((dm.start(), "do", dm))
+        for _pos, tag, m in sorted(events, key=lambda t: t[0]):
+            if tag == "do":
+                name = m.group(1)
+                onum = xobjs.get(name)
+                xbody = objs.get(onum) if onum is not None else None
+                if xbody is None:
+                    raise ValueError(
+                        f"unresolvable XObject /{name.decode('latin-1')}")
+                if not _SUBTYPE_IMG_RE.search(
+                        xbody[:xbody.find(b"stream")]
+                        if b"stream" in xbody else xbody):
+                    # Form XObjects nest full content streams; parsing
+                    # on without recursing would silently drop their
+                    # text — quarantine, never a wrong parse
+                    raise ValueError("non-image XObject paint")
+                emit("Image", "",
+                     media_ref=f"xobj://{onum}/{name.decode('latin-1')}")
+                continue
+            for show in _SHOW_RE.finditer(m.group(1)):
                 if show.group(1) is not None:  # (..) Tj
                     emit("TextBox", _unescape(show.group(1)))
                 elif show.group(2) is not None:  # <hex> Tj
                     emit("TextBox", _hex_str(show.group(2)))
                 else:  # [..] TJ: concatenate the string elements
                     parts = [
-                        _unescape(m.group(1)) if m.group(1) is not None
-                        else _hex_str(m.group(2))
-                        for m in _TJ_STR_RE.finditer(show.group(3))
+                        _unescape(m2.group(1)) if m2.group(1) is not None
+                        else _hex_str(m2.group(2))
+                        for m2 in _TJ_STR_RE.finditer(show.group(3))
                     ]
                     emit("TextBox", "".join(parts))
     return dict(doc_id=doc_id, spans=spans)

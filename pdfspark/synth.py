@@ -491,6 +491,21 @@ def write_pdf_payloads(out_dir: str) -> None:
     decoded = decode_tiny_pdf(payload)
     assert decoded["doc_id"] == lzw_id
     rows.append((lzw_id, "ok", len(decoded["spans"]), len(payload)))
+    # interleaved text + media: embedded image XObjects painted with
+    # /ImN Do emit kind='Image' spans with media_ref in stream order
+    img_id = "pdfdoc-00018"
+    payload = build_tiny_pdf(
+        img_id,
+        [["6. Figures", "Caption above the image."], ["Closing text."]],
+        compress=True, images=[1, 2])
+    with open(os.path.join(pdir, f"{img_id}.pdf"), "wb") as fh:
+        fh.write(payload)
+    decoded = decode_tiny_pdf(payload)
+    assert decoded["doc_id"] == img_id
+    assert [s["kind"] for s in decoded["spans"]].count("Image") == 3
+    assert all(s["media_ref"] for s in decoded["spans"]
+               if s["kind"] == "Image")
+    rows.append((img_id, "ok", len(decoded["spans"]), len(payload)))
     # encrypted document: every string/stream is ciphertext, so the
     # codec must quarantine up front (wrong-parse guard), like F4
     enc = build_tiny_pdf("encrypted_pdf", [["secret body"]]).replace(
@@ -865,7 +880,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 9
+FIXTURE_VERSION = 10
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

@@ -146,6 +146,45 @@ def test_pdf_hex_strings_round_trip():
     assert texts == ["Hello "]  # <2> pads to 0x20 = space
 
 
+def test_pdf_image_xobjects_emit_media_ref_spans():
+    """Embedded image XObjects painted with /ImN Do decode to
+    kind='Image' spans with deterministic media_refs, interleaved
+    with the text blocks in stream order — the reference's
+    embedded-image -> media_ref span mapping."""
+    pages = [["1. Intro", "Body."], ["2. More"]]
+    out = decode_tiny_pdf(build_tiny_pdf("mdoc", pages, images=[1, 2]))
+    got = [(s["kind"], s["media_ref"]) for s in out["spans"]]
+    assert [k for k, _r in got] == [
+        "PageStart", "TextBox", "TextBox", "Image",
+        "PageStart", "TextBox", "Image", "Image",
+    ]
+    refs = [r for k, r in got if k == "Image"]
+    assert all(r.startswith("xobj://") for r in refs)
+    assert len(set(refs)) == 3  # distinct objects -> distinct refs
+    assert [s["offset"] for s in out["spans"]] == list(range(8))
+    # compressed content streams carry the same interleaving
+    z = decode_tiny_pdf(
+        build_tiny_pdf("mdoc", pages, compress=True, images=[1, 2]))
+    assert [(s["kind"], s["media_ref"]) for s in z["spans"]] == got
+    # text-only documents keep media_ref NULL everywhere
+    plain = decode_tiny_pdf(build_tiny_pdf("p", pages))
+    assert all(s["media_ref"] is None for s in plain["spans"])
+
+
+def test_pdf_bad_xobject_paints_quarantine():
+    """A Do naming a missing XObject, or a Form XObject (a nested
+    content stream we don't recurse into), must quarantine — skipping
+    it would silently drop content."""
+    bad = build_tiny_pdf("b", [["x"]], images=[1]).replace(
+        b"/Im1 Do", b"/Im9 Do")
+    with pytest.raises(ValueError, match="unresolvable XObject"):
+        decode_tiny_pdf(bad)
+    form = build_tiny_pdf("f", [["x"]], images=[1]).replace(
+        b"/Subtype /Image", b"/Subtype /Form")
+    with pytest.raises(ValueError, match="non-image XObject"):
+        decode_tiny_pdf(form)
+
+
 def test_pdf_encrypted_quarantines_both_trailer_forms():
     """/Encrypt means every string/stream is ciphertext: parsing on
     would emit garbage spans (a WRONG parse). Both the 1.4 trailer

@@ -27,12 +27,18 @@ substring containment (src/utilities/parse_util.py:436-440); corpus-
 level dedup is the standard extension a training-data pipeline needs
 (MinHash/LSH per Broder '97, SimHash per Charikar '02).
 
-Persist lifecycle: the .persist() calls here (and in similarity/
-tables) cover multi-consumer diamonds inside ONE query; the cached
-blocks are reclaimed asynchronously by Spark's ContextCleaner once
-the DataFrame becomes unreachable after the query completes
-(spark.cleaner.referenceTracking, on by default) — callers that want
-deterministic release can unpersist the returned lineage explicitly.
+Materialization lifecycle: multi-consumer diamonds inside ONE query
+(the band/shingle frames here and the embedding-band frame in
+similarity) use ``localCheckpoint(eager=False)`` rather than
+``persist()``: a SQL cache entry is pinned by the session's
+CacheManager and never reclaimed until clearCache/unpersist — which a
+function returning a lazy frame has no hook to call — whereas a
+local-checkpoint block is dropped by the ContextCleaner as soon as
+the wrapping RDD becomes unreachable, so repeated calls in a
+long-lived session cannot accumulate executor storage. The flagship
+extract/tables paths keep plan-visible ``persist()`` (they run inside
+short-lived spark-submit jobs, and truncating their lineage would
+blind the plan audit's pushdown checks).
 """
 
 from __future__ import annotations
@@ -194,7 +200,8 @@ def minhash_candidates(
     bucket min. The DuckDB oracle twin mirrors the star shape
     (oracle_pipeline._minhash_cte).
     """
-    bands = lsh_bands(minhash_signatures(docs, shingles)).persist()
+    bands = lsh_bands(minhash_signatures(docs, shingles)).localCheckpoint(
+        eager=False)
     reps = bands.groupBy("band", "band_key").agg(
         F.min("doc_id").alias("rep_id")
     )
@@ -221,7 +228,7 @@ def minhash_verified(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     sides of the intersection join), so it is persisted once instead
     of re-exploding the corpus per consumer.
     """
-    sh = word_shingles(docs).persist()
+    sh = word_shingles(docs).localCheckpoint(eager=False)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     cands = minhash_candidates(docs, shingles=sh)
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
@@ -330,7 +337,7 @@ def simhash_candidates(docs: DataFrame) -> DataFrame:
             F.array(*[F.substring("simhash", b * w + 1, w)
                       for b in range(SIMHASH_BANDS)])
         ).alias("band", "band_bits"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     # star-shaped candidates (same rationale + component-equivalence
     # argument as minhash_candidates): pair each bucket member with
     # the bucket representative (min doc_id) instead of all-pairs —

@@ -410,7 +410,7 @@ def neardup_lsh(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
             F.array(*[F.substring("sig", b * w + 1, w)
                       for b in range(PLANE_BANDS)])
         ).alias("band", "band_bits"),
-    ).persist()
+    ).localCheckpoint(eager=False)
     reps = bands.groupBy("band", "band_bits").agg(
         F.min("vec_id").alias("rep_id")
     )

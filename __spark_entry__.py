@@ -1217,9 +1217,9 @@ def oracle_sql() -> dict[str, str]:
               UNION ALL
               SELECT vec_id, embedding FROM upd)
             SELECT vec_id, CAST(len(embedding) AS INT) AS n_dims,
-                   round(sqrt(list_reduce(list_prepend(0.0,
-                       list_transform(embedding::DOUBLE[], x -> x*x)),
-                       (a, b) -> a + b)), 4) AS norm
+                   round(sqrt(list_dot_product(embedding::DOUBLE[],
+                                               embedding::DOUBLE[])), 4)
+                     AS norm
             FROM merged
         """,
         "s1_binary_decode": f"""

@@ -180,50 +180,83 @@ def lsh_bands(sigs: DataFrame) -> DataFrame:
 def minhash_candidates(
     docs: DataFrame, shingles: DataFrame | None = None
 ) -> DataFrame:
-    """Star-shaped candidate near-dup pairs: each doc paired with the
-    representative (min doc_id) of every LSH bucket it lands in.
+    """Candidate near-dup pairs: signature-group star + distinct-
+    signature banded all-pairs.
 
-    Candidate volume is O(m) per bucket, not the C(m,2) of an
-    all-pairs bucket self-join: m identical docs share every band, so
-    all-pairs emitted ~m^2/2 rows — a 1M-doc boilerplate cluster in a
-    100 TB crawl would emit ~5*10^11 pairs before verification. The
-    star keeps exactly the edges (bucket_min, member), whose connected
-    components equal the all-pairs graph's (every member of a bucket
-    is connected through its representative), so keep-first dedup —
-    keep the min doc_id per component — is unchanged. Both the
-    representative aggregate and the join back are (band, band_key)
-    equi-ops; AQE broadcasts the rep frame when it is small.
+    Two tiers, each solving a different failure mode:
 
-    `n_shared_bands` counts the bands in which doc_b's bucket is
-    represented by doc_a (for an identical cluster: all NUM_BANDS);
-    doc_a < doc_b still holds because the representative is the
-    bucket min. The DuckDB oracle twin mirrors the star shape
-    (oracle_pipeline._minhash_cte).
+    1. Docs sharing the ENTIRE NUM_PERM-minhash signature collapse to
+       one group (key = md5 of the concatenated mins) and emit only
+       (group min doc_id, member) star edges. This is where the
+       C(m,2) blowup lives — m identical boilerplate docs share every
+       band, so an all-pairs bucket join emits ~m^2/2 rows (a 1M-doc
+       cluster in a 100 TB crawl: ~5*10^11 pairs) — and the star
+       caps it at m-1. Unlike a per-BUCKET star, the per-GROUP
+       representative is signature-identical to its members, so
+       severing a genuine cluster at verification requires a
+       sub-threshold doc that collides on the FULL signature
+       (probability ~ s^NUM_PERM, e.g. 1.5e-5 at s=0.5 with 16
+       perms), not merely on one band (~ s^ROWS_PER_BAND ~ 6%) —
+       an exponential, though not absolute, improvement.
+    2. DISTINCT signatures then band-join all-pairs (a < b on the
+       group representatives). This is classic banded-LSH recall —
+       any two docs whose signatures agree on >= 1 band become a
+       candidate, with no dependence on who else shares the bucket.
+       Bucket sizes count distinct signatures only, so the identical-
+       cluster pathology cannot re-enter through this tier.
+
+    `n_shared_bands` is NUM_BANDS for tier-1 edges (identical
+    signatures share every band by definition) and the shared-bucket
+    count for tier-2 edges; doc_a < doc_b holds in both (group rep is
+    the group min; tier 2 filters a < b). The DuckDB oracle twin
+    mirrors both tiers (oracle_pipeline._minhash_cte).
     """
-    bands = lsh_bands(minhash_signatures(docs, shingles)).localCheckpoint(
-        eager=False)
-    reps = bands.groupBy("band", "band_key").agg(
-        F.min("doc_id").alias("rep_id")
+    sigs = minhash_signatures(docs, shingles).withColumn(
+        "sig_key",
+        F.md5(F.concat_ws(
+            "|", *[F.col(f"sig{i}").cast("string") for i in range(NUM_PERM)]
+        )),
     )
-    return (
-        bands.join(reps, ["band", "band_key"])
+    # one representative row per distinct signature; min() over the
+    # sig columns is exact (identical within a group) and keeps the
+    # aggregate deterministic
+    groups = sigs.groupBy("sig_key").agg(
+        F.min("doc_id").alias("rep_id"),
+        *[F.min(f"sig{i}").alias(f"sig{i}") for i in range(NUM_PERM)],
+    ).localCheckpoint(eager=False)
+    intra = (
+        sigs.select("sig_key", "doc_id")
+        .join(groups.select("sig_key", "rep_id"), "sig_key")
         .filter(F.col("doc_id") != F.col("rep_id"))
+        .select(
+            F.col("rep_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.lit(NUM_BANDS).cast("int").alias("n_shared_bands"),
+        )
+    )
+    dbands = lsh_bands(groups.select(F.col("rep_id").alias("doc_id"),
+                                     *[f"sig{i}" for i in range(NUM_PERM)]))
+    a, b = dbands.alias("a"), dbands.alias("b")
+    cross = (
+        a.join(b, ["band", "band_key"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .groupBy(
-            F.col("rep_id").alias("doc_a"), F.col("doc_id").alias("doc_b")
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
         )
         .agg(F.count("*").cast("int").alias("n_shared_bands"))
     )
+    return intra.unionByName(cross)
 
 
 def minhash_verified(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     """LSH candidates verified with exact shingle Jaccard >= threshold.
 
     Shingle sets are joined only for candidate pairs (the scale path:
-    |candidates| << |docs|^2). Candidates are star-shaped (see
-    minhash_candidates), so the verified edges are member-vs-bucket-
-    representative — exactly the decision surface keep-first dedup
-    needs (drop a doc iff it near-matches its cluster representative);
-    intra-bucket member-member pairs are intentionally never scored.
+    |candidates| << |docs|^2). Candidates are two-tier (see
+    minhash_candidates): signature-group star edges — whose
+    representative is signature-identical to its members, so a
+    genuine cluster cannot be severed by verification — plus classic
+    banded all-pairs across distinct signatures.
     The shingle frame feeds four consumers (signatures, sizes, both
     sides of the intersection join), so it is persisted once instead
     of re-exploding the corpus per consumer.
@@ -327,38 +360,50 @@ def simhash_candidates(docs: DataFrame) -> DataFrame:
     edit-distance contracts (h<=3 on 64 bits) make 16-bit bands exact
     by pigeonhole and collision-bounded by 2^-16."""
     w = SIMHASH_HEX // SIMHASH_BANDS
-    # persist across the rep-aggregate/join diamond: the signature
-    # aggregation (a full bigram explode + 32-column groupBy) must not
-    # run once per consumer
-    bands = simhash_signatures(docs).select(
-        "doc_id",
+    sigs = simhash_signatures(docs)
+    # two-tier candidates (same rationale as minhash_candidates):
+    # (1) docs with the IDENTICAL full signature collapse to a group
+    # and emit (group min, member) star edges — the identical-cluster
+    # C(m,2) killer, with a representative that is signature-equal to
+    # its members by construction; (2) DISTINCT signatures band-join
+    # all-pairs — classic Hamming-blocking recall, immune to an
+    # unrelated doc owning the bucket minimum. The signature
+    # aggregation (a full bigram explode + 32-column groupBy) is
+    # checkpointed once and feeds both tiers.
+    groups = sigs.groupBy("simhash").agg(
+        F.min("doc_id").alias("rep_id")
+    ).localCheckpoint(eager=False)
+    intra = (
+        sigs.join(groups, "simhash")
+        .filter(F.col("doc_id") != F.col("rep_id"))
+        .select(
+            F.col("rep_id").alias("doc_a"),
+            F.col("doc_id").alias("doc_b"),
+            F.col("simhash").alias("sh_a"),
+            F.col("simhash").alias("sh_b"),
+        )
+    )
+    dbands = groups.select(
+        F.col("rep_id").alias("doc_id"),
         "simhash",
         F.posexplode(
             F.array(*[F.substring("simhash", b * w + 1, w)
                       for b in range(SIMHASH_BANDS)])
         ).alias("band", "band_bits"),
-    ).localCheckpoint(eager=False)
-    # star-shaped candidates (same rationale + component-equivalence
-    # argument as minhash_candidates): pair each bucket member with
-    # the bucket representative (min doc_id) instead of all-pairs —
-    # O(m) per bucket, immune to the C(m,2) blowup on identical
-    # clusters. min_by carries the representative's signature so the
-    # Hamming verify below never re-joins the signature frame.
-    reps = bands.groupBy("band", "band_bits").agg(
-        F.min("doc_id").alias("rep_id"),
-        F.min_by("simhash", "doc_id").alias("rep_sh"),
     )
-    pairs = (
-        bands.join(reps, ["band", "band_bits"])
-        .filter(F.col("doc_id") != F.col("rep_id"))
+    a, b = dbands.alias("a"), dbands.alias("b")
+    cross = (
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(
-            F.col("rep_id").alias("doc_a"),
-            F.col("doc_id").alias("doc_b"),
-            F.col("rep_sh").alias("sh_a"),
-            F.col("simhash").alias("sh_b"),
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
         )
         .distinct()
     )
+    pairs = intra.unionByName(cross)
     # popcount of the XOR of the two bit-strings as integers — equal by
     # definition to the positional compare the DuckDB oracle keeps
     ham = F.bit_count(

@@ -393,34 +393,52 @@ def neardup_lsh(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
     """Embedding near-dup pairs via banded hyperplane LSH + exact
     cosine verification of candidates only.
 
-    Candidates are star-shaped (same rationale and component-
-    equivalence argument as dedup.minhash_candidates): each bucket
-    member pairs with the bucket representative (min vec_id), so an
-    identical-embedding cluster of m vectors emits O(m) candidates
-    instead of C(m,2) — the boilerplate-cluster pathology a 100 TB
-    embedding table would otherwise hit at the band join."""
+    Candidates are two-tier (same rationale as
+    dedup.minhash_candidates): vectors sharing the ENTIRE 128-bit
+    signature collapse to a group and emit (group min vec_id, member)
+    star edges — an identical-embedding cluster of m vectors emits
+    O(m) candidates instead of C(m,2), the boilerplate-cluster
+    pathology a 100 TB embedding table would otherwise hit at the
+    band join — while DISTINCT signatures band-join all-pairs, the
+    classic banded-LSH recall surface. A per-bucket star loses a
+    genuine pair whenever an unrelated vector owns the bucket
+    minimum in every shared band (its star edges fail the cosine
+    verify and the true pair is never scored); the per-GROUP star
+    requires the severing vector to collide on the FULL 128-bit
+    signature — ~(1-theta/pi)^128 vs ^16 per band, an exponential
+    (though not absolute) hazard reduction, with the pinned
+    regression test covering the bucket-collision scenario
+    (tests/test_pipeline_ops.py)."""
     w = NUM_PLANES // PLANE_BANDS
     sigs = hyperplane_signature(emb)
-    # persist across the rep-aggregate/join diamond: the NUM_PLANES
-    # (128) hyperplane dot products per vector must not be recomputed
-    # once per consumer
-    bands = sigs.select(
-        "vec_id",
+    # checkpoint across the group-aggregate/join diamond: the
+    # NUM_PLANES (128) hyperplane dot products per vector must not be
+    # recomputed once per consumer
+    groups = sigs.groupBy("sig").agg(
+        F.min("vec_id").alias("rep_id")
+    ).localCheckpoint(eager=False)
+    intra = (
+        sigs.join(groups, "sig")
+        .filter(F.col("vec_id") != F.col("rep_id"))
+        .select(F.col("rep_id").alias("vec_a"),
+                F.col("vec_id").alias("vec_b"))
+    )
+    dbands = groups.select(
+        F.col("rep_id").alias("vec_id"),
         F.posexplode(
             F.array(*[F.substring("sig", b * w + 1, w)
                       for b in range(PLANE_BANDS)])
         ).alias("band", "band_bits"),
-    ).localCheckpoint(eager=False)
-    reps = bands.groupBy("band", "band_bits").agg(
-        F.min("vec_id").alias("rep_id")
     )
-    cands = (
-        bands.join(reps, ["band", "band_bits"])
-        .filter(F.col("vec_id") != F.col("rep_id"))
-        .select(F.col("rep_id").alias("vec_a"),
-                F.col("vec_id").alias("vec_b"))
+    a, b = dbands.alias("a"), dbands.alias("b")
+    cross = (
+        a.join(b, ["band", "band_bits"])
+        .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(F.col("a.vec_id").alias("vec_a"),
+                F.col("b.vec_id").alias("vec_b"))
         .distinct()
     )
+    cands = intra.unionByName(cross)
     # raw float32 arrays into the Arrow verify stage: _mat's float64
     # widening is exact, so values equal the _as_double form without
     # the corpus-wide interpreted cast (and at half the Arrow bytes)

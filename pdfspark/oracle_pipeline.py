@@ -78,21 +78,38 @@ def _minhash_cte() -> str:
         )
         for b in range(NUM_BANDS)
     )
+    sig_key = " || '|' || ".join(
+        f"CAST(sig{i} AS VARCHAR)" for i in range(NUM_PERM)
+    )
+    grp_sigs = ", ".join(f"min(sig{i}) AS sig{i}" for i in range(NUM_PERM))
+    # two-tier twin of dedup.minhash_candidates: signature-group star
+    # edges (n_shared_bands = NUM_BANDS by definition) + banded
+    # all-pairs across distinct signatures
     return f"""
 hashed AS (SELECT doc_id, ({h_expr}) AS h FROM shingles),
-sigs AS (SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id),
+sigs0 AS (SELECT doc_id, {sig_cols} FROM hashed GROUP BY doc_id),
+sigs AS (SELECT *, md5({sig_key}) AS sig_key FROM sigs0),
+sgroups AS (
+  SELECT sig_key, min(doc_id) AS rep_id, {grp_sigs}
+  FROM sigs GROUP BY sig_key),
+intra AS (
+  SELECT g.rep_id AS doc_a, s.doc_id AS doc_b,
+         CAST({NUM_BANDS} AS INT) AS n_shared_bands
+  FROM sigs s JOIN sgroups g USING (sig_key)
+  WHERE s.doc_id <> g.rep_id),
+dsigs AS (SELECT rep_id AS doc_id, * EXCLUDE (sig_key, rep_id)
+          FROM sgroups),
 bands AS (
-  {band_rows}),
-reps AS (
-  SELECT band, band_key, min(doc_id) AS rep_id
-  FROM bands GROUP BY 1, 2),
-pairs AS (
-  SELECT r.rep_id AS doc_a, b.doc_id AS doc_b,
+  {band_rows.replace('FROM sigs', 'FROM dsigs')}),
+crossp AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
          CAST(count(*) AS INT) AS n_shared_bands
-  FROM bands b JOIN reps r
-       ON b.band = r.band AND b.band_key = r.band_key
-  WHERE b.doc_id <> r.rep_id
-  GROUP BY 1, 2)
+  FROM bands a JOIN bands b
+       ON a.band = b.band AND a.band_key = b.band_key
+          AND a.doc_id < b.doc_id
+  GROUP BY 1, 2),
+pairs AS (
+  SELECT * FROM intra UNION ALL SELECT * FROM crossp)
 """
 
 
@@ -208,20 +225,28 @@ def simhash_pairs_sql(fix: str) -> str:
         f" THEN 1 ELSE 0 END"
         for p in range(SIMHASH_HEX)
     )
+    # two-tier twin of dedup.simhash_candidates: signature-group star
+    # + banded all-pairs across distinct signatures
     return f"""
 WITH {_docs_all(fix)}, {_shingles(2, "shingles2")}, {_simhash_cte()},
+sgroups AS (
+  SELECT simhash, min(doc_id) AS rep_id FROM ssig GROUP BY simhash),
+intra AS (
+  SELECT g.rep_id AS doc_a, s.doc_id AS doc_b,
+         g.simhash AS sh_a, s.simhash AS sh_b
+  FROM ssig s JOIN sgroups g USING (simhash)
+  WHERE s.doc_id <> g.rep_id),
+dsig AS (SELECT rep_id AS doc_id, simhash FROM sgroups),
 sbands AS (
-  {band_rows}),
-sreps AS (
-  SELECT band, band_bits, min(doc_id) AS rep_id,
-         arg_min(simhash, doc_id) AS rep_sh
-  FROM sbands GROUP BY 1, 2),
+  {band_rows.replace('FROM ssig', 'FROM dsig')}),
+crossp AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM sbands a JOIN sbands b
+       ON a.band = b.band AND a.band_bits = b.band_bits
+          AND a.doc_id < b.doc_id),
 spairs AS (
-  SELECT DISTINCT r.rep_id AS doc_a, b.doc_id AS doc_b,
-         r.rep_sh AS sh_a, b.simhash AS sh_b
-  FROM sbands b JOIN sreps r
-       ON b.band = r.band AND b.band_bits = r.band_bits
-  WHERE b.doc_id <> r.rep_id)
+  SELECT * FROM intra UNION ALL SELECT * FROM crossp)
 SELECT doc_a, doc_b, sh_a, sh_b, CAST({ham} AS INT) AS hamming FROM spairs
 """
 
@@ -447,16 +472,22 @@ def neardup_lsh_sql(fix: str, threshold: float = 0.99) -> str:
     return f"""
 WITH {_emb_all(fix)},
 vsig AS (SELECT vec_id, {bits} AS sig FROM ed),
+vgroups AS (
+  SELECT sig, min(vec_id) AS rep_id FROM vsig GROUP BY sig),
+intra AS (
+  SELECT g.rep_id AS vec_a, s.vec_id AS vec_b
+  FROM vsig s JOIN vgroups g USING (sig)
+  WHERE s.vec_id <> g.rep_id),
+dsig AS (SELECT rep_id AS vec_id, sig FROM vgroups),
 vbands AS (
-  {band_rows}),
-vreps AS (
-  SELECT band, band_bits, min(vec_id) AS rep_id
-  FROM vbands GROUP BY 1, 2),
+  {band_rows.replace('FROM vsig', 'FROM dsig')}),
+crossp AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM vbands a JOIN vbands b
+       ON a.band = b.band AND a.band_bits = b.band_bits
+          AND a.vec_id < b.vec_id),
 cands AS (
-  SELECT DISTINCT r.rep_id AS vec_a, b.vec_id AS vec_b
-  FROM vbands b JOIN vreps r
-       ON b.band = r.band AND b.band_bits = r.band_bits
-  WHERE b.vec_id <> r.rep_id),
+  SELECT * FROM intra UNION ALL SELECT * FROM crossp),
 cos AS (
   SELECT c.vec_a, c.vec_b,
          round({_dot("ea.v", "eb.v")} / (ea.nv * eb.nv), 4) AS cosine

@@ -130,10 +130,84 @@ def test_embedding_lsh_star_linear_in_cluster_size(spark):
     assert all(r.vec_a == 0 and r.cosine == 1.0 for r in rows)
 
 
+def test_embedding_lsh_survives_bucket_min_collision(spark):
+    """A genuine near-dup pair must be found even when a DISSIMILAR
+    vector owns the minimum vec_id of EVERY band bucket the pair
+    shares. A per-bucket star emits only (X, v1), (X, v2) there; both
+    fail the cosine-0.99 verify and the true pair is silently lost.
+    The two-tier generation band-joins all-pairs across distinct
+    signatures, so (v1, v2) is scored regardless of X.
+
+    Deterministic construction (seed pinned): v2 = v1 plus a
+    perturbation orthogonal to band 0's plane normals (cos ~0.992,
+    several shared bands); X = v1 plus a LARGE perturbation
+    orthogonal to the normals of every shared band, so X lands in
+    exactly the pair's buckets at cos ~0.55 with the smallest id."""
+    import numpy as np
+
+    from pdfspark.operators.similarity import NUM_PLANES, PLANE_BANDS, PLANES
+
+    P = np.asarray(PLANES, dtype=np.float64)
+    dim = P.shape[1]
+    w = NUM_PLANES // PLANE_BANDS
+
+    def sig(v):
+        return (P @ v > 0).astype(int)
+
+    def bands_of(s):
+        return ["".join(map(str, s[b * w:(b + 1) * w]))
+                for b in range(PLANE_BANDS)]
+
+    r = np.random.default_rng(7)
+    v1 = r.normal(size=dim)
+    v1 /= np.linalg.norm(v1)
+    q0, _ = np.linalg.qr(P[:w].T)
+    w2 = r.normal(size=dim)
+    w2 -= q0 @ (q0.T @ w2)
+    w2 /= np.linalg.norm(w2)
+    v2 = v1 + 0.13 * w2
+    v2 /= np.linalg.norm(v2)
+    # the engine stores float32 and widens back — run every
+    # construction check on the quantized values it will see
+    v1 = v1.astype(np.float32).astype(np.float64)
+    v2 = v2.astype(np.float32).astype(np.float64)
+    c12 = float(v1 @ v2 / (np.linalg.norm(v1) * np.linalg.norm(v2)))
+    assert 0.990 <= c12 <= 0.996
+    b1, b2 = bands_of(sig(v1)), bands_of(sig(v2))
+    shared = [i for i in range(PLANE_BANDS) if b1[i] == b2[i]]
+    assert 0 in shared and 0 < len(shared) < PLANE_BANDS
+    idx = np.concatenate([np.arange(i * w, (i + 1) * w) for i in shared])
+    qs, _ = np.linalg.qr(P[idx].T)
+    w3 = r.normal(size=dim)
+    w3 -= qs @ (qs.T @ w3)
+    w3 /= np.linalg.norm(w3)
+    x = v1 + 1.5 * w3
+    x /= np.linalg.norm(x)
+    x = x.astype(np.float32).astype(np.float64)
+    bx = bands_of(sig(x))
+    assert all(bx[i] == b1[i] for i in shared)   # X owns the buckets
+    nrm = np.linalg.norm
+    assert float(x @ v1) / (nrm(x) * nrm(v1)) < 0.95
+    assert float(x @ v2) / (nrm(x) * nrm(v2)) < 0.95
+    assert bx != b1 and bx != b2                 # three distinct sigs
+
+    emb = spark.createDataFrame(
+        [(0, [float(c) for c in x]),
+         (1, [float(c) for c in v1]),
+         (2, [float(c) for c in v2])],
+        "vec_id long, embedding array<float>",
+    )
+    pairs = {(r_.vec_a, r_.vec_b): r_.cosine
+             for r_ in neardup_lsh(emb).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.99
+    assert (0, 1) not in pairs and (0, 2) not in pairs
+
+
 def test_star_candidates_component_equivalence(spark):
-    """On a mixed corpus the star graph's connected components equal
-    the all-pairs graph's: every bucket member connects through the
-    bucket representative."""
+    """On a mixed corpus the two-tier graph's connected components
+    equal the all-pairs graph's: signature-identical docs connect
+    through their group representative, distinct signatures pair
+    directly."""
     base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     rows = [(0, base), (1, base), (2, base),
             (3, base.replace("delta", "DELTA-EDIT")),

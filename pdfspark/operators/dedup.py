@@ -352,7 +352,8 @@ def simhash_candidates(docs: DataFrame) -> DataFrame:
     targets — so 2x16-bit bands collapse recall to 0.31 (1,246
     cands), a 64-bit signature at 4x16 manages only 0.595 (2,030
     cands), and 64-bit at 8x8 matches recall 0.99 but at 558k cands.
-    The shipped 4x8-bit config (recall 0.865, 304k cands) is the
+    The shipped 4x8-bit config (recall 0.865; 304k all-pairs cands,
+    285k after the two-tier distinct-signature collapse) is the
     Pareto point for this distance regime; unlike the embedding LSH
     (see similarity.NUM_PLANES), wider bands are NOT a free win here
     because the target pairs are genuinely distant. At production

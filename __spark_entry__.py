@@ -499,16 +499,20 @@ def _q_langid(spark, sf_dir):
     return language_id(_docs_all(spark, sf_dir))
 
 
-def _q_quality(spark, sf_dir):
-    from pdfspark.operators.textstats import quality_scores
+def _q_quality_tokens(spark, sf_dir):
+    # quality scoring + token counting merged into one driver row
+    # (both are narrow per-doc projections over the same table; the
+    # s34 merge set the precedent) to stay within the driver's 50-row
+    # correctness budget while dd_components takes a first-class slot
+    from pdfspark.operators.textstats import quality_token_stats
 
-    return quality_scores(_docs_all(spark, sf_dir))
+    return quality_token_stats(_docs_all(spark, sf_dir))
 
 
-def _q_tokens(spark, sf_dir):
-    from pdfspark.operators.textstats import token_counts
+def _q_components(spark, sf_dir):
+    from pdfspark.operators.dedup import neardup_components
 
-    return token_counts(_docs_all(spark, sf_dir))
+    return neardup_components(_docs_all(spark, sf_dir))
 
 
 def _q_curation(spark, sf_dir):
@@ -816,9 +820,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_minhash_pairs": _q_minhash_pairs,
         "dd_minhash_verified": _q_minhash_verified,
         "dd_simhash_pairs": _q_simhash_pairs,
+        "dd_components": _q_components,
         "ts_langid": _q_langid,
-        "ts_quality": _q_quality,
-        "ts_tokens": _q_tokens,
+        "ts_quality_tokens": _q_quality_tokens,
         "ts_fingerprints": _q_fingerprints,
         "td_curation": _q_curation,
         "sim_ann_topk": _q_ann_topk,
@@ -1141,9 +1145,13 @@ def oracle_sql() -> dict[str, str]:
         "dd_minhash_pairs": OP.minhash_pairs_sql(FIX01),
         "dd_minhash_verified": OP.minhash_verified_sql(FIX01),
         "dd_simhash_pairs": OP.simhash_pairs_sql(FIX01),
+        "dd_components": OP.components_sql(FIX01),
         "ts_langid": OP.langid_sql(FIX01),
-        "ts_quality": OP.quality_sql(FIX01),
-        "ts_tokens": OP.tokens_sql(FIX01),
+        "ts_quality_tokens": f"""
+            SELECT q.*, t.n_ws_tokens, t.n_bpe_tokens, t.chars_per_token
+            FROM ({OP.quality_sql(FIX01)}) q
+            JOIN ({OP.tokens_sql(FIX01)}) t USING (doc_id)
+        """,
         "ts_fingerprints": OP.fingerprints_sql(FIX01),
         "td_curation": OP.curation_sql(FIX01),
         "sim_ann_topk": OP.ann_cosine_sql(FIX01),

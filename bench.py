@@ -57,6 +57,7 @@ HEADLINE = STABLE_TOTAL + [
 TD_GROUP = [
     "dd_minhash_verified",
     "dd_simhash_pairs",
+    "dd_components",  # round 4: iterative CC over the verified graph
     "sim_ivf_topk",
     "sim_neardup_lsh",
     "ts_fingerprints",

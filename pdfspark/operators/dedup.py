@@ -298,6 +298,99 @@ def minhash_verified(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     )
 
 
+def neardup_components(docs: DataFrame, threshold: float = 0.5,
+                       max_iter: int = 12) -> DataFrame:
+    """(doc_id, rep_id, comp_size) for every doc in a Jaccard-verified
+    near-dup component of size >= 2; rep_id is the component-minimum
+    doc_id — the exact keep-first keeper.
+
+    Completes the dedup story at scale: the pair list
+    (minhash_verified) is an edge set, but keep-first dedup needs the
+    CONNECTED COMPONENTS of that graph — "drop every doc_b of a pair"
+    under-drops whenever a component member appears only on the doc_a
+    side of its edges (e.g. edges (1,3),(2,3): keep-min keeps only 1,
+    but 2 is never a doc_b). Reference-scale context: the reference
+    dedups per-document substrings only (src/utilities/
+    parse_util.py:436-440); corpus-level clustering is the standard
+    100 TB extension (Broder '97; map-reduce CC per Kiveris et al.
+    "Connected Components in MapReduce", whose large-star/small-star
+    alternation this min-label + pointer-jumping loop approximates).
+
+    Distributed shape: iterative min-label propagation — each round a
+    doc's label becomes the min over {its label} ∪ {neighbors'
+    labels}, then one pointer-jump (label <- label(label)) halves
+    label-chain depth, giving O(log diameter) rounds; near-dup
+    components are dense (star edges from signature groups, direct
+    cross edges), so observed convergence is 2-3 rounds. Each round is
+    two equi-joins + a groupBy (all on doc_id — AQE handles skew);
+    eager localCheckpoint truncates lineage per round (the standard
+    Spark iterative-loop requirement) and bounds the convergence-check
+    action's recompute. The fixpoint (every label = component min) is
+    unique, so the DuckDB oracle may unroll plain neighbor-min rounds
+    and still agree exactly (oracle_pipeline.components_sql)."""
+    edges = minhash_verified(docs, threshold).select("doc_a", "doc_b")
+    sym = edges.unionByName(
+        edges.select(F.col("doc_b").alias("doc_a"),
+                     F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        sym.groupBy(F.col("doc_a").alias("doc_id"))
+        .agg(F.min("doc_b").alias("nb"))
+        .select("doc_id", F.least("doc_id", "nb").alias("rep"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("rep")).collect()[0][0]
+    for _ in range(max_iter):
+        nb = (
+            sym.join(
+                labels.select(F.col("doc_id").alias("doc_b"),
+                              F.col("rep").alias("rep_b")),
+                "doc_b",
+            )
+            .groupBy(F.col("doc_a").alias("doc_id"))
+            .agg(F.min("rep_b").alias("nb_min"))
+        )
+        stepped = (
+            labels.join(nb, "doc_id")
+            .select("doc_id", F.least("rep", "nb_min").alias("rep"))
+        )
+        jumped = (
+            stepped.alias("x")
+            .join(
+                stepped.select(F.col("doc_id").alias("rep"),
+                               F.col("rep").alias("rep_rep")).alias("y"),
+                "rep",
+                "left",
+            )
+            .select(
+                F.col("doc_id"),
+                F.least(F.col("rep"),
+                        F.coalesce("rep_rep", "rep")).alias("rep"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        # convergence via the label-sum invariant: per-vertex labels
+        # only ever decrease, so the total strictly decreases iff any
+        # label changed — one scan+agg on the fresh checkpoint instead
+        # of a join against the previous round
+        new_sum = jumped.agg(F.sum("rep")).collect()[0][0]
+        labels = jumped
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    # every vertex of sym has a label row (the symmetrized edge list
+    # puts each endpoint on the doc_a side), including the
+    # representative itself with rep = doc_id — so component size is
+    # a plain count per rep
+    sizes = labels.groupBy("rep").agg(
+        F.count("*").cast("int").alias("comp_size")
+    )
+    return (
+        labels.join(sizes, "rep")
+        .select("doc_id", F.col("rep").alias("rep_id"), "comp_size")
+    )
+
+
 def simhash_signatures(docs: DataFrame) -> DataFrame:
     """32-bit SimHash as a bit-string column.
 

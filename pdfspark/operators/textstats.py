@@ -162,10 +162,9 @@ def language_id_relational(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_scores(docs: DataFrame) -> DataFrame:
-    """Length / punctuation / stopword / digit ratio features and a
-    composite quality score (pure arithmetic — engine-portable)."""
-    text = F.col("text")
+def _quality_cols(text):
+    """Aliased quality-feature expressions over a text column (shared
+    by quality_scores and the merged quality_token_stats projection)."""
     n_chars = F.length(text)
     norm = normalized_text(text)
     # norm is trimmed and single-spaced, so the only empty token is the
@@ -199,8 +198,7 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         ),
         4,
     )
-    return docs.select(
-        "doc_id",
+    return [
         n_chars.cast("int").alias("n_chars"),
         n_words.cast("int").alias("n_words"),
         mean_wl.alias("mean_word_len"),
@@ -208,25 +206,42 @@ def quality_scores(docs: DataFrame) -> DataFrame:
         punct_ratio.alias("punct_ratio"),
         digit_ratio.alias("digit_ratio"),
         score.alias("quality_score"),
-    )
+    ]
 
 
-def token_counts(docs: DataFrame) -> DataFrame:
-    """Whitespace token count + BPE-ish regex token count + chars per
-    BPE token (the usual tokens-per-doc budget metric)."""
-    text = F.col("text")
+def quality_scores(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword / digit ratio features and a
+    composite quality score (pure arithmetic — engine-portable)."""
+    return docs.select("doc_id", *_quality_cols(F.col("text")))
+
+
+def _token_cols(text):
+    """Aliased token-count expressions (shared like _quality_cols)."""
     ws = F.when(F.trim(text) == "", 0).otherwise(
         F.size(F.split(F.trim(text), r"\s+"))
     )
     bpe = F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
-    return docs.select(
-        "doc_id",
+    return [
         ws.cast("int").alias("n_ws_tokens"),
         bpe.cast("int").alias("n_bpe_tokens"),
         F.round(F.length(text) / F.greatest(bpe, F.lit(1)), 4).alias(
             "chars_per_token"
         ),
-    )
+    ]
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """Whitespace token count + BPE-ish regex token count + chars per
+    BPE token (the usual tokens-per-doc budget metric)."""
+    return docs.select("doc_id", *_token_cols(F.col("text")))
+
+
+def quality_token_stats(docs: DataFrame) -> DataFrame:
+    """quality_scores + token_counts as ONE narrow projection — zero
+    shuffle, one scan — rather than a doc_id self-join of the two
+    (which would re-read the corpus and shuffle both sides at scale)."""
+    text = F.col("text")
+    return docs.select("doc_id", *_quality_cols(text), *_token_cols(text))
 
 
 def fingerprints(docs: DataFrame) -> DataFrame:

@@ -151,6 +151,42 @@ WHERE round(i.n_inter / (na.n_sh + nb.n_sh - i.n_inter), 4) >= {threshold}
 """
 
 
+def components_sql(fix: str, threshold: float = 0.5,
+                   rounds: int = 8) -> str:
+    """Twin of dedup.neardup_components. The component-min fixpoint is
+    unique, so this needn't mirror the engine's pointer-jumping
+    rounds: `rounds` unrolled neighbor-min steps reach the fixpoint
+    for any component of diameter <= rounds (fixture components are
+    dense star+cross clusters of diameter 2-3)."""
+    # MATERIALIZED throughout: every l{{i}} is referenced twice by
+    # l{{i+1}}, so DuckDB's default CTE inlining would expand the
+    # verified-pairs subtree 2^rounds times (and run out of file
+    # handles re-opening the parquet inputs)
+    steps = []
+    for i in range(rounds):
+        steps.append(f"""
+l{i + 1} AS MATERIALIZED (
+  SELECT s.src AS doc_id, least(min(own.rep), min(nb.rep)) AS rep
+  FROM sym s
+  JOIN l{i} own ON own.doc_id = s.src
+  JOIN l{i} nb ON nb.doc_id = s.dst
+  GROUP BY s.src)""")
+    return f"""
+WITH verified AS MATERIALIZED ({minhash_verified_sql(fix, threshold)}),
+sym AS MATERIALIZED (
+  SELECT doc_a AS src, doc_b AS dst FROM verified
+  UNION ALL
+  SELECT doc_b AS src, doc_a AS dst FROM verified),
+l0 AS MATERIALIZED (
+  SELECT src AS doc_id, least(src, min(dst)) AS rep
+  FROM sym GROUP BY src),{",".join(steps)}
+SELECT l.doc_id, l.rep AS rep_id, CAST(c.n AS INT) AS comp_size
+FROM l{rounds} l
+JOIN (SELECT rep, count(*) AS n FROM l{rounds} GROUP BY rep) c
+     ON c.rep = l.rep
+"""
+
+
 def curation_sql(fix: str, threshold: float = 0.5,
                  min_quality: float = 0.5, lang: str = "en") -> str:
     """Twin of textstats.curate_documents with near_dedup=True: exact

@@ -10,6 +10,7 @@ from pdfspark.operators.dedup import (
     exact_duplicates,
     minhash_candidates,
     minhash_verified,
+    neardup_components,
     simhash_candidates,
     simhash_signatures,
 )
@@ -220,6 +221,42 @@ def test_star_candidates_component_equivalence(spark):
     assert (0, 1) in edges and (0, 2) in edges
     assert (1, 2) not in edges
     assert not any(4 in e for e in edges)
+
+
+def test_neardup_components_match_union_find(docs_all):
+    """The distributed min-label/pointer-jump loop must converge to
+    exactly the connected components of the verified-pair graph: same
+    membership, same component-min representative, same sizes as a
+    driver-side union-find over the collected edges. Also pins the
+    case 'drop every doc_b' under-handles: a member that only ever
+    appears on the doc_a side still gets clustered."""
+    edges = [(r.doc_a, r.doc_b)
+             for r in minhash_verified(docs_all).collect()]
+    assert edges, "fixture should plant verified near-dups"
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expected = {v: find(v) for v in parent}
+    sizes = {}
+    for v, r in expected.items():
+        sizes[r] = sizes.get(r, 0) + 1
+
+    got = {r.doc_id: (r.rep_id, r.comp_size)
+           for r in neardup_components(docs_all).collect()}
+    assert set(got) == set(expected)
+    for v, (rep, size) in got.items():
+        assert rep == expected[v], (v, rep, expected[v])
+        assert size == sizes[expected[v]], (v, size)
+    assert max(sizes.values()) >= 3, "fixture should have a 3+ cluster"
 
 
 def test_curation_near_dedup_is_keep_first_subset(docs_all):

@@ -22,7 +22,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # Queries whose whole pipeline is per-row/per-doc: any Exchange here
 # means a shuffle crept into a narrow op.
 NARROW_ZERO_EXCHANGE = {
-    "ts_langid", "ts_quality", "ts_tokens", "ts_fingerprints",
+    "ts_langid", "ts_quality_tokens", "ts_fingerprints",
     "m2_frame_sample", "m4_audio_chunks", "x11_f3_cleanup",
     "s1_binary_decode", "s34_page_scans", "s6_lines_source",
     "s7_json_source", "x19_html_tables", "s1_stream_extract",
@@ -36,7 +36,9 @@ BNLJ_ALLOWED = {"j6_keyword_hits": 1}
 # localCheckpoint scan (no stats), so the pre-AQE plan picks SMJ for
 # its doc_id joins; AQE converts to broadcast at runtime when small,
 # and SMJ IS the right 100 TB shape for survivor-sized sides.
-SMJ_ALLOWED = {"td_curation": 2}
+# dd_components: same class — the converged label frame is a
+# checkpoint scan joined to its own size aggregate.
+SMJ_ALLOWED = {"td_curation": 2, "dd_components": 2}
 
 # Filter pushdown must reach the parquet scan for every query whose
 # first move is a selective scan (kind=..., page ranges, margins).
@@ -54,8 +56,8 @@ PUSHDOWN_REQUIRED = {
 # round must explain or revert.
 MAX_EXCHANGES = {
     "dd_exact_dups": 1, "dd_minhash_pairs": 5, "dd_minhash_verified": 11,
-    "dd_simhash_pairs": 5, "ts_langid": 0, "ts_quality": 0,
-    "ts_tokens": 0, "ts_fingerprints": 0, "td_curation": 3,
+    "dd_simhash_pairs": 5, "dd_components": 4, "ts_langid": 0,
+    "ts_quality_tokens": 0, "ts_fingerprints": 0, "td_curation": 3,
     "sim_ann_topk": 1, "sim_ivf_topk": 2, "j5_topk_euclidean": 1,
     # sim_neardup_lsh 4 -> 5 (round 4): the star-candidate rewrite
     # adds the bucket-representative min-aggregate — one extra

@@ -48,9 +48,11 @@ Embedded images (the interleaved text+media shape): each page's
 content stream emit ``kind='Image'`` spans with a deterministic
 ``media_ref`` (``xobj://<obj>/<name>``), interleaved with the text
 blocks in stream order — the media_ref mapping the reference applies
-to its embedded-image fixtures. A ``Do`` naming a missing XObject or
-a Form XObject (a nested content stream we do not recurse into)
-quarantines the document.
+to its embedded-image fixtures. Form XObjects (running headers,
+watermarks — nested content streams) RECURSE like pdfminer's
+render_contents, with the form's ``/Resources /XObject`` map layered
+over the page's, a cycle guard, and a depth bound; a ``Do`` naming a
+missing XObject or an unsupported subtype quarantines the document.
 
 Stream filters: FlateDecode (stdlib zlib), ASCIIHexDecode,
 ASCII85Decode (stdlib base64) and LZWDecode (TIFF flavor, EarlyChange
@@ -111,6 +113,7 @@ _XOBJ_DICT_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.DOTALL)
 _XOBJ_NAME_RE = re.compile(rb"/(\w+)\s+(\d+)\s+0\s+R")
 _DO_RE = re.compile(rb"/(\w+)\s+Do\b")
 _SUBTYPE_IMG_RE = re.compile(rb"/Subtype\s*/Image\b")
+_SUBTYPE_FORM_RE = re.compile(rb"/Subtype\s*/Form\b")
 _FIRST_REF_RE = re.compile(rb"/First\s+(\d+)\s+\d+\s+R")
 _NEXT_REF_RE = re.compile(rb"/Next\s+(\d+)\s+\d+\s+R")
 
@@ -241,7 +244,8 @@ def _encode_stream(stream: bytes, spec) -> tuple[bytes, bytes]:
 
 def build_tiny_pdf(doc_id: str, pages: list[list[str]],
                    compress=False, hex_show: bool = False,
-                   images: list[int] | None = None) -> bytes:
+                   images: list[int] | None = None,
+                   form_header: str | None = None) -> bytes:
     """A complete PDF: one content stream per page, one Tj text-show
     per line, doc_id in the Info /Title. ``compress`` selects the
     content-stream filter: True/'flate' (/FlateDecode, the real-world
@@ -251,7 +255,11 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
     writers use for every string. ``images`` gives a per-page count of
     embedded image XObjects, painted with `/ImN Do` after the page's
     text (4x4 DeviceGray payloads) — the interleaved text+media shape
-    the span model's Image/media_ref rows come from."""
+    the span model's Image/media_ref rows come from. ``form_header``
+    adds ONE shared Form XObject (a nested BT..ET content stream, the
+    way real writers implement running headers/watermarks) painted
+    `/Fm1 Do` ahead of every page's text — exercising the decoder's
+    form recursion."""
     n_pages = len(pages)
     images = images or [0] * n_pages
     # object numbering: 1 catalog, 2 pages, 3..2+n page objs,
@@ -266,25 +274,37 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
     for i in range(n_pages):
         img_objs.append(list(range(nxt, nxt + images[i])))
         nxt += images[i]
+    form_obj = nxt if form_header is not None else None
 
     objs: dict[int, bytes] = {}
+    if form_obj is not None:
+        fstream = (b"BT /F1 10 Tf 72 770 Td ("
+                   + _escape(form_header) + b") Tj ET")
+        objs[form_obj] = (
+            b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+            b"/Length %d >>\nstream\n" % len(fstream)
+            + fstream + b"\nendstream")
     kids = b" ".join(b"%d 0 R" % p for p in page_objs)
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objs[2] = (b"<< /Type /Pages /Kids [" + kids
                + b"] /Count %d >>" % n_pages)
     for i, (pobj, cobj) in enumerate(zip(page_objs, cont_objs)):
         res = b"<< /Font << /F1 %d 0 R >>" % font_obj
-        if img_objs[i]:
-            xnames = b" ".join(
-                b"/Im%d %d 0 R" % (k + 1, onum)
-                for k, onum in enumerate(img_objs[i]))
-            res += b" /XObject << " + xnames + b" >>"
+        xnames = [b"/Im%d %d 0 R" % (k + 1, onum)
+                  for k, onum in enumerate(img_objs[i])]
+        if form_obj is not None:
+            xnames.insert(0, b"/Fm1 %d 0 R" % form_obj)
+        if xnames:
+            res += b" /XObject << " + b" ".join(xnames) + b" >>"
         res += b" >>"
         objs[pobj] = (
             b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
             b"/Resources " + res + b" /Contents %d 0 R >>" % cobj
         )
-        ops = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
+        ops = []
+        if form_obj is not None:
+            ops.append(b"q /Fm1 Do Q")
+        ops += [b"BT", b"/F1 12 Tf", b"72 720 Td"]
         for line in pages[i]:
             if hex_show:
                 ops.append(b"<" + line.encode("latin-1", "replace")
@@ -875,46 +895,71 @@ def decode_tiny_pdf(content: bytes) -> dict:
             xobjs = {m.group(1): int(m.group(2))
                      for m in _XOBJ_NAME_RE.finditer(xm.group(1))}
         emit("PageStart", "")
-        # interleave BT..ET text blocks and Do image paints in STREAM
-        # order — span order is the document's reading order contract.
-        # A Do inside a BT range is a string byte, not an operator.
-        bts = [(m.start(), m) for m in _BT_RE.finditer(cdata)]
-        spans_bt = [(m.start(), m.end()) for _p, m in bts]
-        events: list[tuple[int, str, object]] = [
-            (p, "bt", m) for p, m in bts
-        ]
-        for dm in _DO_RE.finditer(cdata):
-            if any(s <= dm.start() < e for s, e in spans_bt):
-                continue
-            events.append((dm.start(), "do", dm))
-        for _pos, tag, m in sorted(events, key=lambda t: t[0]):
-            if tag == "do":
-                name = m.group(1)
-                onum = xobjs.get(name)
-                xbody = objs.get(onum) if onum is not None else None
-                if xbody is None:
-                    raise ValueError(
-                        f"unresolvable XObject /{name.decode('latin-1')}")
-                if not _SUBTYPE_IMG_RE.search(
-                        xbody[:xbody.find(b"stream")]
-                        if b"stream" in xbody else xbody):
-                    # Form XObjects nest full content streams; parsing
-                    # on without recursing would silently drop their
-                    # text — quarantine, never a wrong parse
-                    raise ValueError("non-image XObject paint")
+        _walk_content(objs, cdata, xobjs, emit, frozenset())
+    return dict(doc_id=doc_id, spans=spans)
+
+
+def _walk_content(objs, cdata, xobjs, emit, active) -> None:
+    """Interleave BT..ET text blocks and Do XObject paints in STREAM
+    order — span order is the document's reading order contract. A Do
+    inside a BT range is a string byte, not an operator.
+
+    Do dispatch by /Subtype: /Image emits an Image span with a
+    deterministic media_ref; /Form RECURSES into the form's own
+    content stream (pdfminer's render_contents nesting — running
+    headers and watermarks are Forms in real-world writers), with the
+    form's /Resources /XObject map layered over the inherited one and
+    an `active` object-number set guarding cycles (a self-referencing
+    form quarantines rather than looping). Any other subtype — or a
+    nesting deeper than 8, the depth pdfminer tolerates in practice —
+    quarantines the document: parsing on would silently drop text."""
+    if len(active) > 8:
+        raise ValueError("form XObject nesting too deep")
+    bts = [(m.start(), m) for m in _BT_RE.finditer(cdata)]
+    spans_bt = [(m.start(), m.end()) for _p, m in bts]
+    events: list[tuple[int, str, object]] = [
+        (p, "bt", m) for p, m in bts
+    ]
+    for dm in _DO_RE.finditer(cdata):
+        if any(s <= dm.start() < e for s, e in spans_bt):
+            continue
+        events.append((dm.start(), "do", dm))
+    for _pos, tag, m in sorted(events, key=lambda t: t[0]):
+        if tag == "do":
+            name = m.group(1)
+            onum = xobjs.get(name)
+            xbody = objs.get(onum) if onum is not None else None
+            if xbody is None:
+                raise ValueError(
+                    f"unresolvable XObject /{name.decode('latin-1')}")
+            head = (xbody[:xbody.find(b"stream")]
+                    if b"stream" in xbody else xbody)
+            if _SUBTYPE_IMG_RE.search(head):
                 emit("Image", "",
                      media_ref=f"xobj://{onum}/{name.decode('latin-1')}")
-                continue
-            for show in _SHOW_RE.finditer(m.group(1)):
-                if show.group(1) is not None:  # (..) Tj
-                    emit("TextBox", _unescape(show.group(1)))
-                elif show.group(2) is not None:  # <hex> Tj
-                    emit("TextBox", _hex_str(show.group(2)))
-                else:  # [..] TJ: concatenate the string elements
-                    parts = [
-                        _unescape(m2.group(1)) if m2.group(1) is not None
-                        else _hex_str(m2.group(2))
-                        for m2 in _TJ_STR_RE.finditer(show.group(3))
-                    ]
-                    emit("TextBox", "".join(parts))
-    return dict(doc_id=doc_id, spans=spans)
+            elif _SUBTYPE_FORM_RE.search(head):
+                if onum in active:
+                    raise ValueError("form XObject cycle")
+                fx = dict(xobjs)
+                fm = _XOBJ_DICT_RE.search(head)
+                if fm is not None:
+                    fx.update({m2.group(1): int(m2.group(2))
+                               for m2 in _XOBJ_NAME_RE.finditer(
+                                   fm.group(1))})
+                _walk_content(objs, _content_stream(xbody), fx, emit,
+                              active | {onum})
+            else:
+                raise ValueError("unsupported XObject subtype paint")
+            continue
+        for show in _SHOW_RE.finditer(m.group(1)):
+            if show.group(1) is not None:  # (..) Tj
+                emit("TextBox", _unescape(show.group(1)))
+            elif show.group(2) is not None:  # <hex> Tj
+                emit("TextBox", _hex_str(show.group(2)))
+            else:  # [..] TJ: concatenate the string elements
+                parts = [
+                    _unescape(m2.group(1)) if m2.group(1) is not None
+                    else _hex_str(m2.group(2))
+                    for m2 in _TJ_STR_RE.finditer(show.group(3))
+                ]
+                emit("TextBox", "".join(parts))

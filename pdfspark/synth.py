@@ -506,6 +506,22 @@ def write_pdf_payloads(out_dir: str) -> None:
     assert all(s["media_ref"] for s in decoded["spans"]
                if s["kind"] == "Image")
     rows.append((img_id, "ok", len(decoded["spans"]), len(payload)))
+    # running-header Form XObject painted `/Fm1 Do` ahead of every
+    # page's text — the decoder recurses into the form's nested
+    # content stream (pdfminer render_contents nesting), so the header
+    # TextBox appears at each paint site
+    frm_id = "pdfdoc-00019"
+    payload = build_tiny_pdf(
+        frm_id,
+        [["7. Forms", "Body under a running header."], ["Last page."]],
+        compress=True, images=[0, 1], form_header="RUNNING HEADER")
+    with open(os.path.join(pdir, f"{frm_id}.pdf"), "wb") as fh:
+        fh.write(payload)
+    decoded = decode_tiny_pdf(payload)
+    assert decoded["doc_id"] == frm_id
+    texts = [s["text"] for s in decoded["spans"]]
+    assert texts.count("RUNNING HEADER") == 2
+    rows.append((frm_id, "ok", len(decoded["spans"]), len(payload)))
     # encrypted document: every string/stream is ciphertext, so the
     # codec must quarantine up front (wrong-parse guard), like F4
     enc = build_tiny_pdf("encrypted_pdf", [["secret body"]]).replace(
@@ -880,7 +896,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 10
+FIXTURE_VERSION = 11  # 11: form-header PDF payload (pdfdoc-00019)
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

@@ -172,17 +172,54 @@ def test_pdf_image_xobjects_emit_media_ref_spans():
 
 
 def test_pdf_bad_xobject_paints_quarantine():
-    """A Do naming a missing XObject, or a Form XObject (a nested
-    content stream we don't recurse into), must quarantine — skipping
-    it would silently drop content."""
+    """A Do naming a missing XObject, or one of a subtype we don't
+    render (e.g. /PS), must quarantine — skipping it would silently
+    drop content."""
     bad = build_tiny_pdf("b", [["x"]], images=[1]).replace(
         b"/Im1 Do", b"/Im9 Do")
     with pytest.raises(ValueError, match="unresolvable XObject"):
         decode_tiny_pdf(bad)
-    form = build_tiny_pdf("f", [["x"]], images=[1]).replace(
-        b"/Subtype /Image", b"/Subtype /Form")
-    with pytest.raises(ValueError, match="non-image XObject"):
-        decode_tiny_pdf(form)
+    ps = build_tiny_pdf("f", [["x"]], images=[1]).replace(
+        b"/Subtype /Image", b"/Subtype /PSxxx")  # same byte length
+    with pytest.raises(ValueError, match="unsupported XObject subtype"):
+        decode_tiny_pdf(ps)
+
+
+def test_pdf_form_xobjects_recurse():
+    """A Form XObject painted before each page's text (the running-
+    header shape real writers emit) decodes by recursing into the
+    form's content stream: its text spans appear at the paint site,
+    ahead of the page text, every page — matching pdfminer's
+    render_contents nesting."""
+    pages = [["1. Intro", "Body."], ["2. More"]]
+    out = decode_tiny_pdf(build_tiny_pdf(
+        "fdoc", pages, images=[0, 1], form_header="HDR Corp"))
+    got = [(s["kind"], s["text"]) for s in out["spans"]]
+    assert got == [
+        ("PageStart", ""), ("TextBox", "HDR Corp"),
+        ("TextBox", "1. Intro"), ("TextBox", "Body."),
+        ("PageStart", ""), ("TextBox", "HDR Corp"),
+        ("TextBox", "2. More"), ("Image", ""),
+    ]
+    assert [s["offset"] for s in out["spans"]] == list(range(8))
+    # compressed page streams carry the same recursion (the form's own
+    # stream is uncompressed; the page stream referencing it is not)
+    z = decode_tiny_pdf(build_tiny_pdf(
+        "fdoc", pages, compress=True, images=[0, 1],
+        form_header="HDR Corp"))
+    assert [(s["kind"], s["text"]) for s in z["spans"]] == got
+
+
+def test_pdf_form_cycle_quarantines():
+    """A form that paints itself (resolvable through the inherited
+    page /XObject map) must quarantine via the active-set guard, not
+    recurse forever."""
+    pdf = build_tiny_pdf("c", [["x"]], form_header="H")
+    old = b"BT /F1 10 Tf 72 770 Td (H) Tj ET"
+    assert old in pdf
+    new = b"q /Fm1 Do Q".ljust(len(old))
+    with pytest.raises(ValueError, match="form XObject cycle"):
+        decode_tiny_pdf(pdf.replace(old, new))
 
 
 def test_pdf_encrypted_quarantines_both_trailer_forms():

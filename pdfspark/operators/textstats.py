@@ -332,11 +332,20 @@ def curate_documents(
 
     Near-dedup semantics (``near_dedup=True``): a doc is dropped iff
     it is the non-representative side (doc_b) of a Jaccard-verified
-    star candidate pair — keep-first at the near-dup level, mirroring
+    candidate pair — keep-first at the near-dup level, mirroring
     the exact pass. The near-dup stage is pinned to run on the
     exact-dedup survivors (the standard pipeline order; the pair set
     depends on the corpus it runs over, so the order is part of the
     contract and the DuckDB twin computes the same staging).
+
+    doc_b-drop is the LINEAR approximation of exact keep-min-per-
+    component: it can diverge only when a non-minimum member's every
+    verified edge points at larger doc_ids (path patterns like edges
+    (1,3),(2,3) keeping 2 alive). On the fixture corpus the two drop
+    sets are identical (419 = 419 at sf0.1, test-pinned); a consumer
+    needing the guarantee composes dedup.neardup_components and drops
+    doc_id != rep_id — exact, but it pays the iterative CC loop,
+    which is why the composed pass defaults to the linear form.
 
     Filter ordering: language_id is the one expensive per-doc feature
     (a full trigram classification), so it runs only on the docs that

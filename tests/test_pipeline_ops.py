@@ -259,6 +259,28 @@ def test_neardup_components_match_union_find(docs_all):
     assert max(sizes.values()) >= 3, "fixture should have a 3+ cluster"
 
 
+def test_curation_linear_drop_equals_component_drop(docs_all):
+    """curate_documents' linear doc_b-drop must equal the exact
+    keep-min-per-component drop set on the fixture corpus (the two
+    can diverge only on path patterns where a non-min member's every
+    edge points at larger ids — if this ever fails, the corpus now
+    contains such a pattern and curation should switch to composing
+    neardup_components)."""
+    from pdfspark.operators.dedup import exact_duplicates
+
+    keep = exact_duplicates(docs_all).select(
+        F.col("keeper_doc_id").alias("doc_id")
+    )
+    uniq = docs_all.select("doc_id", "text").join(keep, "doc_id",
+                                                  "left_semi")
+    linear = {r.doc_id for r in minhash_verified(uniq)
+              .select(F.col("doc_b").alias("doc_id")).distinct().collect()}
+    exact = {r.doc_id for r in neardup_components(uniq)
+             .filter(F.col("doc_id") != F.col("rep_id")).collect()}
+    assert linear == exact
+    assert linear, "fixture should plant near-dups"
+
+
 def test_curation_near_dedup_is_keep_first_subset(docs_all):
     """near_dedup=True must drop exactly the docs that are the
     non-representative side of a Jaccard-verified star pair over the

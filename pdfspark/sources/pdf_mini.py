@@ -53,6 +53,13 @@ watermarks — nested content streams) RECURSE like pdfminer's
 render_contents, with the form's ``/Resources /XObject`` map layered
 over the page's, a cycle guard, and a depth bound; a ``Do`` naming a
 missing XObject or an unsupported subtype quarantines the document.
+Inline images (``BI..ID..EI``) emit Image spans at the paint site
+(``inline://<decoded-stream offset>`` refs) with their whole byte
+range excised from the operator scan first — the raw sample bytes can
+spell ``BT``/``Do`` and must never parse as content (the delimiter is
+the standard whitespace-EI-token heuristic pdfminer also uses; a
+full ``BI..ID..EI`` spelling inside a text STRING is the accepted
+approximation of a non-tokenizing scan).
 
 Stream filters: FlateDecode (stdlib zlib), ASCIIHexDecode,
 ASCII85Decode (stdlib base64) and LZWDecode (TIFF flavor, EarlyChange
@@ -112,6 +119,14 @@ _ENCRYPT_RE = re.compile(rb"/Encrypt\s*(\d+\s+\d+\s+R|<<)")
 _XOBJ_DICT_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.DOTALL)
 _XOBJ_NAME_RE = re.compile(rb"/(\w+)\s+(\d+)\s+0\s+R")
 _DO_RE = re.compile(rb"/(\w+)\s+Do\b")
+# inline image segment: BI <dict entries> ID <one ws byte><binary> EI.
+# The EI delimiter is the standard whitespace-EI-token-boundary
+# heuristic (what pdfminer's get_inline_data implements): raw sample
+# bytes can contain anything, including operator spellings.
+_INLINE_RE = re.compile(
+    rb"(?<![A-Za-z0-9])BI\b(.*?)\sID\s(.*?)\sEI(?![A-Za-z0-9])",
+    re.DOTALL,
+)
 _SUBTYPE_IMG_RE = re.compile(rb"/Subtype\s*/Image\b")
 _SUBTYPE_FORM_RE = re.compile(rb"/Subtype\s*/Form\b")
 _FIRST_REF_RE = re.compile(rb"/First\s+(\d+)\s+\d+\s+R")
@@ -245,7 +260,8 @@ def _encode_stream(stream: bytes, spec) -> tuple[bytes, bytes]:
 def build_tiny_pdf(doc_id: str, pages: list[list[str]],
                    compress=False, hex_show: bool = False,
                    images: list[int] | None = None,
-                   form_header: str | None = None) -> bytes:
+                   form_header: str | None = None,
+                   inline_images: list[int] | None = None) -> bytes:
     """A complete PDF: one content stream per page, one Tj text-show
     per line, doc_id in the Info /Title. ``compress`` selects the
     content-stream filter: True/'flate' (/FlateDecode, the real-world
@@ -259,7 +275,10 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
     adds ONE shared Form XObject (a nested BT..ET content stream, the
     way real writers implement running headers/watermarks) painted
     `/Fm1 Do` ahead of every page's text — exercising the decoder's
-    form recursion."""
+    form recursion. ``inline_images`` gives a per-page count of BI..
+    ID..EI inline images whose raw sample bytes deliberately spell
+    text/paint operators (" BT ", " Tj ", " Do ") — the masking
+    hazard the decoder's excision pass exists for."""
     n_pages = len(pages)
     images = images or [0] * n_pages
     # object numbering: 1 catalog, 2 pages, 3..2+n page objs,
@@ -313,6 +332,14 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
                 ops.append(b"(" + _escape(line) + b") Tj")
             ops.append(b"0 -14 Td")
         ops.append(b"ET")
+        for k in range((inline_images or [0] * n_pages)[i]):
+            # adversarial sample bytes: operator spellings inside the
+            # binary payload must NOT parse as content
+            data = b"\x01 BT (fake text) Tj ET /ImX Do \xff" + bytes(
+                (k + j) % 256 for j in range(8))
+            ops.append(
+                b"BI /W 4 /H 4 /CS /G /BPC 8 /L %d ID " % len(data)
+                + data + b" EI")
         for k, onum in enumerate(img_objs[i]):
             ops.append(b"q 100 0 0 80 72 %d cm /Im%d Do Q"
                        % (600 - 90 * k, k + 1))
@@ -915,16 +942,39 @@ def _walk_content(objs, cdata, xobjs, emit, active) -> None:
     quarantines the document: parsing on would silently drop text."""
     if len(active) > 8:
         raise ValueError("form XObject nesting too deep")
+    # inline images (BI..ID..EI) are located FIRST and their whole
+    # byte ranges masked from the BT/Do scans: the raw sample bytes
+    # between ID and EI can contain accidental operator spellings
+    # ("BT", "/X Do") that a naive scan would misparse as content.
+    # Each paints at its site as an Image span; the media_ref keys on
+    # the segment's offset in the DECODED stream (filter-invariant,
+    # deterministic).
+    inline = [(m.start(), m.end()) for m in _INLINE_RE.finditer(cdata)]
+    if inline:
+        # excise the segments (space-fill, offset-preserving) rather
+        # than filter matches: a regex match STARTING inside image
+        # data still consumes input past the mask, which would
+        # swallow a real BT block that follows the image
+        scan = bytearray(cdata)
+        for s, e in inline:
+            scan[s:e] = b" " * (e - s)
+        cdata = bytes(scan)
+
     bts = [(m.start(), m) for m in _BT_RE.finditer(cdata)]
     spans_bt = [(m.start(), m.end()) for _p, m in bts]
     events: list[tuple[int, str, object]] = [
         (p, "bt", m) for p, m in bts
     ]
+    for s, _e in inline:
+        events.append((s, "inline", s))
     for dm in _DO_RE.finditer(cdata):
         if any(s <= dm.start() < e for s, e in spans_bt):
             continue
         events.append((dm.start(), "do", dm))
     for _pos, tag, m in sorted(events, key=lambda t: t[0]):
+        if tag == "inline":
+            emit("Image", "", media_ref=f"inline://{m}")
+            continue
         if tag == "do":
             name = m.group(1)
             onum = xobjs.get(name)

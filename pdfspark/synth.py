@@ -522,6 +522,21 @@ def write_pdf_payloads(out_dir: str) -> None:
     texts = [s["text"] for s in decoded["spans"]]
     assert texts.count("RUNNING HEADER") == 2
     rows.append((frm_id, "ok", len(decoded["spans"]), len(payload)))
+    # inline images (BI..ID..EI) whose raw sample bytes spell
+    # operators — the excision pass keeps them out of the text scan
+    # while emitting Image spans at the paint sites
+    inl_id = "pdfdoc-00020"
+    payload = build_tiny_pdf(
+        inl_id, [["8. Inline", "Text around an inline image."]],
+        compress=True, inline_images=[2])
+    with open(os.path.join(pdir, f"{inl_id}.pdf"), "wb") as fh:
+        fh.write(payload)
+    decoded = decode_tiny_pdf(payload)
+    assert decoded["doc_id"] == inl_id
+    kinds = [s["kind"] for s in decoded["spans"]]
+    assert kinds.count("Image") == 2
+    assert not any("fake" in (s["text"] or "") for s in decoded["spans"])
+    rows.append((inl_id, "ok", len(decoded["spans"]), len(payload)))
     # encrypted document: every string/stream is ciphertext, so the
     # codec must quarantine up front (wrong-parse guard), like F4
     enc = build_tiny_pdf("encrypted_pdf", [["secret body"]]).replace(
@@ -896,7 +911,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 11  # 11: form-header PDF payload (pdfdoc-00019)
+FIXTURE_VERSION = 12  # 12: inline-image PDF payload (pdfdoc-00020)
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

@@ -430,3 +430,32 @@ def test_pdf15_unsupported_predictor_quarantines():
     with pytest.raises(ValueError):
         PM._filtered_stream(
             body.replace(b"/Predictor 12", b"/Predictor 2"))
+
+
+def test_pdf_inline_images_mask_and_emit():
+    """BI..ID..EI inline images emit Image spans at their paint site
+    (deterministic inline:// refs keyed on decoded-stream offset),
+    and their raw sample bytes — which deliberately spell ' BT ',
+    ' Tj ', ' Do ' — must never parse as content. Same interleaving
+    under compressed page streams."""
+    pages = [["Intro line", "Body."], ["Second page."]]
+    out = decode_tiny_pdf(build_tiny_pdf(
+        "idoc", pages, images=[1, 0], inline_images=[2, 1],
+        form_header="HDR"))
+    got = [(s["kind"], s["text"]) for s in out["spans"]]
+    assert got == [
+        ("PageStart", ""), ("TextBox", "HDR"),
+        ("TextBox", "Intro line"), ("TextBox", "Body."),
+        ("Image", ""), ("Image", ""), ("Image", ""),
+        ("PageStart", ""), ("TextBox", "HDR"),
+        ("TextBox", "Second page."), ("Image", ""),
+    ]
+    assert not any("fake text" in t for _k, t in got)
+    refs = [s["media_ref"] for s in out["spans"] if s["kind"] == "Image"]
+    assert sum(r.startswith("inline://") for r in refs) == 3
+    assert sum(r.startswith("xobj://") for r in refs) == 1
+    z = decode_tiny_pdf(build_tiny_pdf(
+        "idoc", pages, compress=True, images=[1, 0],
+        inline_images=[2, 1], form_header="HDR"))
+    assert [(s["kind"], s["media_ref"]) for s in z["spans"]] == [
+        (s["kind"], s["media_ref"]) for s in out["spans"]]

@@ -88,6 +88,8 @@ _STREAM_RE = re.compile(rb"stream\r?\n(.*?)\r?\nendstream", re.DOTALL)
 _KIDS_RE = re.compile(rb"/Kids\s*\[(.*?)\]", re.DOTALL)
 _REF_RE = re.compile(rb"(\d+)\s+0\s+R")
 _CONTENTS_RE = re.compile(rb"/Contents\s+(\d+)\s+0\s+R")
+_CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[(.*?)\]", re.DOTALL)
+_PAGES_TYPE_RE = re.compile(rb"/Type\s*/Pages\b")
 _INFO_RE = re.compile(rb"/Info\s+(\d+)\s+\d+\s+R")
 _TITLE_RE = re.compile(rb"/Title\s*\(((?:[^()\\]|\\.)*)\)")
 _BT_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
@@ -354,6 +356,67 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
         objs[cobj] = (b"<< /Length %d%s >>\nstream\n"
                       % (len(stream), clause)
                       + stream + b"\nendstream")
+    objs[font_obj] = (b"<< /Type /Font /Subtype /Type1 "
+                      b"/BaseFont /Helvetica >>")
+    objs[info_obj] = b"<< /Title (" + _escape(doc_id) + b") >>"
+
+    buf = bytearray(b"%PDF-1.4\n%\xc2\xb5\xc2\xb6\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(buf)
+        buf += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_at = len(buf)
+    n_objs = max(objs) + 1
+    buf += b"xref\n0 %d\n" % n_objs
+    buf += b"0000000000 65535 f \n"
+    for num in range(1, n_objs):
+        buf += b"%010d 00000 n \n" % offsets[num]
+    buf += (b"trailer\n<< /Size %d /Root 1 0 R /Info %d 0 R >>\n"
+            b"startxref\n%d\n%%%%EOF\n" % (n_objs, info_obj, xref_at))
+    return bytes(buf)
+
+
+def build_nested_pdf(doc_id: str, pages: list[list[str]]) -> bytes:
+    """The page-tree shapes big real-world writers emit that the flat
+    builder does not: a NESTED /Pages tree (every page hangs off an
+    intermediate node, itself a kid of the root) and per-page
+    ``/Contents [a 0 R b 0 R]`` ARRAYS (each page's operators split
+    across two streams — the spec joins them with whitespace into one
+    logical stream). Decodes to exactly the same spans as
+    ``build_tiny_pdf(doc_id, pages)`` — pinned by test."""
+    n = len(pages)
+    page_objs = [4 + i for i in range(n)]
+    cont_objs = [[4 + n + 2 * i, 4 + n + 2 * i + 1] for i in range(n)]
+    font_obj = 4 + 3 * n
+    info_obj = font_obj + 1
+
+    objs: dict[int, bytes] = {}
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = b"<< /Type /Pages /Kids [3 0 R] /Count %d >>" % n
+    kids = b" ".join(b"%d 0 R" % p for p in page_objs)
+    objs[3] = (b"<< /Type /Pages /Parent 2 0 R /Kids [" + kids
+               + b"] /Count %d >>" % n)
+    for i, pobj in enumerate(page_objs):
+        ca, cb = cont_objs[i]
+        objs[pobj] = (
+            b"<< /Type /Page /Parent 3 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 %d 0 R >> >> "
+            b"/Contents [%d 0 R %d 0 R] >>" % (font_obj, ca, cb)
+        )
+        ops = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
+        for line in pages[i]:
+            ops.append(b"(" + _escape(line) + b") Tj")
+            ops.append(b"0 -14 Td")
+        ops.append(b"ET")
+        # split mid-list: BT lands in the first stream and its ET in
+        # the second, so the page only parses if the decoder joins the
+        # array into ONE logical stream before scanning (the spec's
+        # semantics, and what real split-content writers rely on)
+        half = max(1, len(ops) // 2)
+        for cobj, part in ((ca, ops[:half]), (cb, ops[half:])):
+            stream = b"\n".join(part)
+            objs[cobj] = (b"<< /Length %d >>\nstream\n" % len(stream)
+                          + stream + b"\nendstream")
     objs[font_obj] = (b"<< /Type /Font /Subtype /Type1 "
                       b"/BaseFont /Helvetica >>")
     objs[info_obj] = b"<< /Title (" + _escape(doc_id) + b") >>"
@@ -866,7 +929,34 @@ def decode_tiny_pdf(content: bytes) -> dict:
     kids_m = _KIDS_RE.search(pages_obj)
     if kids_m is None:
         raise ValueError("no /Kids")
-    page_ids = [int(m.group(1)) for m in _REF_RE.finditer(kids_m.group(1))]
+
+    # page-tree walk: real writers emit NESTED /Pages trees (kids may
+    # be intermediate /Pages nodes, not leaf /Page objects) — recurse
+    # depth-first in /Kids order, the pdfminer page iteration order,
+    # with a visited-set cycle guard
+    page_ids: list[int] = []
+
+    def _collect_pages(kid_ids, seen) -> None:
+        for kid in kid_ids:
+            if kid in seen:
+                raise ValueError("page tree cycle")
+            body = objs.get(kid)
+            if body is None:
+                raise ValueError(f"missing page-tree object {kid}")
+            km = _KIDS_RE.search(body)
+            if km is not None and _PAGES_TYPE_RE.search(body):
+                _collect_pages(
+                    [int(m.group(1))
+                     for m in _REF_RE.finditer(km.group(1))],
+                    seen | {kid},
+                )
+            else:
+                page_ids.append(kid)
+
+    _collect_pages(
+        [int(m.group(1)) for m in _REF_RE.finditer(kids_m.group(1))],
+        frozenset(),
+    )
     if not page_ids:
         raise ValueError("empty /Kids")
 
@@ -908,13 +998,25 @@ def decode_tiny_pdf(content: bytes) -> dict:
         body = objs.get(pid)
         if body is None:
             raise ValueError(f"missing page object {pid}")
-        cm = _CONTENTS_RE.search(body)
-        if cm is None:
+        # /Contents may be a single ref or an ARRAY of refs (the spec
+        # says the array's streams form ONE logical stream with
+        # whitespace between them — writers split big pages this way)
+        am = _CONTENTS_ARR_RE.search(body)
+        if am is not None:
+            cnums = [int(m.group(1))
+                     for m in _REF_RE.finditer(am.group(1))]
+        else:
+            cm = _CONTENTS_RE.search(body)
+            cnums = [int(cm.group(1))] if cm is not None else []
+        if not cnums:
             raise ValueError("page without /Contents")
-        cbody = objs.get(int(cm.group(1)))
-        if cbody is None:
-            raise ValueError("missing content stream object")
-        cdata = _content_stream(cbody)
+        parts = []
+        for cnum in cnums:
+            cbody = objs.get(cnum)
+            if cbody is None:
+                raise ValueError("missing content stream object")
+            parts.append(_content_stream(cbody))
+        cdata = b"\n".join(parts)
         # the page's XObject name -> object number map (for Do paints)
         xobjs: dict[bytes, int] = {}
         xm = _XOBJ_DICT_RE.search(body)

@@ -424,6 +424,7 @@ def write_pdf_payloads(out_dir: str) -> None:
     import pyarrow.parquet as _pq
 
     from pdfspark.sources.pdf_mini import (
+        build_nested_pdf,
         build_tiny_pdf,
         build_tiny_pdf_15,
         decode_tiny_pdf,
@@ -537,6 +538,18 @@ def write_pdf_payloads(out_dir: str) -> None:
     assert kinds.count("Image") == 2
     assert not any("fake" in (s["text"] or "") for s in decoded["spans"])
     rows.append((inl_id, "ok", len(decoded["spans"]), len(payload)))
+    # nested /Pages tree + /Contents stream arrays (big-writer shape):
+    # pages hang off an intermediate node and each page's operators
+    # split across two streams with BT..ET straddling the boundary
+    nst_id = "pdfdoc-00021"
+    payload = build_nested_pdf(
+        nst_id, [["9. Nested", "Tree body text."], ["Split contents."]])
+    with open(os.path.join(pdir, f"{nst_id}.pdf"), "wb") as fh:
+        fh.write(payload)
+    decoded = decode_tiny_pdf(payload)
+    assert decoded["doc_id"] == nst_id
+    assert [s["kind"] for s in decoded["spans"]].count("PageStart") == 2
+    rows.append((nst_id, "ok", len(decoded["spans"]), len(payload)))
     # encrypted document: every string/stream is ciphertext, so the
     # codec must quarantine up front (wrong-parse guard), like F4
     enc = build_tiny_pdf("encrypted_pdf", [["secret body"]]).replace(
@@ -911,7 +924,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 12  # 12: inline-image PDF payload (pdfdoc-00020)
+FIXTURE_VERSION = 13  # 13: nested-page-tree PDF payload (pdfdoc-00021)
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

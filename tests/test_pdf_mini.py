@@ -459,3 +459,28 @@ def test_pdf_inline_images_mask_and_emit():
         inline_images=[2, 1], form_header="HDR"))
     assert [(s["kind"], s["media_ref"]) for s in z["spans"]] == [
         (s["kind"], s["media_ref"]) for s in out["spans"]]
+
+
+def test_pdf_nested_page_tree_and_contents_arrays():
+    """Nested /Pages trees (pages under an intermediate node) and
+    /Contents ARRAYS (a page's operators split across two streams,
+    with the BT..ET pair straddling the stream boundary) decode to
+    exactly the flat single-stream form's spans; a page-tree cycle
+    quarantines."""
+    from pdfspark.sources.pdf_mini import build_nested_pdf
+
+    pages = [["1. Intro", "Body line."], ["2. Methods", "More."],
+             ["3. End"]]
+    flat = decode_tiny_pdf(build_tiny_pdf("ndoc", pages))
+    nested_pdf = build_nested_pdf("ndoc", pages)
+    assert b"/Contents [" in nested_pdf
+    assert decode_tiny_pdf(nested_pdf) == flat
+
+    # cycle: intermediate node 3 lists the root 2 as one of its kids
+    cyc = nested_pdf.replace(
+        b"<< /Type /Pages /Kids [3 0 R] /Count 3 >>",
+        b"<< /Type /Pages /Kids [3 0 R] /Count 3 >>").replace(
+        b"/Parent 2 0 R /Kids [4 0 R 5 0 R 6 0 R]",
+        b"/Parent 2 0 R /Kids [2 0 R 5 0 R 6 0 R]")
+    with pytest.raises(ValueError, match="page tree cycle"):
+        decode_tiny_pdf(cyc)

@@ -92,12 +92,25 @@ _CONTENTS_ARR_RE = re.compile(rb"/Contents\s*\[(.*?)\]", re.DOTALL)
 _PAGES_TYPE_RE = re.compile(rb"/Type\s*/Pages\b")
 _INFO_RE = re.compile(rb"/Info\s+(\d+)\s+\d+\s+R")
 _TITLE_RE = re.compile(rb"/Title\s*\(((?:[^()\\]|\\.)*)\)")
+# hex-string /Title — the form writers use for UTF-16BE titles
+# (<FEFF...>); (?!<) keeps dict-open `<<` from matching
+_TITLE_HEX_RE = re.compile(rb"/Title\s*<(?!<)([0-9A-Fa-f\s]*)>")
 _BT_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
+# show-text operators: Tj, the move-and-show pair ' and " (older
+# word-processor writers emit one (line) ' per line instead of
+# Td/Tj), and TJ arrays. The positioning side effects of ' / " (T*,
+# word/char spacing) don't change the span model — each show is one
+# span, like Tj.
 _SHOW_RE = re.compile(
-    rb"\(((?:[^()\\]|\\.)*)\)\s*Tj"
-    rb"|<([0-9A-Fa-f\s]*)>\s*Tj"
+    rb"\(((?:[^()\\]|\\.)*)\)\s*(?:Tj|'|\")"
+    rb"|<([0-9A-Fa-f\s]*)>\s*(?:Tj|'|\")"
     rb"|\[(.*?)\]\s*TJ",
     re.DOTALL)
+# any string token inside BT..ET — used by the wrong-parse guard: a
+# string the show scan did not consume means a text operator this
+# codec doesn't understand, and parsing on would silently drop text
+_STR_TOKEN_RE = re.compile(
+    rb"\(((?:[^()\\]|\\.)*)\)|<(?!<)([0-9A-Fa-f\s]*)>", re.DOTALL)
 _TJ_STR_RE = re.compile(
     rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>")
 _STREAM_START_RE = re.compile(rb"stream(\r\n|\n)")
@@ -138,7 +151,7 @@ _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
             b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
 
 
-def _unescape(raw: bytes) -> str:
+def _unescape_bytes(raw: bytes) -> bytes:
     out = bytearray()
     i, n = 0, len(raw)
     while i < n:
@@ -171,7 +184,24 @@ def _unescape(raw: bytes) -> str:
             continue
         out += c
         i += 1
-    return out.decode("latin-1")
+    return bytes(out)
+
+
+def _unescape(raw: bytes) -> str:
+    """Content-stream show strings: the bytes ARE the font's character
+    codes; latin-1 is the identity decode (simple non-CID fonts)."""
+    return _unescape_bytes(raw).decode("latin-1")
+
+
+def _text_string(b: bytes) -> str:
+    """PDF *text string* semantics (7.9.2.2): UTF-16BE iff the bytes
+    begin with the FE FF BOM, else PDFDocEncoding (latin-1 is the
+    ASCII-compatible slice). Applies to DOCUMENT-level strings — the
+    Info /Title and outline /Title — NOT to content-stream show
+    strings, whose bytes are font character codes, not text."""
+    if b[:2] == b"\xfe\xff":
+        return b[2:].decode("utf-16-be", "replace")
+    return b.decode("latin-1")
 
 
 def _hex_str(raw: bytes) -> str:
@@ -189,6 +219,17 @@ def _hex_str(raw: bytes) -> str:
 def _escape(s: str) -> bytes:
     return (
         s.encode("latin-1", "replace")
+        .replace(b"\\", b"\\\\")
+        .replace(b"(", b"\\(")
+        .replace(b")", b"\\)")
+    )
+
+
+def _escape_strict(s: str) -> bytes:
+    """Like ``_escape`` but raises on non-latin-1 input instead of
+    replacing — callers fall back to the UTF-16BE hex form."""
+    return (
+        s.encode("latin-1")
         .replace(b"\\", b"\\\\")
         .replace(b"(", b"\\(")
         .replace(b")", b"\\)")
@@ -263,7 +304,9 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
                    compress=False, hex_show: bool = False,
                    images: list[int] | None = None,
                    form_header: str | None = None,
-                   inline_images: list[int] | None = None) -> bytes:
+                   inline_images: list[int] | None = None,
+                   quote_show: bool = False,
+                   title_utf16: bool = False) -> bytes:
     """A complete PDF: one content stream per page, one Tj text-show
     per line, doc_id in the Info /Title. ``compress`` selects the
     content-stream filter: True/'flate' (/FlateDecode, the real-world
@@ -280,7 +323,13 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
     form recursion. ``inline_images`` gives a per-page count of BI..
     ID..EI inline images whose raw sample bytes deliberately spell
     text/paint operators (" BT ", " Tj ", " Do ") — the masking
-    hazard the decoder's excision pass exists for."""
+    hazard the decoder's excision pass exists for. ``quote_show``
+    emits each page's first line with Tj and the rest with the
+    move-and-show operators (`(line) '`, and the last line as
+    `aw ac (line) "`) — the older word-processor-writer shape.
+    ``title_utf16`` stores the Info /Title as a BOM-prefixed UTF-16BE
+    hex string (`/Title <FEFF...>`), the way real writers encode
+    non-ASCII titles."""
     n_pages = len(pages)
     images = images or [0] * n_pages
     # object numbering: 1 catalog, 2 pages, 3..2+n page objs,
@@ -326,13 +375,22 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
         if form_obj is not None:
             ops.append(b"q /Fm1 Do Q")
         ops += [b"BT", b"/F1 12 Tf", b"72 720 Td"]
-        for line in pages[i]:
+        if quote_show:
+            ops.append(b"14 TL")  # ' / " move by the text leading
+        for j, line in enumerate(pages[i]):
             if hex_show:
-                ops.append(b"<" + line.encode("latin-1", "replace")
-                           .hex().encode("ascii") + b"> Tj")
+                operand = (b"<" + line.encode("latin-1", "replace")
+                           .hex().encode("ascii") + b">")
             else:
-                ops.append(b"(" + _escape(line) + b") Tj")
-            ops.append(b"0 -14 Td")
+                operand = b"(" + _escape(line) + b")"
+            if quote_show and j > 0:
+                if j + 1 == len(pages[i]) and j > 1:
+                    ops.append(b"0.5 0 " + operand + b' "')
+                else:
+                    ops.append(operand + b" '")
+            else:
+                ops.append(operand + b" Tj")
+                ops.append(b"0 -14 Td")
         ops.append(b"ET")
         for k in range((inline_images or [0] * n_pages)[i]):
             # adversarial sample bytes: operator spellings inside the
@@ -358,7 +416,12 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
                       + stream + b"\nendstream")
     objs[font_obj] = (b"<< /Type /Font /Subtype /Type1 "
                       b"/BaseFont /Helvetica >>")
-    objs[info_obj] = b"<< /Title (" + _escape(doc_id) + b") >>"
+    if title_utf16:
+        thex = (b"\xfe\xff" + doc_id.encode("utf-16-be")
+                ).hex().upper().encode("ascii")
+        objs[info_obj] = b"<< /Title <" + thex + b"> >>"
+    else:
+        objs[info_obj] = b"<< /Title (" + _escape(doc_id) + b") >>"
 
     buf = bytearray(b"%PDF-1.4\n%\xc2\xb5\xc2\xb6\n")
     offsets = {}
@@ -469,8 +532,13 @@ def build_tiny_pdf_15(doc_id: str, pages: list[list[str]],
 
     def emit_outline(nodes, parent):
         for i, node in enumerate(nodes):
-            e = [b"/Title (" + _escape(node["title"]) + b")",
-                 b"/Parent %d 0 R" % parent]
+            try:  # latin-1-safe titles: literal string form
+                t = b"/Title (" + _escape_strict(node["title"]) + b")"
+            except UnicodeEncodeError:  # else BOM'd UTF-16BE hex
+                t = (b"/Title <" + (b"\xfe\xff" + node["title"]
+                     .encode("utf-16-be")).hex().upper()
+                     .encode("ascii") + b">")
+            e = [t, b"/Parent %d 0 R" % parent]
             if i > 0:
                 e.append(b"/Prev %d 0 R" % nodes[i - 1]["num"])
             if i + 1 < len(nodes):
@@ -847,6 +915,22 @@ def _expand_objstm(body: bytes, objs: dict[int, bytes]) -> None:
             objs[num] = data[first + rel:first + end]
 
 
+def _title_of(body: bytes) -> str | None:
+    """The object's /Title as a PDF text string: literal or hex form,
+    UTF-16BE when BOM-prefixed (the way real writers store non-ASCII
+    titles), PDFDocEncoding/latin-1 otherwise."""
+    m = _TITLE_RE.search(body)
+    if m is not None:
+        return _text_string(_unescape_bytes(m.group(1)))
+    m = _TITLE_HEX_RE.search(body)
+    if m is not None:
+        h = re.sub(rb"\s+", b"", m.group(1))
+        if len(h) % 2:
+            h += b"0"
+        return _text_string(bytes.fromhex(h.decode("ascii")))
+    return None
+
+
 def _outline_titles(objs: dict[int, bytes]) -> list[str]:
     """Depth-first /Title walk of the outline tree (children before
     the next sibling — pdfminer's get_outlines order, which the
@@ -873,9 +957,9 @@ def _outline_titles(objs: dict[int, bytes]) -> list[str]:
             body = objs.get(num)
             if body is None:
                 return
-            tm = _TITLE_RE.search(body)
-            if tm is not None:
-                titles.append(_unescape(tm.group(1)))
+            t = _title_of(body)
+            if t is not None:
+                titles.append(t)
             fm = _FIRST_REF_RE.search(body)
             if fm is not None:
                 walk(int(fm.group(1)), depth + 1)
@@ -972,15 +1056,13 @@ def decode_tiny_pdf(content: bytes) -> dict:
         # carries /Root and /Info instead
         im = _INFO_RE.search(xref_dict)
     if im is not None:
-        m = _TITLE_RE.search(objs.get(int(im.group(1)), b""))
-        if m is not None:
-            title = _unescape(m.group(1))
+        title = _title_of(objs.get(int(im.group(1)), b""))
     if title is None:
         # legacy payloads without an Info reference: last /Title wins
         for body in objs.values():
-            m = _TITLE_RE.search(body)
-            if m is not None:
-                title = _unescape(m.group(1))
+            t = _title_of(body)
+            if t is not None:
+                title = t
     doc_id = title
 
     spans: list[dict] = []
@@ -1103,10 +1185,13 @@ def _walk_content(objs, cdata, xobjs, emit, active) -> None:
             else:
                 raise ValueError("unsupported XObject subtype paint")
             continue
-        for show in _SHOW_RE.finditer(m.group(1)):
-            if show.group(1) is not None:  # (..) Tj
+        body = m.group(1)
+        consumed: list[tuple[int, int]] = []
+        for show in _SHOW_RE.finditer(body):
+            consumed.append(show.span())
+            if show.group(1) is not None:  # (..) Tj / ' / "
                 emit("TextBox", _unescape(show.group(1)))
-            elif show.group(2) is not None:  # <hex> Tj
+            elif show.group(2) is not None:  # <hex> Tj / ' / "
                 emit("TextBox", _hex_str(show.group(2)))
             else:  # [..] TJ: concatenate the string elements
                 parts = [
@@ -1115,3 +1200,11 @@ def _walk_content(objs, cdata, xobjs, emit, active) -> None:
                     for m2 in _TJ_STR_RE.finditer(show.group(3))
                 ]
                 emit("TextBox", "".join(parts))
+        # wrong-parse guard: a string token the show scan did not
+        # consume means a text operator this codec doesn't understand
+        # (an exotic show form, a BDC property list carrying
+        # /ActualText, ...) — parsing on would silently drop text,
+        # so the document quarantines instead
+        for st in _STR_TOKEN_RE.finditer(body):
+            if not any(s <= st.start() < e for s, e in consumed):
+                raise ValueError("unconsumed string in text object")

@@ -550,6 +550,19 @@ def write_pdf_payloads(out_dir: str) -> None:
     assert decoded["doc_id"] == nst_id
     assert [s["kind"] for s in decoded["spans"]].count("PageStart") == 2
     rows.append((nst_id, "ok", len(decoded["spans"]), len(payload)))
+    # move-and-show operators (' and ") + BOM'd UTF-16BE Info /Title
+    # hex string — the older word-processor-writer shape; doc_id must
+    # be encoding-invariant
+    qt_id = "pdfdoc-00022"
+    payload = build_tiny_pdf(
+        qt_id, [["10. Quoted", "Shown with quote.", "And doublequote."]],
+        quote_show=True, title_utf16=True)
+    with open(os.path.join(pdir, f"{qt_id}.pdf"), "wb") as fh:
+        fh.write(payload)
+    decoded = decode_tiny_pdf(payload)
+    assert decoded["doc_id"] == qt_id
+    assert sum(1 for s in decoded["spans"] if s["kind"] == "TextBox") == 3
+    rows.append((qt_id, "ok", len(decoded["spans"]), len(payload)))
     # encrypted document: every string/stream is ciphertext, so the
     # codec must quarantine up front (wrong-parse guard), like F4
     enc = build_tiny_pdf("encrypted_pdf", [["secret body"]]).replace(
@@ -924,7 +937,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 13  # 13: nested-page-tree PDF payload (pdfdoc-00021)
+FIXTURE_VERSION = 14  # 14: quote-show + UTF-16 title payload (-00022)
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

@@ -484,3 +484,58 @@ def test_pdf_nested_page_tree_and_contents_arrays():
         b"/Parent 2 0 R /Kids [2 0 R 5 0 R 6 0 R]")
     with pytest.raises(ValueError, match="page tree cycle"):
         decode_tiny_pdf(cyc)
+
+
+def test_pdf_quote_show_operators_and_guard():
+    """The move-and-show operators ' and " (older word-processor
+    writers emit one per line) decode to exactly the Tj form's spans,
+    in both literal and hex operand forms; a string operand of an
+    operator the codec does NOT understand (an exotic show, a BDC
+    property list carrying /ActualText) quarantines instead of
+    silently dropping text."""
+    pages = [["1. Intro", "Body line.", "More body."], ["2. End"]]
+    base = decode_tiny_pdf(build_tiny_pdf("qdoc", pages))
+    quoted = build_tiny_pdf("qdoc", pages, quote_show=True)
+    assert b") '" in quoted and b') "' in quoted
+    assert decode_tiny_pdf(quoted) == base
+    hexq = build_tiny_pdf("qdoc", pages, hex_show=True, quote_show=True)
+    assert b"> '" in hexq
+    assert decode_tiny_pdf(hexq) == base
+
+    # unknown operator taking a string: quarantine, not silent drop
+    bad = build_tiny_pdf("qdoc", pages).replace(
+        b"(Body line.) Tj", b"(Body line.) Tz")
+    with pytest.raises(ValueError, match="unconsumed string"):
+        decode_tiny_pdf(bad)
+    # BDC property list with /ActualText: replacement text the codec
+    # cannot honor -> quarantine
+    bdc = build_tiny_pdf("qdoc", pages).replace(
+        b"(Body line.) Tj",
+        b"/Span << /ActualText (hidden) >> BDC (Body line.) Tj EMC")
+    with pytest.raises(ValueError, match="unconsumed string"):
+        decode_tiny_pdf(bdc)
+
+
+def test_pdf_utf16_titles():
+    """BOM-prefixed UTF-16BE text strings (PDF 7.9.2.2) in the Info
+    /Title hex form and in outline /Title entries decode to the
+    Unicode text; ASCII round-trips identically through either
+    encoding (doc_id keys must not depend on the writer's choice)."""
+    from pdfspark.sources.pdf_mini import build_tiny_pdf_15
+
+    pages = [["1. Intro", "Body."]]
+    plain = decode_tiny_pdf(build_tiny_pdf("udoc", pages))
+    utf = build_tiny_pdf("udoc", pages, title_utf16=True)
+    assert b"/Title <FEFF" in utf
+    assert decode_tiny_pdf(utf) == plain
+
+    # non-latin-1 outline title (the arrow is outside latin-1, so the
+    # builder must fall back to the UTF-16BE hex form)
+    title = "Überblick → Anhang"
+    pdf15 = build_tiny_pdf_15("udoc", pages, outlines=[(title, [])])
+    # the outline objects live inside the compressed object stream, so
+    # the UTF-16BE hex form is only visible after objstm expansion —
+    # the decoded TOC text is the real check
+    out = decode_tiny_pdf(pdf15)
+    toc = [s["text"] for s in out["spans"] if s["kind"] == "TOC"]
+    assert toc == [title]

@@ -129,6 +129,9 @@ _COLS_RE = re.compile(rb"/Columns\s+(\d+)(?![0-9])")
 _N_RE = re.compile(rb"/N\s+(\d+)(?![0-9])")
 _FIRST_OFF_RE = re.compile(rb"/First\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
 _OUTLINES_RE = re.compile(rb"/Outlines\s+(\d+)\s+\d+\s+R")
+_PAGES_REF_RE = re.compile(rb"/Pages\s+(\d+)\s+0\s+R")
+_ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
+_SIZE_VAL_RE = re.compile(rb"/Size\s+(\d+)")
 _TRAILER_DICT_RE = re.compile(rb"trailer\s*<<(.*?)>>", re.DOTALL)
 _ENCRYPT_RE = re.compile(rb"/Encrypt\s*(\d+\s+\d+\s+R|<<)")
 _XOBJ_DICT_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.DOTALL)
@@ -497,6 +500,42 @@ def build_nested_pdf(doc_id: str, pages: list[list[str]]) -> bytes:
         buf += b"%010d 00000 n \n" % offsets[num]
     buf += (b"trailer\n<< /Size %d /Root 1 0 R /Info %d 0 R >>\n"
             b"startxref\n%d\n%%%%EOF\n" % (n_objs, info_obj, xref_at))
+    return bytes(buf)
+
+
+def append_incremental_update(pdf: bytes,
+                              replacements: dict[int, bytes]) -> bytes:
+    """Append an incremental-update section (PDF 7.5.6) — the way
+    annotate/edit tools save: the edited objects' NEW versions after
+    the old %%EOF, a classic xref subsection covering only them, and a
+    trailer whose /Prev points at the prior xref. The trailer repeats
+    /Root but NOT /Info — readers inherit it through the /Prev chain.
+    ``replacements`` maps object number -> new object body."""
+    xm = list(_STARTXREF_RE.finditer(pdf))
+    if not xm:
+        raise ValueError("no startxref to chain from")
+    prev_xref = int(xm[-1].group(1))
+    tdicts = list(_TRAILER_DICT_RE.finditer(pdf))
+    if not tdicts:
+        raise ValueError("no trailer to inherit from")
+    rm = _ROOT_RE.search(tdicts[-1].group(1))
+    sm = _SIZE_VAL_RE.search(tdicts[-1].group(1))
+    if rm is None or sm is None:
+        raise ValueError("trailer missing /Root or /Size")
+    size = max(int(sm.group(1)), max(replacements) + 1)
+
+    buf = bytearray(pdf)
+    offsets = {}
+    for num in sorted(replacements):
+        offsets[num] = len(buf)
+        buf += b"%d 0 obj\n" % num + replacements[num] + b"\nendobj\n"
+    xref_at = len(buf)
+    buf += b"xref\n"
+    for num in sorted(replacements):
+        buf += b"%d 1\n%010d 00000 n \n" % (num, offsets[num])
+    buf += (b"trailer\n<< /Size %d /Root %s 0 R /Prev %d >>\n"
+            b"startxref\n%d\n%%%%EOF\n"
+            % (size, rm.group(1), prev_xref, xref_at))
     return bytes(buf)
 
 
@@ -1005,9 +1044,22 @@ def decode_tiny_pdf(content: bytes) -> dict:
         if body is None:
             raise ValueError(f"missing object stream {num}")
         _expand_objstm(body, objs)
-    pages_obj = next(
-        (body for body in objs.values()
-         if b"/Type /Pages" in body or b"/Type/Pages" in body), None)
+    # page-tree ROOT comes from the catalog's /Pages ref, not from
+    # "first /Pages object in file order" — an incremental update can
+    # append a replacement root AFTER an intermediate node, and nested
+    # trees have many /Pages objects
+    pages_obj = None
+    catalog = next(
+        (b for b in objs.values()
+         if b"/Type /Catalog" in b or b"/Type/Catalog" in b), None)
+    if catalog is not None:
+        pm = _PAGES_REF_RE.search(catalog)
+        if pm is not None:
+            pages_obj = objs.get(int(pm.group(1)))
+    if pages_obj is None:  # damaged catalog: degrade to scan
+        pages_obj = next(
+            (body for body in objs.values()
+             if b"/Type /Pages" in body or b"/Type/Pages" in body), None)
     if pages_obj is None:
         raise ValueError("no page tree")
     kids_m = _KIDS_RE.search(pages_obj)
@@ -1049,8 +1101,15 @@ def decode_tiny_pdf(content: bytes) -> dict:
     # its own /Title must not override the document title and mis-key
     # every downstream doc_id join
     title = None
-    tpos = content.rfind(b"trailer")
-    im = _INFO_RE.search(content, tpos) if tpos != -1 else None
+    # the NEWEST trailer carrying /Info wins: an incremental update's
+    # trailer repeats /Root but usually omits /Info, which readers
+    # inherit through the /Prev chain — file order IS update order,
+    # so "last trailer with /Info" implements the chain walk
+    im = None
+    for tm in _TRAILER_DICT_RE.finditer(content):
+        m2 = _INFO_RE.search(tm.group(1))
+        if m2 is not None:
+            im = m2
     if im is None and xref_dict:
         # 1.5 files have no `trailer` keyword: the xref stream dict
         # carries /Root and /Info instead

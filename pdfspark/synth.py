@@ -424,6 +424,7 @@ def write_pdf_payloads(out_dir: str) -> None:
     import pyarrow.parquet as _pq
 
     from pdfspark.sources.pdf_mini import (
+        append_incremental_update,
         build_nested_pdf,
         build_tiny_pdf,
         build_tiny_pdf_15,
@@ -563,6 +564,25 @@ def write_pdf_payloads(out_dir: str) -> None:
     assert decoded["doc_id"] == qt_id
     assert sum(1 for s in decoded["spans"] if s["kind"] == "TextBox") == 3
     rows.append((qt_id, "ok", len(decoded["spans"]), len(payload)))
+    # incremental update (PDF 7.5.6): the saved-over shape editing
+    # tools produce — an appended replacement content stream +
+    # /Prev-chained trailer; the NEWEST object version must win and
+    # /Info is inherited through the chain
+    iu_id = "pdfdoc-00023"
+    base = build_tiny_pdf(
+        iu_id, [["11. Updated", "Pre-edit body."], ["Second page."]])
+    stream = (b"BT /F1 12 Tf 72 720 Td (11. Updated) Tj "
+              b"(Post-edit body.) ' ET")
+    payload = append_incremental_update(base, {
+        5: (b"<< /Length %d >>\nstream\n" % len(stream)
+            + stream + b"\nendstream")})
+    with open(os.path.join(pdir, f"{iu_id}.pdf"), "wb") as fh:
+        fh.write(payload)
+    decoded = decode_tiny_pdf(payload)
+    assert decoded["doc_id"] == iu_id
+    texts = [s["text"] for s in decoded["spans"]]
+    assert "Post-edit body." in texts and "Pre-edit body." not in texts
+    rows.append((iu_id, "ok", len(decoded["spans"]), len(payload)))
     # encrypted document: every string/stream is ciphertext, so the
     # codec must quarantine up front (wrong-parse guard), like F4
     enc = build_tiny_pdf("encrypted_pdf", [["secret body"]]).replace(
@@ -937,7 +957,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 14  # 14: quote-show + UTF-16 title payload (-00022)
+FIXTURE_VERSION = 15  # 15: incremental-update payload (pdfdoc-00023)
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

@@ -539,3 +539,51 @@ def test_pdf_utf16_titles():
     out = decode_tiny_pdf(pdf15)
     toc = [s["text"] for s in out["spans"] if s["kind"] == "TOC"]
     assert toc == [title]
+
+
+def test_pdf_incremental_update():
+    """Incremental updates (PDF 7.5.6 — appended object versions + a
+    /Prev-chained trailer, the way annotate/edit tools save): the
+    appended NEWEST version of a replaced object wins, /Info is
+    inherited through the trailer chain when the update's trailer
+    omits it, and a replaced page-tree root resolves through the
+    catalog rather than first-in-file-order scan."""
+    from pdfspark.sources.pdf_mini import append_incremental_update
+
+    pages = [["1. Intro", "Original body."], ["2. End", "Tail."]]
+    base = build_tiny_pdf("incdoc", pages)
+    orig = decode_tiny_pdf(base)
+    assert any("Original body." == s["text"] for s in orig["spans"])
+
+    # object 4 is page 1's content stream (build_tiny_pdf numbering:
+    # 1 catalog, 2 pages, 3-4 page objs, 5-6 content streams)
+    stream = b"BT /F1 12 Tf 72 720 Td (1. Intro) Tj (Edited body.) ' ET"
+    upd = append_incremental_update(base, {
+        5: (b"<< /Length %d >>\nstream\n" % len(stream)
+            + stream + b"\nendstream")})
+    assert upd.startswith(base)  # strictly appended
+    out = decode_tiny_pdf(upd)
+    assert out["doc_id"] == "incdoc"  # /Info inherited via /Prev chain
+    texts = [s["text"] for s in out["spans"]]
+    assert "Edited body." in texts and "Original body." not in texts
+    assert "Tail." in texts  # untouched page unaffected
+
+    # second update drops page 2 by replacing the page-tree root: the
+    # catalog-resolved root must pick the NEW version, and the newest
+    # /Info (retitled) must win over the base one
+    upd2 = append_incremental_update(upd, {
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        6: b"<< /Title (incdoc-v2) >>",
+    })
+    # the retitle only lands if this update's trailer names /Info:
+    # splice it in (append_incremental_update omits it by default);
+    # the last trailer's /Prev is the offset of upd's own xref
+    import re as _re
+    prev2 = int(_re.findall(rb"startxref\s+(\d+)", upd)[-1])
+    upd2 = upd2.replace(b"/Prev %d >>" % prev2,
+                        b"/Prev %d /Info 6 0 R >>" % prev2)
+    assert b"/Info 6 0 R" in upd2
+    out2 = decode_tiny_pdf(upd2)
+    assert out2["doc_id"] == "incdoc-v2"
+    assert [s["kind"] for s in out2["spans"]].count("PageStart") == 1
+    assert "Tail." not in [s["text"] for s in out2["spans"]]

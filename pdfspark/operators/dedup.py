@@ -140,13 +140,18 @@ def _shingle_int(shingle_col):
     )
 
 
-def minhash_signatures(docs: DataFrame, shingles: DataFrame | None = None) -> DataFrame:
+def minhash_signatures(docs: DataFrame, shingles: DataFrame | None = None,
+                       with_size: bool = False) -> DataFrame:
     """doc_id + NUM_PERM minhash columns sig0..sigN (bigint).
 
     One explode + one groupBy(doc_id); the 16 mins are computed as 16
     aggregate expressions over the same shingle rows (single shuffle,
     map-side partial aggregation applies). Pass a precomputed (possibly
     persisted) `shingles` frame when the caller reuses it elsewhere.
+    ``with_size=True`` adds the shingle count ``n_sh`` as a 17th
+    aggregate over the same rows — callers needing Jaccard set sizes
+    (minhash_verified) get them without a second shuffle of the
+    shingle frame.
     """
     sh = shingles if shingles is not None else word_shingles(docs)
     sh = sh.withColumn("h", _shingle_int(F.col("shingle")))
@@ -155,6 +160,8 @@ def minhash_signatures(docs: DataFrame, shingles: DataFrame | None = None) -> Da
         .alias(f"sig{i}")
         for i in range(NUM_PERM)
     ]
+    if with_size:
+        aggs.append(F.count("*").alias("n_sh"))
     return sh.groupBy("doc_id").agg(*aggs)
 
 
@@ -178,7 +185,8 @@ def lsh_bands(sigs: DataFrame) -> DataFrame:
 
 
 def minhash_candidates(
-    docs: DataFrame, shingles: DataFrame | None = None
+    docs: DataFrame, shingles: DataFrame | None = None,
+    precomputed_sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs: signature-group star + distinct-
     signature banded all-pairs.
@@ -211,7 +219,8 @@ def minhash_candidates(
     the group min; tier 2 filters a < b). The DuckDB oracle twin
     mirrors both tiers (oracle_pipeline._minhash_cte).
     """
-    sigs = minhash_signatures(docs, shingles).withColumn(
+    sigs = (precomputed_sigs if precomputed_sigs is not None
+            else minhash_signatures(docs, shingles)).withColumn(
         "sig_key",
         F.md5(F.concat_ws(
             "|", *[F.col(f"sig{i}").cast("string") for i in range(NUM_PERM)]
@@ -262,8 +271,16 @@ def minhash_verified(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
     of re-exploding the corpus per consumer.
     """
     sh = word_shingles(docs).localCheckpoint(eager=False)
-    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    cands = minhash_candidates(docs, shingles=sh)
+    # ONE groupBy over the shingle frame yields both the 16 signature
+    # mins and the Jaccard set sizes (17 aggregates, same shuffle);
+    # the sig frame is checkpointed and shared with candidate
+    # generation, so the shingle frame is aggregated once, not twice
+    # (interleaved min-of-4 at sf0.1: 2.10 -> 1.89 s; at corpus scale
+    # it removes one full shuffle of the shingle frame)
+    sigs = minhash_signatures(docs, shingles=sh, with_size=True
+                              ).localCheckpoint(eager=False)
+    sizes = sigs.select("doc_id", "n_sh")
+    cands = minhash_candidates(docs, shingles=sh, precomputed_sigs=sigs)
     sh_a = sh.select(F.col("doc_id").alias("doc_a"), "shingle")
     sh_b = sh.select(F.col("doc_id").alias("doc_b"), "shingle")
     # candidate pairs first (|candidates| << corpus in the typical

@@ -442,26 +442,43 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
     return bytes(buf)
 
 
-def build_nested_pdf(doc_id: str, pages: list[list[str]]) -> bytes:
+def build_nested_pdf(doc_id: str, pages: list[list[str]],
+                     inherited_form: str | None = None) -> bytes:
     """The page-tree shapes big real-world writers emit that the flat
     builder does not: a NESTED /Pages tree (every page hangs off an
     intermediate node, itself a kid of the root) and per-page
     ``/Contents [a 0 R b 0 R]`` ARRAYS (each page's operators split
     across two streams — the spec joins them with whitespace into one
     logical stream). Decodes to exactly the same spans as
-    ``build_tiny_pdf(doc_id, pages)`` — pinned by test."""
+    ``build_tiny_pdf(doc_id, pages)`` — pinned by test.
+    ``inherited_form`` declares a running-header Form XObject in the
+    INTERMEDIATE /Pages node's /Resources (inheritable page attribute,
+    PDF 7.7.3.4) and paints it ``/FmH Do`` from every page, which
+    itself carries NO /XObject entry — the shared-resource shape real
+    writers use for headers/watermarks."""
     n = len(pages)
     page_objs = [4 + i for i in range(n)]
     cont_objs = [[4 + n + 2 * i, 4 + n + 2 * i + 1] for i in range(n)]
     font_obj = 4 + 3 * n
     info_obj = font_obj + 1
+    form_obj = info_obj + 1 if inherited_form is not None else None
 
     objs: dict[int, bytes] = {}
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objs[2] = b"<< /Type /Pages /Kids [3 0 R] /Count %d >>" % n
     kids = b" ".join(b"%d 0 R" % p for p in page_objs)
+    inres = b""
+    if form_obj is not None:
+        fstream = (b"BT /F1 10 Tf 72 770 Td ("
+                   + _escape(inherited_form) + b") Tj ET")
+        objs[form_obj] = (
+            b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
+            b"/Length %d >>\nstream\n" % len(fstream)
+            + fstream + b"\nendstream")
+        inres = (b" /Resources << /XObject << /FmH %d 0 R >> >>"
+                 % form_obj)
     objs[3] = (b"<< /Type /Pages /Parent 2 0 R /Kids [" + kids
-               + b"] /Count %d >>" % n)
+               + b"]" + inres + b" /Count %d >>" % n)
     for i, pobj in enumerate(page_objs):
         ca, cb = cont_objs[i]
         objs[pobj] = (
@@ -469,7 +486,8 @@ def build_nested_pdf(doc_id: str, pages: list[list[str]]) -> bytes:
             b"/Resources << /Font << /F1 %d 0 R >> >> "
             b"/Contents [%d 0 R %d 0 R] >>" % (font_obj, ca, cb)
         )
-        ops = [b"BT", b"/F1 12 Tf", b"72 720 Td"]
+        ops = [b"q /FmH Do Q"] if form_obj is not None else []
+        ops += [b"BT", b"/F1 12 Tf", b"72 720 Td"]
         for line in pages[i]:
             ops.append(b"(" + _escape(line) + b") Tj")
             ops.append(b"0 -14 Td")
@@ -1069,31 +1087,46 @@ def decode_tiny_pdf(content: bytes) -> dict:
     # page-tree walk: real writers emit NESTED /Pages trees (kids may
     # be intermediate /Pages nodes, not leaf /Page objects) — recurse
     # depth-first in /Kids order, the pdfminer page iteration order,
-    # with a visited-set cycle guard
-    page_ids: list[int] = []
+    # with a visited-set cycle guard. /Resources are INHERITABLE page
+    # attributes (PDF 7.7.3.4): each node's /XObject map layers over
+    # its ancestors', so a shared form/image declared once on the
+    # /Pages node resolves from every descendant page.
+    def _xobj_layer(body: bytes, inherited: dict) -> dict:
+        xm = _XOBJ_DICT_RE.search(body)
+        if xm is None:
+            return inherited
+        layer = dict(inherited)
+        layer.update({m.group(1): int(m.group(2))
+                      for m in _XOBJ_NAME_RE.finditer(xm.group(1))})
+        return layer
 
-    def _collect_pages(kid_ids, seen) -> None:
+    page_list: list[tuple[int, dict]] = []
+
+    def _collect_pages(kid_ids, seen, inherited) -> None:
         for kid in kid_ids:
             if kid in seen:
                 raise ValueError("page tree cycle")
             body = objs.get(kid)
             if body is None:
                 raise ValueError(f"missing page-tree object {kid}")
+            layer = _xobj_layer(body, inherited)
             km = _KIDS_RE.search(body)
             if km is not None and _PAGES_TYPE_RE.search(body):
                 _collect_pages(
                     [int(m.group(1))
                      for m in _REF_RE.finditer(km.group(1))],
                     seen | {kid},
+                    layer,
                 )
             else:
-                page_ids.append(kid)
+                page_list.append((kid, layer))
 
     _collect_pages(
         [int(m.group(1)) for m in _REF_RE.finditer(kids_m.group(1))],
         frozenset(),
+        _xobj_layer(pages_obj, {}),
     )
-    if not page_ids:
+    if not page_list:
         raise ValueError("empty /Kids")
 
     # doc_id comes from the trailer-designated Info dict, NOT from the
@@ -1135,7 +1168,7 @@ def decode_tiny_pdf(content: bytes) -> dict:
     for t in _outline_titles(objs):
         emit("TOC", t)
 
-    for pid in page_ids:
+    for pid, xobjs in page_list:
         body = objs.get(pid)
         if body is None:
             raise ValueError(f"missing page object {pid}")
@@ -1158,12 +1191,8 @@ def decode_tiny_pdf(content: bytes) -> dict:
                 raise ValueError("missing content stream object")
             parts.append(_content_stream(cbody))
         cdata = b"\n".join(parts)
-        # the page's XObject name -> object number map (for Do paints)
-        xobjs: dict[bytes, int] = {}
-        xm = _XOBJ_DICT_RE.search(body)
-        if xm is not None:
-            xobjs = {m.group(1): int(m.group(2))
-                     for m in _XOBJ_NAME_RE.finditer(xm.group(1))}
+        # xobjs: the page's own /XObject map layered over everything
+        # inherited down the page tree (built during the tree walk)
         emit("PageStart", "")
         _walk_content(objs, cdata, xobjs, emit, frozenset())
     return dict(doc_id=doc_id, spans=spans)

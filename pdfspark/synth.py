@@ -583,6 +583,19 @@ def write_pdf_payloads(out_dir: str) -> None:
     texts = [s["text"] for s in decoded["spans"]]
     assert "Post-edit body." in texts and "Pre-edit body." not in texts
     rows.append((iu_id, "ok", len(decoded["spans"]), len(payload)))
+    # inherited /Resources (PDF 7.7.3.4): a running-header Form
+    # declared once on the intermediate /Pages node, painted by pages
+    # that carry no /XObject entry of their own
+    ih_id = "pdfdoc-00024"
+    payload = build_nested_pdf(
+        ih_id, [["12. Inherited", "Tree body."], ["Next page."]],
+        inherited_form="SHARED HEADER")
+    with open(os.path.join(pdir, f"{ih_id}.pdf"), "wb") as fh:
+        fh.write(payload)
+    decoded = decode_tiny_pdf(payload)
+    assert decoded["doc_id"] == ih_id
+    assert [s["text"] for s in decoded["spans"]].count("SHARED HEADER") == 2
+    rows.append((ih_id, "ok", len(decoded["spans"]), len(payload)))
     # encrypted document: every string/stream is ciphertext, so the
     # codec must quarantine up front (wrong-parse guard), like F4
     enc = build_tiny_pdf("encrypted_pdf", [["secret body"]]).replace(
@@ -957,7 +970,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 15  # 15: incremental-update payload (pdfdoc-00023)
+FIXTURE_VERSION = 16  # 16: inherited-resources payload (-00024)
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

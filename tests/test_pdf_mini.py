@@ -587,3 +587,27 @@ def test_pdf_incremental_update():
     assert out2["doc_id"] == "incdoc-v2"
     assert [s["kind"] for s in out2["spans"]].count("PageStart") == 1
     assert "Tail." not in [s["text"] for s in out2["spans"]]
+
+
+def test_pdf_inherited_resources_through_page_tree():
+    """/Resources are inheritable page attributes (PDF 7.7.3.4): a
+    form XObject declared once on the intermediate /Pages node (the
+    shared running-header shape) must resolve from every descendant
+    page whose own /Resources carries no /XObject entry; a page-level
+    map still layers OVER the inherited one."""
+    from pdfspark.sources.pdf_mini import build_nested_pdf
+
+    pages = [["1. Intro", "Body."], ["2. End"]]
+    pdf = build_nested_pdf("hdoc", pages, inherited_form="RUNNING HDR")
+    # one declaration (on the Pages node) + one Do paint per page
+    assert pdf.count(b"/FmH") == 1 + len(pages)
+    assert b"/XObject" not in pdf.split(b"/Type /Page ")[1].split(
+        b">>\nendobj")[0]  # page 1 carries no /XObject of its own
+    out = decode_tiny_pdf(pdf)
+    texts = [(s["kind"], s["text"]) for s in out["spans"]]
+    assert texts == [
+        ("PageStart", ""), ("TextBox", "RUNNING HDR"),
+        ("TextBox", "1. Intro"), ("TextBox", "Body."),
+        ("PageStart", ""), ("TextBox", "RUNNING HDR"),
+        ("TextBox", "2. End"),
+    ]

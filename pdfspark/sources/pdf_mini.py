@@ -146,6 +146,12 @@ _INLINE_RE = re.compile(
     re.DOTALL,
 )
 _SUBTYPE_IMG_RE = re.compile(rb"/Subtype\s*/Image\b")
+_FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
+_TF_RE = re.compile(rb"/(\w+)\s+[\d.+-]+\s+Tf")
+_TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
+_BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
+_CMAP_TOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
 _SUBTYPE_FORM_RE = re.compile(rb"/Subtype\s*/Form\b")
 _FIRST_REF_RE = re.compile(rb"/First\s+(\d+)\s+\d+\s+R")
 _NEXT_REF_RE = re.compile(rb"/Next\s+(\d+)\s+\d+\s+R")
@@ -207,16 +213,20 @@ def _text_string(b: bytes) -> str:
     return b.decode("latin-1")
 
 
-def _hex_str(raw: bytes) -> str:
-    """Hex string `<48656c6c6f>` -> text. Whitespace is ignored and an
-    odd final digit is padded with 0 (PDF 7.3.4.3). Byte codes decode
-    latin-1, the same single-byte identity the literal-string path
-    uses — the honest slice for simple (non-CID) fonts, where the
-    string bytes ARE the character codes."""
+def _hex_bytes(raw: bytes) -> bytes:
+    """Hex string `<48656c6c6f>` -> bytes. Whitespace is ignored and
+    an odd final digit is padded with 0 (PDF 7.3.4.3)."""
     h = re.sub(rb"\s+", b"", raw)
     if len(h) % 2:
         h += b"0"
-    return bytes.fromhex(h.decode("ascii")).decode("latin-1")
+    return bytes.fromhex(h.decode("ascii"))
+
+
+def _hex_str(raw: bytes) -> str:
+    """Hex string -> text via the latin-1 single-byte identity — the
+    honest slice for simple (non-CID) fonts, where the string bytes
+    ARE the character codes. CID strings go through _decode_codes."""
+    return _hex_bytes(raw).decode("latin-1")
 
 
 def _escape(s: str) -> bytes:
@@ -309,7 +319,8 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
                    form_header: str | None = None,
                    inline_images: list[int] | None = None,
                    quote_show: bool = False,
-                   title_utf16: bool = False) -> bytes:
+                   title_utf16: bool = False,
+                   cid: bool = False) -> bytes:
     """A complete PDF: one content stream per page, one Tj text-show
     per line, doc_id in the Info /Title. ``compress`` selects the
     content-stream filter: True/'flate' (/FlateDecode, the real-world
@@ -332,7 +343,14 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
     `aw ac (line) "`) — the older word-processor-writer shape.
     ``title_utf16`` stores the Info /Title as a BOM-prefixed UTF-16BE
     hex string (`/Title <FEFF...>`), the way real writers encode
-    non-ASCII titles."""
+    non-ASCII titles. ``cid=True`` makes /F1 a Type0 (CID) font with
+    an Identity-H encoding and a /ToUnicode CMap: every show operand
+    becomes a hex string of 2-byte character CODES (0x0100 + index of
+    the char in the document's sorted alphabet — deliberately NOT the
+    Unicode code points, so a latin-1 identity decode emits garbage
+    and only the CMap path recovers the text). This is the shape
+    every modern embedded-subset font produces. /DescendantFonts is
+    omitted (glyph metrics only — irrelevant to text extraction)."""
     n_pages = len(pages)
     images = images or [0] * n_pages
     # object numbering: 1 catalog, 2 pages, 3..2+n page objs,
@@ -348,6 +366,15 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
         img_objs.append(list(range(nxt, nxt + images[i])))
         nxt += images[i]
     form_obj = nxt if form_header is not None else None
+    if form_obj is not None:
+        nxt += 1
+    tounicode_obj = nxt if cid else None
+    # deterministic CID alphabet: code 0x0100 + index of the char in
+    # the document's sorted distinct-char list
+    cid_codes: dict[str, int] = {}
+    if cid:
+        alphabet = sorted({c for pg in pages for ln in pg for c in ln})
+        cid_codes = {c: 0x0100 + i for i, c in enumerate(alphabet)}
 
     objs: dict[int, bytes] = {}
     if form_obj is not None:
@@ -381,7 +408,10 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
         if quote_show:
             ops.append(b"14 TL")  # ' / " move by the text leading
         for j, line in enumerate(pages[i]):
-            if hex_show:
+            if cid:
+                codes = b"".join(b"%04X" % cid_codes[c] for c in line)
+                operand = b"<" + codes + b">"
+            elif hex_show:
                 operand = (b"<" + line.encode("latin-1", "replace")
                            .hex().encode("ascii") + b">")
             else:
@@ -417,8 +447,34 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
         objs[cobj] = (b"<< /Length %d%s >>\nstream\n"
                       % (len(stream), clause)
                       + stream + b"\nendstream")
-    objs[font_obj] = (b"<< /Type /Font /Subtype /Type1 "
-                      b"/BaseFont /Helvetica >>")
+    if cid:
+        objs[font_obj] = (
+            b"<< /Type /Font /Subtype /Type0 /BaseFont /FakeSubset "
+            b"/Encoding /Identity-H /ToUnicode %d 0 R >>"
+            % tounicode_obj)
+        ents = [(b"<%04X>" % code,
+                 b"<" + c.encode("utf-16-be").hex().upper()
+                 .encode("ascii") + b">")
+                for c, code in sorted(cid_codes.items(),
+                                      key=lambda kv: kv[1])]
+        blocks = []
+        for s in range(0, len(ents), 100):  # <=100 entries per block
+            chunk = ents[s:s + 100]
+            blocks.append(b"%d beginbfchar\n" % len(chunk)
+                          + b"\n".join(src + b" " + dst
+                                       for src, dst in chunk)
+                          + b"\nendbfchar")
+        cm = (b"/CIDInit /ProcSet findresource begin\n"
+              b"12 dict begin\nbegincmap\n"
+              b"1 begincodespacerange\n<0000> <FFFF>\n"
+              b"endcodespacerange\n"
+              + b"\n".join(blocks)
+              + b"\nendcmap\nend\nend")
+        objs[tounicode_obj] = (b"<< /Length %d >>\nstream\n" % len(cm)
+                               + cm + b"\nendstream")
+    else:
+        objs[font_obj] = (b"<< /Type /Font /Subtype /Type1 "
+                          b"/BaseFont /Helvetica >>")
     if title_utf16:
         thex = (b"\xfe\xff" + doc_id.encode("utf-16-be")
                 ).hex().upper().encode("ascii")
@@ -1091,40 +1147,42 @@ def decode_tiny_pdf(content: bytes) -> dict:
     # attributes (PDF 7.7.3.4): each node's /XObject map layers over
     # its ancestors', so a shared form/image declared once on the
     # /Pages node resolves from every descendant page.
-    def _xobj_layer(body: bytes, inherited: dict) -> dict:
-        xm = _XOBJ_DICT_RE.search(body)
-        if xm is None:
+    def _res_layer(regex, body: bytes, inherited: dict) -> dict:
+        rm = regex.search(body)
+        if rm is None:
             return inherited
         layer = dict(inherited)
         layer.update({m.group(1): int(m.group(2))
-                      for m in _XOBJ_NAME_RE.finditer(xm.group(1))})
+                      for m in _XOBJ_NAME_RE.finditer(rm.group(1))})
         return layer
 
-    page_list: list[tuple[int, dict]] = []
+    page_list: list[tuple[int, dict, dict]] = []
 
-    def _collect_pages(kid_ids, seen, inherited) -> None:
+    def _collect_pages(kid_ids, seen, inh_xobj, inh_font) -> None:
         for kid in kid_ids:
             if kid in seen:
                 raise ValueError("page tree cycle")
             body = objs.get(kid)
             if body is None:
                 raise ValueError(f"missing page-tree object {kid}")
-            layer = _xobj_layer(body, inherited)
+            xl = _res_layer(_XOBJ_DICT_RE, body, inh_xobj)
+            fl = _res_layer(_FONT_DICT_RE, body, inh_font)
             km = _KIDS_RE.search(body)
             if km is not None and _PAGES_TYPE_RE.search(body):
                 _collect_pages(
                     [int(m.group(1))
                      for m in _REF_RE.finditer(km.group(1))],
                     seen | {kid},
-                    layer,
+                    xl, fl,
                 )
             else:
-                page_list.append((kid, layer))
+                page_list.append((kid, xl, fl))
 
     _collect_pages(
         [int(m.group(1)) for m in _REF_RE.finditer(kids_m.group(1))],
         frozenset(),
-        _xobj_layer(pages_obj, {}),
+        _res_layer(_XOBJ_DICT_RE, pages_obj, {}),
+        _res_layer(_FONT_DICT_RE, pages_obj, {}),
     )
     if not page_list:
         raise ValueError("empty /Kids")
@@ -1168,7 +1226,8 @@ def decode_tiny_pdf(content: bytes) -> dict:
     for t in _outline_titles(objs):
         emit("TOC", t)
 
-    for pid, xobjs in page_list:
+    cmap_cache: dict = {}
+    for pid, xobjs, fonts in page_list:
         body = objs.get(pid)
         if body is None:
             raise ValueError(f"missing page object {pid}")
@@ -1194,11 +1253,110 @@ def decode_tiny_pdf(content: bytes) -> dict:
         # xobjs: the page's own /XObject map layered over everything
         # inherited down the page tree (built during the tree walk)
         emit("PageStart", "")
-        _walk_content(objs, cdata, xobjs, emit, frozenset())
+        _walk_content(objs, cdata, xobjs, emit, frozenset(),
+                      fonts=fonts, cmap_cache=cmap_cache)
     return dict(doc_id=doc_id, spans=spans)
 
 
-def _walk_content(objs, cdata, xobjs, emit, active) -> None:
+def _parse_tounicode(data: bytes) -> dict:
+    """Parse a /ToUnicode CMap stream (bfchar + bfrange sections) into
+    ``{"width": bytes_per_code, "map": {int code: str}}``. Destination
+    hex is UTF-16BE (the CMap spec's encoding for bf* targets); range
+    destinations increment the last code unit, and array destinations
+    list one target per code. Code width comes from the source hex
+    token length (what Identity-H writers emit; begincodespacerange
+    agrees for every real ToUnicode this models)."""
+    width = None
+    cmap: dict[int, str] = {}
+
+    def _dst(h: bytes) -> str:
+        return bytes.fromhex(h.decode("ascii")).decode(
+            "utf-16-be", "replace")
+
+    for sec in _BFCHAR_RE.finditer(data):
+        toks = [m.group(1) for m in _CMAP_TOK_RE.finditer(sec.group(1))
+                if m.group(1) is not None]
+        for i in range(0, len(toks) - 1, 2):
+            src, dst = toks[i], toks[i + 1]
+            width = width or len(src) // 2
+            cmap[int(src, 16)] = _dst(dst)
+    for sec in _BFRANGE_RE.finditer(data):
+        toks = list(_CMAP_TOK_RE.finditer(sec.group(1)))
+        i = 0
+        while i < len(toks):
+            if (i + 2 >= len(toks) or toks[i].group(1) is None
+                    or toks[i + 1].group(1) is None):
+                raise ValueError("malformed bfrange")
+            lo = int(toks[i].group(1), 16)
+            hi = int(toks[i + 1].group(1), 16)
+            width = width or len(toks[i].group(1)) // 2
+            if i + 2 < len(toks) and toks[i + 2].group(2) is not None:
+                # [ <d> <d> ... ]: one destination per code
+                j = i + 3
+                code = lo
+                while j < len(toks) and toks[j].group(3) is None:
+                    if toks[j].group(1) is None:
+                        raise ValueError("malformed bfrange array")
+                    cmap[code] = _dst(toks[j].group(1))
+                    code += 1
+                    j += 1
+                if code != hi + 1:
+                    raise ValueError("bfrange array arity mismatch")
+                i = j + 1
+            else:
+                if i + 2 >= len(toks) or toks[i + 2].group(1) is None:
+                    raise ValueError("malformed bfrange")
+                base = toks[i + 2].group(1)
+                base_cp = int(base, 16) & 0xFFFF  # last code unit
+                prefix = base[:-4] if len(base) > 4 else b""
+                for k in range(hi - lo + 1):
+                    h = prefix + b"%04X" % (base_cp + k)
+                    cmap[lo + k] = _dst(h)
+                i += 3
+    if width is None:
+        raise ValueError("empty ToUnicode cmap")
+    return {"width": width, "map": cmap}
+
+
+def _font_cmap(objs, fnum: int | None, cache: dict) -> dict | None:
+    """The parsed ToUnicode CMap of font object ``fnum`` (None when
+    the font has no /ToUnicode — simple fonts whose string bytes ARE
+    latin-1-compatible character codes). Memoized per decode call."""
+    if fnum is None:
+        return None
+    if fnum not in cache:
+        body = objs.get(fnum)
+        cm = _TOUNICODE_RE.search(body) if body is not None else None
+        if cm is None:
+            cache[fnum] = None
+        else:
+            tu = objs.get(int(cm.group(1)))
+            if tu is None:
+                raise ValueError("missing ToUnicode stream object")
+            cache[fnum] = _parse_tounicode(_content_stream(tu))
+    return cache[fnum]
+
+
+def _decode_codes(bs: bytes, cmap: dict) -> str:
+    """String bytes -> text through a ToUnicode CMap: fixed-width
+    big-endian codes, each of which must map. An unmapped code or a
+    ragged tail is a WRONG parse (the latin-1 identity would emit
+    garbage for a subset font), so it quarantines."""
+    w = cmap["width"]
+    if len(bs) % w:
+        raise ValueError("CID string length not a multiple of width")
+    out = []
+    for i in range(0, len(bs), w):
+        code = int.from_bytes(bs[i:i + w], "big")
+        t = cmap["map"].get(code)
+        if t is None:
+            raise ValueError(f"code {code:#x} outside ToUnicode cmap")
+        out.append(t)
+    return "".join(out)
+
+
+def _walk_content(objs, cdata, xobjs, emit, active,
+                  fonts=None, cmap_cache=None) -> None:
     """Interleave BT..ET text blocks and Do XObject paints in STREAM
     order — span order is the document's reading order contract. A Do
     inside a BT range is a string byte, not an operator.
@@ -1211,7 +1369,17 @@ def _walk_content(objs, cdata, xobjs, emit, active) -> None:
     an `active` object-number set guarding cycles (a self-referencing
     form quarantines rather than looping). Any other subtype — or a
     nesting deeper than 8, the depth pdfminer tolerates in practice —
-    quarantines the document: parsing on would silently drop text."""
+    quarantines the document: parsing on would silently drop text.
+
+    Text decoding is FONT-AWARE: Tf operators are tracked in stream
+    order, and a show under a font carrying /ToUnicode decodes its
+    fixed-width big-endian codes through the CMap (the CID/Type0
+    shape every modern embedded-subset font uses — the latin-1
+    identity would emit garbage for those, a silent wrong parse).
+    Fonts without /ToUnicode keep the latin-1 identity (simple
+    fonts' bytes ARE the character codes). Each walk tracks its own
+    Tf sequence (a form relying on the caller's text state at Do
+    time is out of this slice's scope)."""
     if len(active) > 8:
         raise ValueError("form XObject nesting too deep")
     # inline images (BI..ID..EI) are located FIRST and their whole
@@ -1231,6 +1399,26 @@ def _walk_content(objs, cdata, xobjs, emit, active) -> None:
         for s, e in inline:
             scan[s:e] = b" " * (e - s)
         cdata = bytes(scan)
+
+    fonts = fonts or {}
+    if cmap_cache is None:
+        cmap_cache = {}
+    # Tf events over the whole (masked) stream, in order; the active
+    # font at any show position is the last Tf before it
+    tf_events = [(t.start(), t.group(1)) for t in _TF_RE.finditer(cdata)]
+
+    def _font_at(pos: int):
+        name = None
+        for p, nm in tf_events:
+            if p >= pos:
+                break
+            name = nm
+        return name
+
+    def _show_text(raw_bytes: bytes, cmap) -> str:
+        if cmap is not None:
+            return _decode_codes(raw_bytes, cmap)
+        return raw_bytes.decode("latin-1")
 
     bts = [(m.start(), m) for m in _BT_RE.finditer(cdata)]
     spans_bt = [(m.start(), m.end()) for _p, m in bts]
@@ -1268,23 +1456,39 @@ def _walk_content(objs, cdata, xobjs, emit, active) -> None:
                     fx.update({m2.group(1): int(m2.group(2))
                                for m2 in _XOBJ_NAME_RE.finditer(
                                    fm.group(1))})
+                ff = dict(fonts)  # form /Font layers over inherited
+                ffm = _FONT_DICT_RE.search(head)
+                if ffm is not None:
+                    ff.update({m2.group(1): int(m2.group(2))
+                               for m2 in _XOBJ_NAME_RE.finditer(
+                                   ffm.group(1))})
                 _walk_content(objs, _content_stream(xbody), fx, emit,
-                              active | {onum})
+                              active | {onum},
+                              fonts=ff, cmap_cache=cmap_cache)
             else:
                 raise ValueError("unsupported XObject subtype paint")
             continue
         body = m.group(1)
+        base = m.start(1)
         consumed: list[tuple[int, int]] = []
         for show in _SHOW_RE.finditer(body):
             consumed.append(show.span())
+            cmap = _font_cmap(objs, fonts.get(_font_at(
+                base + show.start())), cmap_cache)
             if show.group(1) is not None:  # (..) Tj / ' / "
-                emit("TextBox", _unescape(show.group(1)))
+                emit("TextBox",
+                     _show_text(_unescape_bytes(show.group(1)), cmap))
             elif show.group(2) is not None:  # <hex> Tj / ' / "
-                emit("TextBox", _hex_str(show.group(2)))
+                emit("TextBox",
+                     _show_text(_hex_bytes(show.group(2)), cmap))
             else:  # [..] TJ: concatenate the string elements
                 parts = [
-                    _unescape(m2.group(1)) if m2.group(1) is not None
-                    else _hex_str(m2.group(2))
+                    _show_text(
+                        _unescape_bytes(m2.group(1))
+                        if m2.group(1) is not None
+                        else _hex_bytes(m2.group(2)),
+                        cmap,
+                    )
                     for m2 in _TJ_STR_RE.finditer(show.group(3))
                 ]
                 emit("TextBox", "".join(parts))

@@ -596,6 +596,19 @@ def write_pdf_payloads(out_dir: str) -> None:
     assert decoded["doc_id"] == ih_id
     assert [s["text"] for s in decoded["spans"]].count("SHARED HEADER") == 2
     rows.append((ih_id, "ok", len(decoded["spans"]), len(payload)))
+    # CID/Type0 font with /ToUnicode CMap (every modern embedded-
+    # subset font): shows are 2-byte codes offset from the Unicode
+    # code points, so only the CMap path recovers the text
+    cd_id = "pdfdoc-00025"
+    payload = build_tiny_pdf(
+        cd_id, [["13. Subset", "CID body text."], ["Second page."]],
+        cid=True, compress=True)
+    with open(os.path.join(pdir, f"{cd_id}.pdf"), "wb") as fh:
+        fh.write(payload)
+    decoded = decode_tiny_pdf(payload)
+    assert decoded["doc_id"] == cd_id
+    assert "CID body text." in [s["text"] for s in decoded["spans"]]
+    rows.append((cd_id, "ok", len(decoded["spans"]), len(payload)))
     # encrypted document: every string/stream is ciphertext, so the
     # codec must quarantine up front (wrong-parse guard), like F4
     enc = build_tiny_pdf("encrypted_pdf", [["secret body"]]).replace(
@@ -970,7 +983,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 16  # 16: inherited-resources payload (-00024)
+FIXTURE_VERSION = 17  # 17: CID/ToUnicode payload (pdfdoc-00025)
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

@@ -611,3 +611,83 @@ def test_pdf_inherited_resources_through_page_tree():
         ("PageStart", ""), ("TextBox", "RUNNING HDR"),
         ("TextBox", "2. End"),
     ]
+
+
+def test_pdf_cid_tounicode_decoding():
+    """Type0/Identity-H fonts with a /ToUnicode CMap (the shape every
+    modern embedded-subset font produces): 2-byte character codes
+    decode through the CMap, NOT the latin-1 identity — the builder
+    deliberately offsets codes from the Unicode code points so the
+    identity decode would emit garbage. An unmapped code quarantines
+    (emitting garbage text is a silent wrong parse)."""
+    pages = [["1. Intro", "Body line."], ["2. End"]]
+    plain = decode_tiny_pdf(build_tiny_pdf("cdoc", pages))
+    cpdf = build_tiny_pdf("cdoc", pages, cid=True)
+    assert b"/Identity-H" in cpdf and b"beginbfchar" in cpdf
+    # the text is NOT recoverable byte-wise: neither latin-1 nor
+    # UTF-16BE spellings of the body appear in the file
+    assert b"1. Intro" not in cpdf
+    assert "1. Intro".encode("utf-16-be") not in cpdf
+    assert decode_tiny_pdf(cpdf) == plain
+
+    # a code outside the CMap must quarantine, not emit garbage
+    import re as _re
+    m = _re.search(rb"<((?:[0-9A-F]{4}){3,})> Tj", cpdf)
+    bad = cpdf.replace(m.group(1), b"9999" + m.group(1)[4:], 1)
+    with pytest.raises(ValueError, match="outside ToUnicode"):
+        decode_tiny_pdf(bad)
+
+
+def test_pdf_tounicode_bfrange_forms():
+    """The bfrange section's two destination forms: an incrementing
+    base target and a per-code array; multi-unit (surrogate-free)
+    destinations; and bfchar/bfrange mixing in one CMap."""
+    from pdfspark.sources.pdf_mini import _decode_codes, _parse_tounicode
+
+    cm = _parse_tounicode(
+        b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+        b"1 beginbfchar\n<0001> <00660069>\nendbfchar\n"  # 'fi'
+        b"2 beginbfrange\n"
+        b"<0100> <0103> <0041>\n"                 # A B C D
+        b"<0200> <0201> [<0058> <0059>]\n"        # X Y
+        b"endbfrange")
+    assert cm["width"] == 2
+    assert _decode_codes(bytes.fromhex("0100010101020103"), cm) == "ABCD"
+    assert _decode_codes(bytes.fromhex("02000201"), cm) == "XY"
+    assert _decode_codes(bytes.fromhex("0001"), cm) == "fi"
+    with pytest.raises(ValueError, match="not a multiple"):
+        _decode_codes(b"\x01", cm)
+
+
+def test_pdf_mixed_fonts_tf_tracking():
+    """Two fonts on one page — /F1 simple (latin-1 identity), /F2 CID
+    (CMap) — with Tf switches between shows: each show must decode
+    under the font ACTIVE at its stream position."""
+    cm = (b"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n"
+          b"2 beginbfchar\n<0041> <0068><0042> <0069>\nendbfchar\n"
+          b"endcmap")  # 0x0041->'h', 0x0042->'i'
+    content = (b"BT /F1 12 Tf (plain one) Tj "
+               b"/F2 12 Tf <00410042> Tj "
+               b"/F1 12 Tf (plain two) Tj ET")
+    objs = {
+        1: b"<< /Type /Catalog /Pages 2 0 R >>",
+        2: b"<< /Type /Pages /Kids [3 0 R] /Count 1 >>",
+        3: (b"<< /Type /Page /Parent 2 0 R /Resources "
+            b"<< /Font << /F1 5 0 R /F2 6 0 R >> >> /Contents 4 0 R >>"),
+        4: (b"<< /Length %d >>\nstream\n" % len(content)
+            + content + b"\nendstream"),
+        5: b"<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>",
+        6: (b"<< /Type /Font /Subtype /Type0 /Encoding /Identity-H "
+            b"/ToUnicode 7 0 R >>"),
+        7: (b"<< /Length %d >>\nstream\n" % len(cm) + cm
+            + b"\nendstream"),
+        8: b"<< /Title (mixdoc) >>",
+    }
+    buf = bytearray(b"%PDF-1.4\n")
+    for num in sorted(objs):
+        buf += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    buf += (b"trailer\n<< /Size 9 /Root 1 0 R /Info 8 0 R >>\n"
+            b"startxref\n0\n%%EOF\n")
+    out = decode_tiny_pdf(bytes(buf))
+    assert [s["text"] for s in out["spans"] if s["kind"] == "TextBox"] \
+        == ["plain one", "hi", "plain two"]

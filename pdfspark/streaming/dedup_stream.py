@@ -87,3 +87,150 @@ def dedup_stream(
         .start()
     )
     q.awaitTermination()
+
+
+def neardup_stream(
+    spark: SparkSession,
+    docs_dir: str,
+    out_path: str,
+    bands_path: str,
+    checkpoint_dir: str,
+    threshold: float = 0.5,
+    max_files_per_trigger: int | None = None,
+) -> None:
+    """Streaming NEAR-dup keep-first: a newly arriving document is
+    dropped iff it is an exact duplicate OR a Jaccard-verified
+    (>= ``threshold``) near-duplicate of any previously KEPT document
+    — the streaming form of curate_documents' staged
+    exact-then-minhash contract, and what a continuously-fed training
+    corpus actually needs (yesterday's crawl is state, today's is the
+    batch).
+
+    State = two published parquet tables:
+
+    * ``out_path`` — the keeper documents (content_hash, doc_id,
+      text): the dedup index downstream jobs anti-join against;
+    * ``bands_path`` — the keepers' LSH band keys (doc_id, band,
+      band_key): the candidate-generation index. A batch's survivors
+      band-join THIS table, so cross-batch candidate search is an
+      equi-join against state, never a rescan of keeper text; keeper
+      shingles are recomputed only for the candidate-touched keepers
+      (semi-join on the candidate ids — at 100 TB that is the
+      difference between touching a few near-dup partners and
+      re-shingling the whole accumulated corpus every batch).
+
+    Within a batch the keeper is the exact/near representative under
+    the same linear doc_b-drop contract as curate_documents (batch
+    minhash_verified, drop every doc_b). Across batches, the
+    anti-joins against state make earlier batches win. Crash
+    idempotence: bands are appended BEFORE keepers — a retried batch
+    re-runs the exact anti-join (the hash never landed, so the doc
+    re-survives) and may re-append its band rows, which is harmless
+    (self-pairs are filtered and duplicate candidates collapse in the
+    verification groupBy); the reverse order would leave a keeper
+    invisible to future candidate searches, a silent recall loss.
+    """
+    from pdfspark.operators.dedup import (
+        lsh_bands,
+        minhash_signatures,
+        minhash_verified,
+        word_shingles,
+    )
+
+    reader = (
+        spark.readStream.schema(DOCS_SCHEMA)
+        .option("pathGlobFilter", "*.parquet")
+    )
+    if max_files_per_trigger:
+        reader = reader.option(
+            "maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.parquet(docs_dir)
+
+    def sink(batch_df, epoch_id: int) -> None:
+        ss = batch_df.sparkSession
+        # 1. exact stage: batch-local keep-min, then anti-join the
+        # accumulated keeper hashes (first batch wins)
+        firsts = (
+            batch_df
+            .withColumn("content_hash",
+                        F.md5(normalized_text(F.col("text"))))
+            .groupBy("content_hash")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.min_by("text", "doc_id").alias("text"))
+        )
+        try:
+            keepers = ss.read.parquet(out_path)
+        except AnalysisException:
+            keepers = None
+        if keepers is not None:
+            firsts = firsts.join(
+                keepers.select("content_hash"), "content_hash",
+                "left_anti")
+        # 2. batch-internal near stage: linear doc_b-drop over the
+        # batch's own verified pairs (curate_documents' contract)
+        firsts = firsts.localCheckpoint(eager=True)
+        nd = minhash_verified(
+            firsts.select("doc_id", "text"), threshold
+        ).select(F.col("doc_b").alias("doc_id"))
+        surv = firsts.join(nd, "doc_id", "left_anti")
+        # 3. cross-batch near stage: survivors' bands equi-join the
+        # state band index; verify Jaccard against only the
+        # candidate-touched keepers' shingles
+        surv = surv.localCheckpoint(eager=True)
+        sh_b = word_shingles(surv).localCheckpoint(eager=False)
+        bands_b = lsh_bands(
+            minhash_signatures(surv, shingles=sh_b)
+        ).localCheckpoint(eager=False)
+        if keepers is not None:
+            state_bands = ss.read.parquet(bands_path)
+            cands = (
+                state_bands.alias("s")
+                .join(bands_b.alias("b"), ["band", "band_key"])
+                .filter(F.col("s.doc_id") != F.col("b.doc_id"))
+                .select(F.col("s.doc_id").alias("doc_a"),
+                        F.col("b.doc_id").alias("doc_b"))
+                .distinct()
+                .localCheckpoint(eager=False)
+            )
+            sh_a = word_shingles(
+                keepers.select("doc_id", "text")
+                .join(cands.select(F.col("doc_a").alias("doc_id"))
+                      .distinct(), "doc_id", "left_semi")
+            ).select(F.col("doc_id").alias("doc_a"), "shingle")
+            n_a = sh_a.groupBy("doc_a").agg(F.count("*").alias("n_a"))
+            n_b = sh_b.groupBy("doc_id").agg(F.count("*").alias("n_b"))
+            inter = (
+                cands
+                .join(sh_a, "doc_a")
+                .join(sh_b.withColumnRenamed("doc_id", "doc_b"),
+                      ["doc_b", "shingle"])
+                .groupBy("doc_a", "doc_b")
+                .agg(F.count("*").alias("n_inter"))
+            )
+            hits = (
+                inter
+                .join(n_a, "doc_a")
+                .join(n_b.withColumnRenamed("doc_id", "doc_b"), "doc_b")
+                .filter(
+                    F.col("n_inter")
+                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                    >= threshold
+                )
+                .select(F.col("doc_b").alias("doc_id"))
+                .distinct()
+            )
+            surv = surv.join(hits, "doc_id", "left_anti")
+            bands_b = bands_b.join(
+                surv.select("doc_id"), "doc_id", "left_semi")
+        # 4. publish: band index FIRST (see idempotence note above)
+        bands_b.write.mode("append").parquet(bands_path)
+        (surv.select("content_hash", "doc_id", "text")
+         .write.mode("append").parquet(out_path))
+
+    q = (
+        stream.writeStream.foreachBatch(sink)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

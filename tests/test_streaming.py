@@ -292,3 +292,60 @@ def test_dedup_stream_keep_first_across_batches_and_restart(
     # one row per hash, ever
     n = spark.read.parquet(out).count()
     assert n == 3
+
+
+def test_neardup_stream_cross_batch_keep_first(spark, tmp_path):
+    """Streaming NEAR-dup keep-first: a batch doc that is a verified
+    near-duplicate of an earlier KEPT doc is dropped via the
+    accumulated band index (no rescan of keeper text); batch-internal
+    near-dups drop under the linear doc_b contract; exact dups still
+    drop at the hash gate; a restart processes only new files."""
+    from pdfspark.streaming.dedup_stream import neardup_stream
+
+    docs_dir = str(tmp_path / "docs")
+    out = str(tmp_path / "keepers")
+    bands = str(tmp_path / "bands")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(docs_dir)
+
+    base = ("risk management governance framework model data system "
+            "process control measure impact trust safety analysis "
+            "design evaluation deployment")
+    other = ("monitor lifecycle context actor harm benefit metric "
+             "policy standard review audit scope boundary interface "
+             "artifact ledger")
+
+    def wave(name, rows):
+        import glob
+        import shutil
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1).write.mode("overwrite").parquet(str(tmp_path / ("n_" + name)))
+        src = glob.glob(str(tmp_path / ("n_" + name) / "*.parquet"))[0]
+        shutil.copy(src, os.path.join(docs_dir, name + ".parquet"))
+
+    # wave 1: base text, a batch-internal NEAR dup of it (one word
+    # appended -> high Jaccard, shares bands), and a distinct doc
+    wave("0001", [(10, base), (11, base + " appendix"), (20, other)])
+    neardup_stream(spark, docs_dir, out, bands, ckpt)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {10, 20}
+
+    # wave 2: cross-batch near dup of 10 (truncated tail), an exact
+    # dup of 20, and a genuinely new doc
+    wave("0002", [(30, base.rsplit(" ", 1)[0]), (31, other),
+                  (40, "totally fresh unrelated content words here "
+                       "seven eight nine ten eleven twelve")])
+    neardup_stream(spark, docs_dir, out, bands, ckpt)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == {
+        10, 20, 40}
+
+    # wave 3: near dup of wave-2's keeper 40 -> dropped against state
+    # written two batches in; restart afterwards is a no-op
+    wave("0003", [(50, "totally fresh unrelated content words here "
+                       "seven eight nine ten eleven twelve thirteen")])
+    neardup_stream(spark, docs_dir, out, bands, ckpt)
+    kept = {r.doc_id for r in spark.read.parquet(out).collect()}
+    assert kept == {10, 20, 40}
+    neardup_stream(spark, docs_dir, out, bands, ckpt)
+    assert {r.doc_id for r in spark.read.parquet(out).collect()} == kept
+    # the band index only carries keepers
+    assert {r.doc_id for r in spark.read.parquet(bands).collect()} == kept

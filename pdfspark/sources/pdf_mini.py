@@ -69,12 +69,22 @@ literal or hex strings (``<...> Tj`` and hex elements in TJ arrays),
 decoded latin-1 like the literal path — the honest slice for simple
 (non-CID) fonts.
 
+Encryption (PDF 32000-1 §7.6, public spec): the **RC4 slice of the
+standard security handler** — ``/Filter /Standard``, ``/V`` 1-2 /
+``/R`` 2-3 (RC4 40..128-bit), EMPTY user password — authenticates
+via Algorithm 6 (/U comparison) and decrypts per-object (Algorithm 1
+keys; streams + dict strings; decryption before filter decode, xref
+streams and the /Encrypt dict itself exempt per spec). This is the
+"owner-locked, world-readable" shape that dominates real encrypted
+corpora (print/copy restrictions, no open password). Beyond the
+slice — AES (``/V`` 4-5), a real user password (the /U check fails),
+non-Standard handlers — the document quarantines: parsing ciphertext
+on would be a WRONG parse, not a failed one.
+
 Out of scope (quarantined as decode errors, like any malformed
-payload): filters beyond the four above, **encryption** (an
-``/Encrypt`` trailer entry quarantines up front — every string and
-stream in such a file is ciphertext, so parsing on would be a WRONG
-parse, not a failed one), non-literal strings beyond the standard
-escapes.
+payload): filters beyond the four above, AES encryption and
+password-protected documents (above), non-literal strings beyond the
+standard escapes.
 """
 
 from __future__ import annotations
@@ -150,11 +160,26 @@ _FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
 _TF_RE = re.compile(rb"/(\w+)\s+[\d.+-]+\s+Tf")
 _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
+_CSRANGE_RE = re.compile(
+    rb"begincodespacerange(.*?)endcodespacerange", re.DOTALL)
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
 _CMAP_TOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
 _SUBTYPE_FORM_RE = re.compile(rb"/Subtype\s*/Form\b")
 _FIRST_REF_RE = re.compile(rb"/First\s+(\d+)\s+\d+\s+R")
 _NEXT_REF_RE = re.compile(rb"/Next\s+(\d+)\s+\d+\s+R")
+# standard security handler (PDF 32000-1 §7.6.2-7.6.4, public spec)
+_ENCRYPT_REF_RE = re.compile(rb"/Encrypt\s+(\d+)\s+\d+\s+R")
+_ID_HEX_RE = re.compile(rb"/ID\s*\[\s*<([0-9A-Fa-f\s]*)>")
+_ID_LIT_RE = re.compile(rb"/ID\s*\[\s*\(((?:[^()\\]|\\.)*)\)")
+_V_NUM_RE = re.compile(rb"/V\s+(\d+)(?![0-9])")
+_R_NUM_RE = re.compile(rb"/R\s+(\d+)(?![0-9])")
+_P_NUM_RE = re.compile(rb"/P\s+(-?\d+)(?![0-9])")
+_O_LIT_RE = re.compile(rb"/O\s*\(((?:[^()\\]|\\.)*)\)", re.DOTALL)
+_O_HEX_RE = re.compile(rb"/O\s*<(?!<)([0-9A-Fa-f\s]*)>")
+_U_LIT_RE = re.compile(rb"/U\s*\(((?:[^()\\]|\\.)*)\)", re.DOTALL)
+_U_HEX_RE = re.compile(rb"/U\s*<(?!<)([0-9A-Fa-f\s]*)>")
+_FILTER_STD_RE = re.compile(rb"/Filter\s*/Standard\b")
+_TYPE_XREF_RE = re.compile(rb"/Type\s*/XRef\b")
 
 _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
             b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
@@ -313,6 +338,199 @@ def _encode_stream(stream: bytes, spec) -> tuple[bytes, bytes]:
     raise ValueError(f"unknown filter spec {spec!r}")
 
 
+# --- standard security handler (RC4 slice) ---------------------------------
+# PDF 32000-1 §7.6.2-7.6.4 (public spec). Pure stdlib: MD5 from
+# hashlib, RC4 hand-rolled (the spec's Algorithm 1/2/3/4/5 pipeline).
+# Scope: /Filter /Standard, /V 1-2 (RC4 40..128 bit), /R 2-3, EMPTY
+# user password — the "owner-locked, world-readable" shape that
+# dominates real encrypted corpora (print/copy restrictions, no open
+# password). AES (/V 4-5), non-empty user passwords and non-Standard
+# handlers quarantine: parsing ciphertext on would be a WRONG parse.
+
+_PAD = bytes([  # §7.6.3.3, the 32-byte password padding constant
+    0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
+    0x64, 0x00, 0x4E, 0x56, 0xFF, 0xFA, 0x01, 0x08,
+    0x2E, 0x2E, 0x00, 0xB6, 0xD0, 0x68, 0x3E, 0x80,
+    0x2F, 0x0C, 0xA9, 0xFE, 0x64, 0x53, 0x69, 0x7A,
+])
+
+
+def _rc4(key: bytes, data: bytes) -> bytes:
+    """Textbook RC4 (KSA + PRGA). Fixture-scale payloads only — the
+    production corpus path hands real encrypted PDFs to the pluggable
+    codec seam; this keeps the structural plumbing honest."""
+    s = list(range(256))
+    j = 0
+    for i in range(256):
+        j = (j + s[i] + key[i % len(key)]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+    out = bytearray(len(data))
+    i = j = 0
+    for k, c in enumerate(data):
+        i = (i + 1) & 0xFF
+        j = (j + s[i]) & 0xFF
+        s[i], s[j] = s[j], s[i]
+        out[k] = c ^ s[(s[i] + s[j]) & 0xFF]
+    return bytes(out)
+
+
+def _md5(b: bytes) -> bytes:
+    from hashlib import md5
+
+    return md5(b).digest()
+
+
+def _std_file_key(user_pw: bytes, o_val: bytes, p: int, id0: bytes,
+                  r: int, n: int) -> bytes:
+    """Algorithm 2: the file encryption key from the (padded) user
+    password, /O, /P (as a SIGNED 32-bit little-endian int) and the
+    first /ID element; R>=3 re-hashes the first n bytes 50 times."""
+    h = _md5((user_pw + _PAD)[:32] + o_val[:32]
+             + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0)
+    if r >= 3:
+        for _ in range(50):
+            h = _md5(h[:n])
+    return h[:n]
+
+
+def _std_owner_value(owner_pw: bytes, user_pw: bytes, r: int,
+                     n: int) -> bytes:
+    """Algorithm 3: the /O entry — the padded user password encrypted
+    with an RC4 key derived from the owner password (19 extra
+    XOR-variant rounds for R>=3)."""
+    h = _md5((owner_pw + _PAD)[:32])
+    if r >= 3:
+        for _ in range(50):
+            h = _md5(h)
+    key = h[:n]
+    o = _rc4(key, (user_pw + _PAD)[:32])
+    if r >= 3:
+        for i in range(1, 20):
+            o = _rc4(bytes(b ^ i for b in key), o)
+    return o
+
+
+def _std_user_value(file_key: bytes, id0: bytes, r: int) -> bytes:
+    """Algorithm 4 (R2) / 5 (R3): the /U entry computed from the file
+    key — comparing it against the stored /U authenticates a candidate
+    user password (Algorithm 6). R3 pads the 16 significant bytes to
+    32 with zeros (the spec leaves the tail arbitrary, so only the
+    first 16 compare)."""
+    if r == 2:
+        return _rc4(file_key, _PAD)
+    u = _rc4(file_key, _md5(_PAD + id0))
+    for i in range(1, 20):
+        u = _rc4(bytes(b ^ i for b in file_key), u)
+    return u + b"\x00" * 16
+
+
+def _obj_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
+    """Algorithm 1: the per-object RC4 key — MD5 of the file key plus
+    the object/generation numbers packed low-order-first."""
+    h = _md5(file_key + num.to_bytes(3, "little")
+             + gen.to_bytes(2, "little"))
+    return h[: min(len(file_key) + 5, 16)]
+
+
+def _crypt_object_body(body: bytes, key: bytes) -> bytes:
+    """RC4 the encrypted parts of ONE object body with its object key:
+    the stream payload (sliced by the direct /Length — mandatory here;
+    ciphertext length equals plaintext length, so the dict stays
+    valid) and every string token in the dict part, re-emitted as hex
+    strings (sidesteps literal-escape length games on binary
+    ciphertext). RC4 is symmetric, so this same transform both
+    encrypts (builder) and decrypts (decoder). Decryption precedes
+    filter decode, per §7.6.2's order of operations."""
+
+    def _tok(m) -> bytes:
+        raw = m.group(1)
+        data = (_unescape_bytes(raw) if raw is not None
+                else _hex_bytes(m.group(2)))
+        return b"<" + _rc4(key, data).hex().encode("ascii") + b">"
+
+    sm = _STREAM_START_RE.search(body)
+    if sm is None:
+        return _STR_TOKEN_RE.sub(_tok, body)
+    head = body[:sm.start()]
+    lm = _LENGTH_RE.search(head)
+    if lm is None:
+        raise ValueError("encrypted stream without direct /Length")
+    want = int(lm.group(1))
+    data = body[sm.end():sm.end() + want]
+    tail = body[sm.end() + want:]
+    if len(data) != want or not tail.lstrip(b"\r\n").startswith(
+            b"endstream"):
+        raise ValueError("encrypted stream shorter than /Length")
+    return (_STR_TOKEN_RE.sub(_tok, head) + body[sm.start():sm.end()]
+            + _rc4(key, data) + tail)
+
+
+def _string_entry(enc: bytes, lit_re, hex_re) -> bytes | None:
+    """A string-valued dict entry (/O, /U) in literal or hex form."""
+    m = lit_re.search(enc)
+    if m is not None:
+        return _unescape_bytes(m.group(1))
+    m = hex_re.search(enc)
+    if m is not None:
+        return _hex_bytes(m.group(1))
+    return None
+
+
+def _decrypt_objects(objs: dict[int, bytes], trailer: bytes,
+                     fallback_ids: list[bytes]) -> None:
+    """Authenticate the EMPTY user password against the standard
+    security handler and RC4-decrypt every object in place (streams +
+    dict strings; /Type /XRef streams and the /Encrypt dictionary
+    itself are never encrypted, §7.5.8.2/§7.6.2). Runs BEFORE object-
+    stream expansion: an ObjStm's stream is decrypted like any other,
+    and the objects expanded out of it are plaintext that must NOT be
+    decrypted again (§7.6.2). Raises ValueError (-> quarantine) for
+    anything outside the RC4/empty-password slice."""
+    em = _ENCRYPT_REF_RE.search(trailer)
+    if em is None:
+        raise ValueError("encrypted document (inline /Encrypt dict)")
+    enc_num = int(em.group(1))
+    enc = objs.get(enc_num)
+    if enc is None:
+        raise ValueError("encrypted document (missing /Encrypt object)")
+    if _FILTER_STD_RE.search(enc) is None:
+        raise ValueError("encrypted document (non-Standard handler)")
+    vm, rm, pm = (_V_NUM_RE.search(enc), _R_NUM_RE.search(enc),
+                  _P_NUM_RE.search(enc))
+    o_val = _string_entry(enc, _O_LIT_RE, _O_HEX_RE)
+    u_val = _string_entry(enc, _U_LIT_RE, _U_HEX_RE)
+    if None in (vm, rm, pm, o_val, u_val):
+        raise ValueError("encrypted document (incomplete /Encrypt)")
+    v, r, p = int(vm.group(1)), int(rm.group(1)), int(pm.group(1))
+    if v not in (1, 2) or r not in (2, 3):
+        raise ValueError(
+            f"encrypted document (V={v} R={r}: beyond the RC4 slice)")
+    lm = _LENGTH_RE.search(enc)  # key length in BITS in this dict
+    n = int(lm.group(1)) // 8 if (v == 2 and lm is not None) else 5
+    if not 5 <= n <= 16:
+        raise ValueError(f"encrypted document (key length {n * 8})")
+    idm = _ID_HEX_RE.search(trailer)
+    if idm is not None:
+        id0 = _hex_bytes(idm.group(1))
+    else:
+        idm = _ID_LIT_RE.search(trailer)
+        id0 = _unescape_bytes(idm.group(1)) if idm is not None else None
+    if id0 is None:
+        # /ID may live in an earlier trailer of the update chain
+        id0 = fallback_ids[-1] if fallback_ids else None
+    if id0 is None:
+        raise ValueError("encrypted document (missing /ID)")
+    file_key = _std_file_key(b"", o_val, p, id0, r, n)
+    expect = _std_user_value(file_key, id0, r)
+    sig = 32 if r == 2 else 16  # R3: only the first 16 bytes compare
+    if expect[:sig] != u_val[:sig]:
+        raise ValueError("encrypted document (password protected)")
+    for num, body in list(objs.items()):
+        if num == enc_num or _TYPE_XREF_RE.search(body):
+            continue
+        objs[num] = _crypt_object_body(body, _obj_key(file_key, num))
+
+
 def build_tiny_pdf(doc_id: str, pages: list[list[str]],
                    compress=False, hex_show: bool = False,
                    images: list[int] | None = None,
@@ -320,7 +538,8 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
                    inline_images: list[int] | None = None,
                    quote_show: bool = False,
                    title_utf16: bool = False,
-                   cid: bool = False) -> bytes:
+                   cid: bool = False,
+                   encrypt: str | None = None) -> bytes:
     """A complete PDF: one content stream per page, one Tj text-show
     per line, doc_id in the Info /Title. ``compress`` selects the
     content-stream filter: True/'flate' (/FlateDecode, the real-world
@@ -350,7 +569,13 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
     Unicode code points, so a latin-1 identity decode emits garbage
     and only the CMap path recovers the text). This is the shape
     every modern embedded-subset font produces. /DescendantFonts is
-    omitted (glyph metrics only — irrelevant to text extraction)."""
+    omitted (glyph metrics only — irrelevant to text extraction).
+    ``encrypt`` applies the standard security handler: 'rc4-40'
+    (V1/R2) or 'rc4-128' (V2/R3), both owner-locked with an EMPTY user
+    password (the world-readable restricted-permissions shape);
+    'rc4-128-pw' sets a real user password (the decoder must
+    quarantine, not guess); 'aesv2' writes a V4 /AESV2 crypt-filter
+    dict (beyond the RC4 slice — must quarantine)."""
     n_pages = len(pages)
     images = images or [0] * n_pages
     # object numbering: 1 catalog, 2 pages, 3..2+n page objs,
@@ -373,13 +598,26 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
     # the document's sorted distinct-char list
     cid_codes: dict[str, int] = {}
     if cid:
-        alphabet = sorted({c for pg in pages for ln in pg for c in ln})
+        alphabet = sorted({c for pg in pages for ln in pg for c in ln}
+                          | set(form_header or ""))
         cid_codes = {c: 0x0100 + i for i, c in enumerate(alphabet)}
+
+    def _show_operand(line: str) -> bytes:
+        if cid:
+            # the form inherits the page's /F1, so its shows must be
+            # CID codes too (a literal string would be a wrong-width
+            # show under a 2-byte Identity-H font)
+            codes = b"".join(b"%04X" % cid_codes[c] for c in line)
+            return b"<" + codes + b">"
+        if hex_show:
+            return (b"<" + line.encode("latin-1", "replace")
+                    .hex().encode("ascii") + b">")
+        return b"(" + _escape(line) + b")"
 
     objs: dict[int, bytes] = {}
     if form_obj is not None:
-        fstream = (b"BT /F1 10 Tf 72 770 Td ("
-                   + _escape(form_header) + b") Tj ET")
+        fstream = (b"BT /F1 10 Tf 72 770 Td "
+                   + _show_operand(form_header) + b" Tj ET")
         objs[form_obj] = (
             b"<< /Type /XObject /Subtype /Form /BBox [0 0 612 792] "
             b"/Length %d >>\nstream\n" % len(fstream)
@@ -408,14 +646,7 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
         if quote_show:
             ops.append(b"14 TL")  # ' / " move by the text leading
         for j, line in enumerate(pages[i]):
-            if cid:
-                codes = b"".join(b"%04X" % cid_codes[c] for c in line)
-                operand = b"<" + codes + b">"
-            elif hex_show:
-                operand = (b"<" + line.encode("latin-1", "replace")
-                           .hex().encode("ascii") + b">")
-            else:
-                operand = b"(" + _escape(line) + b")"
+            operand = _show_operand(line)
             if quote_show and j > 0:
                 if j + 1 == len(pages[i]) and j > 1:
                     ops.append(b"0.5 0 " + operand + b' "')
@@ -482,6 +713,39 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
     else:
         objs[info_obj] = b"<< /Title (" + _escape(doc_id) + b") >>"
 
+    trailer_extra = b""
+    if encrypt is not None:
+        id0 = _md5(b"pdfspark-id:" + doc_id.encode("utf-8"))
+        enc_obj = max(objs) + 1
+        user_pw = b"hunter2" if encrypt == "rc4-128-pw" else b""
+        if encrypt == "aesv2":
+            # plausible V4 dict; the decoder quarantines on /V alone,
+            # so O/U placeholders never authenticate anything
+            zeros = b"00" * 32
+            objs[enc_obj] = (
+                b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P -44 "
+                b"/CF << /StdCF << /CFM /AESV2 >> >> /StmF /StdCF "
+                b"/StrF /StdCF /O <" + zeros + b"> /U <" + zeros
+                + b"> >>")
+        else:
+            v, r, n = ((1, 2, 5) if encrypt == "rc4-40" else (2, 3, 16))
+            p = -44  # print/copy restricted — the common owner-lock
+            o_val = _std_owner_value(b"fixture-owner", user_pw, r, n)
+            file_key = _std_file_key(user_pw, o_val, p, id0, r, n)
+            u_val = _std_user_value(file_key, id0, r)
+            for num in list(objs):
+                objs[num] = _crypt_object_body(
+                    objs[num], _obj_key(file_key, num))
+            objs[enc_obj] = (
+                b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
+                b"/O <%s> /U <%s> >>"
+                % (v, r, n * 8, p,
+                   o_val.hex().encode("ascii"),
+                   u_val.hex().encode("ascii")))
+        idh = id0.hex().encode("ascii")
+        trailer_extra = (b" /Encrypt %d 0 R /ID [<%s> <%s>]"
+                         % (enc_obj, idh, idh))
+
     buf = bytearray(b"%PDF-1.4\n%\xc2\xb5\xc2\xb6\n")
     offsets = {}
     for num in sorted(objs):
@@ -493,8 +757,9 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
     buf += b"0000000000 65535 f \n"
     for num in range(1, n_objs):
         buf += b"%010d 00000 n \n" % offsets[num]
-    buf += (b"trailer\n<< /Size %d /Root 1 0 R /Info %d 0 R >>\n"
-            b"startxref\n%d\n%%%%EOF\n" % (n_objs, info_obj, xref_at))
+    buf += (b"trailer\n<< /Size %d /Root 1 0 R /Info %d 0 R%s >>\n"
+            b"startxref\n%d\n%%%%EOF\n"
+            % (n_objs, info_obj, trailer_extra, xref_at))
     return bytes(buf)
 
 
@@ -1100,14 +1365,29 @@ def decode_tiny_pdf(content: bytes) -> dict:
     # for a damaged xref — degrade to scan, never silently drop)
     xref_dict, live_objstms = _parse_xref_streams(content, objs)
     # /Encrypt in any trailer dict (or the 1.5 xref stream dict) means
-    # every string and stream in the file is ciphertext: parsing on
-    # would emit garbage TextBox spans — a WRONG parse, not a failed
-    # one. Quarantine before emitting anything.
+    # every string and stream in the file is ciphertext. The RC4 slice
+    # of the standard security handler (V 1-2 / R 2-3, empty user
+    # password — the owner-locked world-readable shape) authenticates
+    # and decrypts in place; anything else raises -> quarantine, since
+    # parsing ciphertext on would be a WRONG parse, not a failed one.
+    # This runs BEFORE object-stream expansion (objects expanded from
+    # a decrypted ObjStm are plaintext and must not be decrypted
+    # again, §7.6.2) and skips /Type /XRef streams (never encrypted).
+    enc_trailer = None
+    fallback_ids: list[bytes] = []
     for tm in _TRAILER_DICT_RE.finditer(content):
+        im_ = _ID_HEX_RE.search(tm.group(1)) or _ID_LIT_RE.search(
+            tm.group(1))
+        if im_ is not None:
+            fallback_ids.append(
+                _hex_bytes(im_.group(1))
+                if im_.re is _ID_HEX_RE else _unescape_bytes(im_.group(1)))
         if _ENCRYPT_RE.search(tm.group(1)):
-            raise ValueError("encrypted document")
-    if xref_dict and _ENCRYPT_RE.search(xref_dict):
-        raise ValueError("encrypted document")
+            enc_trailer = tm.group(1)  # newest update wins
+    if enc_trailer is None and xref_dict and _ENCRYPT_RE.search(xref_dict):
+        enc_trailer = xref_dict
+    if enc_trailer is not None:
+        _decrypt_objects(objs, enc_trailer, fallback_ids)
     objstm_nums = set(live_objstms)
     objstm_nums.update(
         num for num, body in objs.items()
@@ -1265,7 +1545,9 @@ def _parse_tounicode(data: bytes) -> dict:
     destinations increment the last code unit, and array destinations
     list one target per code. Code width comes from the source hex
     token length (what Identity-H writers emit; begincodespacerange
-    agrees for every real ToUnicode this models)."""
+    agrees for every real ToUnicode this models) — or from the
+    codespacerange alone when the CMap maps nothing (a subset font
+    whose document only ever shows empty strings is legal)."""
     width = None
     cmap: dict[int, str] = {}
 
@@ -1313,6 +1595,14 @@ def _parse_tounicode(data: bytes) -> dict:
                     h = prefix + b"%04X" % (base_cp + k)
                     cmap[lo + k] = _dst(h)
                 i += 3
+    if width is None:
+        for sec in _CSRANGE_RE.finditer(data):
+            toks = [m.group(1)
+                    for m in _CMAP_TOK_RE.finditer(sec.group(1))
+                    if m.group(1) is not None]
+            if toks:
+                width = len(toks[0]) // 2
+                break
     if width is None:
         raise ValueError("empty ToUnicode cmap")
     return {"width": width, "map": cmap}

@@ -609,8 +609,46 @@ def write_pdf_payloads(out_dir: str) -> None:
     assert decoded["doc_id"] == cd_id
     assert "CID body text." in [s["text"] for s in decoded["spans"]]
     rows.append((cd_id, "ok", len(decoded["spans"]), len(payload)))
-    # encrypted document: every string/stream is ciphertext, so the
-    # codec must quarantine up front (wrong-parse guard), like F4
+    # RC4-encrypted documents (standard security handler, empty user
+    # password — the owner-locked world-readable shape): the codec
+    # authenticates via /U and decrypts streams + strings in place;
+    # spans must equal the unencrypted twin's
+    r40_id = "pdfdoc-00026"
+    payload = build_tiny_pdf(
+        r40_id, [["14. Locked", "RC4-40 body text."], ["Tail page."]],
+        encrypt="rc4-40")
+    with open(os.path.join(pdir, f"{r40_id}.pdf"), "wb") as fh:
+        fh.write(payload)
+    decoded = decode_tiny_pdf(payload)
+    assert decoded["doc_id"] == r40_id
+    assert "RC4-40 body text." in [s["text"] for s in decoded["spans"]]
+    rows.append((r40_id, "ok", len(decoded["spans"]), len(payload)))
+    # 128-bit /R 3 with compressed streams AND an embedded image:
+    # decrypt-then-inflate order, Image spans from ciphertext bytes
+    r128_id = "pdfdoc-00027"
+    payload = build_tiny_pdf(
+        r128_id, [["15. Sealed", "RC4-128 deflated body."]],
+        compress=True, images=[1], encrypt="rc4-128")
+    with open(os.path.join(pdir, f"{r128_id}.pdf"), "wb") as fh:
+        fh.write(payload)
+    decoded = decode_tiny_pdf(payload)
+    assert decoded["doc_id"] == r128_id
+    assert [s["kind"] for s in decoded["spans"]].count("Image") == 1
+    rows.append((r128_id, "ok", len(decoded["spans"]), len(payload)))
+    # beyond the RC4 slice: a REAL user password (the /U check fails)
+    # and AES /V 4 must quarantine — ciphertext never parses on
+    pw = build_tiny_pdf("encrypted_pw", [["secret body"]],
+                        encrypt="rc4-128-pw")
+    with open(os.path.join(pdir, "encrypted_pw.pdf"), "wb") as fh:
+        fh.write(pw)
+    rows.append(("encrypted_pw", "decode_error", 0, len(pw)))
+    aes = build_tiny_pdf("encrypted_aes", [["secret body"]],
+                         encrypt="aesv2")
+    with open(os.path.join(pdir, "encrypted_aes.pdf"), "wb") as fh:
+        fh.write(aes)
+    rows.append(("encrypted_aes", "decode_error", 0, len(aes)))
+    # dangling /Encrypt ref: still ciphertext by declaration, and the
+    # handler dict is unresolvable -> quarantine (wrong-parse guard)
     enc = build_tiny_pdf("encrypted_pdf", [["secret body"]]).replace(
         b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 99 0 R")
     with open(os.path.join(pdir, "encrypted_pdf.pdf"), "wb") as fh:
@@ -983,7 +1021,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 17  # 17: CID/ToUnicode payload (pdfdoc-00025)
+FIXTURE_VERSION = 18  # 18: RC4-encrypted payloads (pdfdoc-00026/27)
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

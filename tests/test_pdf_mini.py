@@ -691,3 +691,65 @@ def test_pdf_mixed_fonts_tf_tracking():
     out = decode_tiny_pdf(bytes(buf))
     assert [s["text"] for s in out["spans"] if s["kind"] == "TextBox"] \
         == ["plain one", "hi", "plain two"]
+
+
+def test_rc4_public_vector():
+    """RC4 pinned against the classic public known-answer vector
+    (key 'Key', plaintext 'Plaintext' -> BBF316E8D940AF0AD3) — the
+    standard-security-handler algorithms build on this primitive."""
+    from pdfspark.sources.pdf_mini import _rc4
+
+    assert _rc4(b"Key", b"Plaintext").hex() == "bbf316e8d940af0ad3"
+    # symmetry: encrypt == decrypt
+    assert _rc4(b"Key", _rc4(b"Key", b"Plaintext")) == b"Plaintext"
+
+
+@pytest.mark.parametrize("mode", ["rc4-40", "rc4-128"])
+def test_pdf_rc4_encrypted_round_trip(mode):
+    """Owner-locked / empty-user-password RC4 documents (V1/R2 and
+    V2/R3) decrypt to EXACTLY the spans of their unencrypted twin —
+    streams and dict strings both, across filters, images, forms,
+    CID fonts and UTF-16 titles (PDF 32000-1 §7.6, public spec)."""
+    variants = [
+        dict(),
+        dict(compress=True, images=[1, 0], form_header="RUN HDR"),
+        dict(cid=True, title_utf16=True),
+        dict(compress="ahx+flate", hex_show=True),
+    ]
+    pages = [["1. Enc", "Body (with parens) and \\ backslash."],
+             ["2. More", "Second page."]]
+    for kw in variants:
+        plain = decode_tiny_pdf(build_tiny_pdf("enc-doc", pages, **kw))
+        enc = build_tiny_pdf("enc-doc", pages, encrypt=mode, **kw)
+        assert b"/Encrypt" in enc
+        # ciphertext must not leak plaintext body text
+        assert b"Second page." not in enc
+        assert decode_tiny_pdf(enc) == plain
+
+
+def test_pdf_rc4_beyond_slice_quarantines():
+    """A real user password (the /U check fails), AES /V 4, and a
+    tampered /U must all quarantine — never a garbage parse."""
+    pages = [["secret line"]]
+    with pytest.raises(ValueError, match="password protected"):
+        decode_tiny_pdf(build_tiny_pdf("pw", pages, encrypt="rc4-128-pw"))
+    with pytest.raises(ValueError, match="beyond the RC4 slice"):
+        decode_tiny_pdf(build_tiny_pdf("aes", pages, encrypt="aesv2"))
+    enc = build_tiny_pdf("tamper", pages, encrypt="rc4-40")
+    i = enc.rfind(b"/U <")
+    flip = b"1" if enc[i + 4:i + 5] == b"0" else b"0"
+    with pytest.raises(ValueError, match="password protected"):
+        decode_tiny_pdf(enc[:i + 4] + flip + enc[i + 5:])
+
+
+def test_pdf_rc4_wrong_parse_guard_still_applies():
+    """Decrypted content flows through the same wrong-parse guards:
+    corrupting the ciphertext of a compressed content stream yields a
+    deflate error -> quarantine, not silent span loss."""
+    enc = build_tiny_pdf("zcorrupt", [["1. Z", "Deflated body."]],
+                         compress=True, encrypt="rc4-128")
+    # flip bytes in the middle of the largest stream payload
+    i = enc.find(b"stream\n") + len(b"stream\n")
+    bad = enc[:i + 4] + bytes(b ^ 0xFF for b in enc[i + 4:i + 8]) + enc[i + 8:]
+    with pytest.raises(ValueError):
+        decode_tiny_pdf(bad)

@@ -4,7 +4,7 @@ the heading lookup against the reference's regex semantics."""
 
 import re
 
-from hypothesis import given, settings
+from hypothesis import assume, given, settings
 from hypothesis import strategies as st
 
 from pdfspark.config import ExtractConfig
@@ -90,3 +90,72 @@ def test_fold_offsets_dense_and_monotone(spans):
     res = fold_document(spans, "", "", ExtractConfig())
     offs = [s["offset"] for s in res["out_spans"]]
     assert offs == list(range(len(offs)))
+
+
+# --- mini-codec writer-shape invariance -------------------------------------
+# The same logical document serialized under different (real-world)
+# writer choices must decode to the SAME span sequence; encryption in
+# particular must be a pure representation change. Text stays in the
+# latin-1 range (the simple-font identity slice); operator spellings
+# that would collide with the object scanner's delimiters are
+# assumed away (they quarantine by design — never a wrong parse).
+
+_pdf_line = st.text(
+    alphabet=st.characters(min_codepoint=32, max_codepoint=255),
+    max_size=24,
+)
+_pdf_pages = st.lists(
+    st.lists(_pdf_line, min_size=1, max_size=4), min_size=1, max_size=3
+)
+
+
+def _scanner_safe(pages) -> bool:
+    flat = " ".join(ln for pg in pages for ln in pg)
+    return not any(t in flat for t in ("obj", "endstream", "trailer"))
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    _pdf_pages,
+    st.fixed_dictionaries(
+        {
+            "compress": st.sampled_from(
+                [False, True, "lzw", "a85", "ahx+flate"]),
+            "hex_show": st.booleans(),
+            "quote_show": st.booleans(),
+            "cid": st.booleans(),
+            "title_utf16": st.booleans(),
+            "encrypt": st.sampled_from([None, "rc4-40", "rc4-128"]),
+        }
+    ),
+)
+def test_pdf_codec_spans_invariant_under_writer_options(pages, opts):
+    from pdfspark.sources.pdf_mini import build_tiny_pdf, decode_tiny_pdf
+
+    assume(_scanner_safe(pages))
+    plain = decode_tiny_pdf(build_tiny_pdf("prop-doc", pages))
+    out = decode_tiny_pdf(build_tiny_pdf("prop-doc", pages, **opts))
+    assert out == plain
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    _pdf_pages,
+    st.fixed_dictionaries(
+        {
+            "compress": st.booleans(),
+            "images": st.lists(st.integers(0, 2), min_size=3, max_size=3),
+            "form_header": st.none() | st.just("RUN HDR"),
+            "cid": st.booleans(),
+        }
+    ),
+    st.sampled_from(["rc4-40", "rc4-128"]),
+)
+def test_pdf_codec_encryption_is_span_invariant(pages, opts, mode):
+    from pdfspark.sources.pdf_mini import build_tiny_pdf, decode_tiny_pdf
+
+    assume(_scanner_safe(pages))
+    opts = dict(opts, images=opts["images"][: len(pages)])
+    plain = decode_tiny_pdf(build_tiny_pdf("prop-doc", pages, **opts))
+    enc = build_tiny_pdf("prop-doc", pages, encrypt=mode, **opts)
+    assert decode_tiny_pdf(enc) == plain

@@ -1517,7 +1517,7 @@ def oracle_sql() -> dict[str, str]:
             hcand AS (
               SELECT doc_id, o,
                      coalesce(section_title, first_line) AS lookup,
-                     -- RE2 has no (?U): emulate Python's Unicode \W_
+                     -- RE2 has no (?U): emulate Python's Unicode "\\W|_"
                      -- with the complement of letter/number/underscore
                      regexp_replace(coalesce(section_title, first_line),
                                     '[^\\p{{L}}\\p{{N}}_]+$', '') AS clean

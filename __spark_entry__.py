@@ -1517,10 +1517,11 @@ def oracle_sql() -> dict[str, str]:
             hcand AS (
               SELECT doc_id, o,
                      coalesce(section_title, first_line) AS lookup,
-                     -- RE2 has no (?U): emulate Python's Unicode "\\W|_"
-                     -- with the complement of letter/number/underscore
+                     -- RE2 has no (?U): emulate Python's [\\W_]+$ (strip
+                     -- trailing non-alphanumerics INCLUDING underscore) with
+                     -- the complement of letter/number only
                      regexp_replace(coalesce(section_title, first_line),
-                                    '[^\\p{{L}}\\p{{N}}_]+$', '') AS clean
+                                    '[^\\p{{L}}\\p{{N}}]+$', '') AS clean
               FROM cursec WHERE is_heading),
             hsafe AS (
               SELECT *, coalesce(regexp_matches(clean,

@@ -316,7 +316,9 @@ def minhash_verified(docs: DataFrame, threshold: float = 0.5) -> DataFrame:
 
 
 def neardup_components(docs: DataFrame, threshold: float = 0.5,
-                       max_iter: int = 12) -> DataFrame:
+                       max_iter: int = 12,
+                       precomputed_edges: DataFrame | None = None
+                       ) -> DataFrame:
     """(doc_id, rep_id, comp_size) for every doc in a Jaccard-verified
     near-dup component of size >= 2; rep_id is the component-minimum
     doc_id — the exact keep-first keeper.
@@ -342,10 +344,28 @@ def neardup_components(docs: DataFrame, threshold: float = 0.5,
     two equi-joins + a groupBy (all on doc_id — AQE handles skew);
     eager localCheckpoint truncates lineage per round (the standard
     Spark iterative-loop requirement) and bounds the convergence-check
-    action's recompute. The fixpoint (every label = component min) is
-    unique, so the DuckDB oracle may unroll plain neighbor-min rounds
-    and still agree exactly (oracle_pipeline.components_sql)."""
-    edges = minhash_verified(docs, threshold).select("doc_a", "doc_b")
+    action's recompute. Convergence is detected by a changed-label
+    COUNT carried through the round (prev_rep rides along, one
+    filter+count on the fresh checkpoint) — NOT a sum-of-labels
+    invariant, which silently degrades to NULL == NULL (loop exits
+    after one round, wrong components past diameter ~5) whenever
+    doc_id is a non-numeric type; min-label propagation itself is
+    type-agnostic for any orderable id. The fixpoint (every label =
+    component min) is unique, so the DuckDB oracle may unroll plain
+    neighbor-min rounds and still agree exactly
+    (oracle_pipeline.components_sql).
+
+    ``precomputed_edges`` injects a verified-edge frame (mirroring
+    minhash_verified's doc_a/doc_b output) so sessions that already
+    ran the LSH pipeline — curation, pair reporting — compute it
+    ONCE and feed both consumers, instead of re-running the full
+    shingle/signature/band/Jaccard stack per consumer (5.8 s
+    standalone vs 2.1 s upstream-only at sf0.1 per BASELINE.md; at
+    100 TB it halves the dominant shuffle work of a dedup session).
+    """
+    edges = (precomputed_edges if precomputed_edges is not None
+             else minhash_verified(docs, threshold)
+             ).select("doc_a", "doc_b")
     sym = edges.unionByName(
         edges.select(F.col("doc_b").alias("doc_a"),
                      F.col("doc_a").alias("doc_b"))
@@ -356,7 +376,6 @@ def neardup_components(docs: DataFrame, threshold: float = 0.5,
         .select("doc_id", F.least("doc_id", "nb").alias("rep"))
         .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("rep")).collect()[0][0]
     for _ in range(max_iter):
         nb = (
             sym.join(
@@ -367,9 +386,14 @@ def neardup_components(docs: DataFrame, threshold: float = 0.5,
             .groupBy(F.col("doc_a").alias("doc_id"))
             .agg(F.min("rep_b").alias("nb_min"))
         )
+        # prev_rep rides through the round so convergence is a plain
+        # changed-label count on the fresh checkpoint — correct for
+        # ANY orderable doc_id type (strings included), unlike a
+        # label-sum invariant that nulls out on non-numeric ids
         stepped = (
             labels.join(nb, "doc_id")
-            .select("doc_id", F.least("rep", "nb_min").alias("rep"))
+            .select("doc_id", F.col("rep").alias("prev_rep"),
+                    F.least("rep", "nb_min").alias("rep"))
         )
         jumped = (
             stepped.alias("x")
@@ -381,20 +405,18 @@ def neardup_components(docs: DataFrame, threshold: float = 0.5,
             )
             .select(
                 F.col("doc_id"),
+                F.col("prev_rep"),
                 F.least(F.col("rep"),
                         F.coalesce("rep_rep", "rep")).alias("rep"),
             )
             .localCheckpoint(eager=True)
         )
-        # convergence via the label-sum invariant: per-vertex labels
-        # only ever decrease, so the total strictly decreases iff any
-        # label changed — one scan+agg on the fresh checkpoint instead
-        # of a join against the previous round
-        new_sum = jumped.agg(F.sum("rep")).collect()[0][0]
-        labels = jumped
-        if new_sum == prev_sum:
+        n_changed = (
+            jumped.filter(F.col("rep") != F.col("prev_rep")).count()
+        )
+        labels = jumped.drop("prev_rep")
+        if n_changed == 0:
             break
-        prev_sum = new_sum
     # every vertex of sym has a label row (the symmetrized edge list
     # puts each endpoint on the doc_a side), including the
     # representative itself with rep = doc_id — so component size is

@@ -318,7 +318,7 @@ def fingerprints(docs: DataFrame) -> DataFrame:
 
 def curate_documents(
     docs: DataFrame, min_quality: float = 0.5, lang: str = "en",
-    near_dedup: bool = True,
+    near_dedup: bool = True, exact_components: bool = False,
 ) -> DataFrame:
     """Composed training-data curation pass — the operators above used
     the way a 100 TB pipeline chains them: exact-dedup keep-first
@@ -342,10 +342,16 @@ def curate_documents(
     component: it can diverge only when a non-minimum member's every
     verified edge points at larger doc_ids (path patterns like edges
     (1,3),(2,3) keeping 2 alive). On the fixture corpus the two drop
-    sets are identical (419 = 419 at sf0.1, test-pinned); a consumer
-    needing the guarantee composes dedup.neardup_components and drops
-    doc_id != rep_id — exact, but it pays the iterative CC loop,
-    which is why the composed pass defaults to the linear form.
+    sets are identical (419 = 419 at sf0.1, test-pinned).
+    ``exact_components=True`` buys the guarantee: the verified edge
+    set is computed ONCE, checkpointed, and injected into
+    dedup.neardup_components (``precomputed_edges``), whose
+    keep-min-per-component reps define the drop set — so the full
+    LSH stack (shingle explode, signature shuffle, band join,
+    Jaccard verify) still executes a single time rather than once
+    per consumer (5.8 s standalone vs 2.1 s upstream-only at sf0.1
+    per BASELINE.md). The default stays the linear form: it skips
+    the iterative CC loop entirely.
 
     Filter ordering: language_id is the one expensive per-doc feature
     (a full trigram classification), so it runs only on the docs that
@@ -354,7 +360,9 @@ def curate_documents(
     identical. At sf0.1 this cuts the langid input ~4x; at 100 TB it
     is the difference between profiling the corpus and profiling the
     survivors."""
-    from pdfspark.operators.dedup import exact_duplicates, minhash_verified
+    from pdfspark.operators.dedup import (
+        exact_duplicates, minhash_verified, neardup_components,
+    )
 
     keep = exact_duplicates(docs).select(
         F.col("keeper_doc_id").alias("doc_id")
@@ -384,9 +392,22 @@ def curate_documents(
         q.filter(F.col("quality_score") >= min_quality), "doc_id"
     )
     if near_dedup:
-        nd_drop = minhash_verified(uniq).select(
-            F.col("doc_b").alias("doc_id")
-        )
+        if exact_components:
+            # one LSH execution: the verified-edge frame is
+            # checkpointed here and injected into the CC loop, whose
+            # own eager sym-checkpoint materializes it in-pass
+            edges = minhash_verified(uniq).select(
+                "doc_a", "doc_b"
+            ).localCheckpoint(eager=False)
+            nd_drop = (
+                neardup_components(uniq, precomputed_edges=edges)
+                .filter(F.col("doc_id") != F.col("rep_id"))
+                .select("doc_id")
+            )
+        else:
+            nd_drop = minhash_verified(uniq).select(
+                F.col("doc_b").alias("doc_id")
+            )
         survivors = survivors.join(nd_drop, "doc_id", "left_anti")
     # survivors feeds three consumers (language_id's trigram side, its
     # doc_id spine, and the final join) — without materialization the

@@ -259,6 +259,56 @@ def test_neardup_components_match_union_find(docs_all):
     assert max(sizes.values()) >= 3, "fixture should have a 3+ cluster"
 
 
+def test_components_string_ids_long_path(spark):
+    """Regression for the round-4 convergence check: with STRING
+    doc_ids the old sum-of-labels invariant evaluated to NULL, the
+    loop exited after one round, and any component of diameter > ~5
+    came back fragmented — silently. The changed-label count must
+    converge a 10-node path graph of string ids to one component
+    with the lexicographic-min representative."""
+    ids = [f"doc-{c}" for c in "abcdefghij"]
+    edge_rows = [(ids[i], ids[i + 1]) for i in range(len(ids) - 1)]
+    edges = spark.createDataFrame(edge_rows, "doc_a string, doc_b string")
+    dummy = spark.createDataFrame([("doc-a", "x")],
+                                  "doc_id string, text string")
+    got = {r.doc_id: (r.rep_id, r.comp_size)
+           for r in neardup_components(
+               dummy, precomputed_edges=edges).collect()}
+    assert set(got) == set(ids)
+    for v in ids:
+        assert got[v] == ("doc-a", 10), (v, got[v])
+
+
+def test_components_edge_injection_matches_inline(docs_all):
+    """precomputed_edges must yield byte-identical components to the
+    inline minhash_verified path (the single-LSH-execution composition
+    curation uses)."""
+    edges = minhash_verified(docs_all).select("doc_a", "doc_b")
+    inline = sorted((r.doc_id, r.rep_id, r.comp_size)
+                    for r in neardup_components(docs_all).collect())
+    injected = sorted(
+        (r.doc_id, r.rep_id, r.comp_size)
+        for r in neardup_components(
+            docs_all, precomputed_edges=edges).collect())
+    assert inline == injected
+    assert inline, "fixture should plant near-dup components"
+
+
+def test_curation_exact_components_matches_linear(docs_all):
+    """curate_documents(exact_components=True) — one LSH execution
+    feeding keep-min-per-component — must agree with the linear
+    doc_b-drop default on the fixture corpus (their drop sets are
+    test-pinned equal there)."""
+    from pdfspark.operators.textstats import curate_documents
+
+    linear = sorted(tuple(r) for r in curate_documents(docs_all).collect())
+    exact = sorted(
+        tuple(r)
+        for r in curate_documents(docs_all, exact_components=True).collect())
+    assert linear == exact
+    assert linear
+
+
 def test_curation_linear_drop_equals_component_drop(docs_all):
     """curate_documents' linear doc_b-drop must equal the exact
     keep-min-per-component drop set on the fixture corpus (the two

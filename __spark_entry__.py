@@ -751,6 +751,10 @@ def _q_binary_decode(spark, sf_dir):
         "doc_id", "status",
         F.size("spans").cast("int").alias("n_spans"),
         F.col("bytes_len").cast("long").alias("bytes_len"),
+        # md5 over every span's page_id + x0..y1 (offset order) — the
+        # y-ordinate hash check for the codec's geometry slice; ''
+        # for geometry-free payloads (JSON stand-ins, quarantine)
+        F.col("geom_digest"),
     )
 
 
@@ -1246,16 +1250,19 @@ def oracle_sql() -> dict[str, str]:
                           THEN CAST(json_array_length(decode(content),
                                                       '$.spans') AS INT)
                           ELSE 0 END AS n_spans,
-                     CAST(bytes_len AS BIGINT) AS bytes_len
+                     CAST(bytes_len AS BIGINT) AS bytes_len,
+                     '' AS geom_digest
               FROM raw WHERE substring(hex(content), 1, 2) = '7B'),
             c AS (
               SELECT regexp_extract(filename, '([^/]+)\\.bin$', 1) AS doc_id,
                      'decode_error' AS status, CAST(0 AS INT) AS n_spans,
-                     CAST(bytes_len AS BIGINT) AS bytes_len
+                     CAST(bytes_len AS BIGINT) AS bytes_len,
+                     '' AS geom_digest
               FROM raw WHERE substring(hex(content), 1, 2) <> '7B')
             SELECT * FROM j UNION ALL SELECT * FROM c
             UNION ALL
-            SELECT doc_id, status, n_spans, CAST(bytes_len AS BIGINT)
+            SELECT doc_id, status, n_spans, CAST(bytes_len AS BIGINT),
+                   geom_digest
             FROM read_parquet('{FIX01}/payloads_pdf_expected.parquet')
         """,
         "s6_lines_source": f"""

@@ -157,7 +157,37 @@ _INLINE_RE = re.compile(
 )
 _SUBTYPE_IMG_RE = re.compile(rb"/Subtype\s*/Image\b")
 _FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
-_TF_RE = re.compile(rb"/(\w+)\s+[\d.+-]+\s+Tf")
+_TF_RE = re.compile(rb"/(\w+)\s+([\d.+-]+)\s+Tf")
+# text-state operators (PDF 32000-1 §9.4.2) for the geometry slice:
+# Td/TD line moves, Tm matrix set, T* next-line, TL leading. Scanned
+# over a string-masked copy of the stream so operand-shaped bytes
+# inside show strings can't false-match.
+_NUM = rb"[+-]?(?:\d+\.?\d*|\.\d+)"
+_TD_RE = re.compile(
+    rb"(" + _NUM + rb")\s+(" + _NUM + rb")\s+(Td|TD)\b")
+_TM_RE = re.compile(
+    rb"(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+("
+    + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+Tm\b")
+_TSTAR_RE = re.compile(rb"T\*")
+_TL_RE = re.compile(rb"(" + _NUM + rb")\s+TL\b")
+_CM_RE = re.compile(
+    rb"(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+("
+    + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+cm\b")
+_MEDIABOX_RE = re.compile(
+    rb"/MediaBox\s*\[\s*(" + _NUM + rb")\s+(" + _NUM + rb")\s+("
+    + _NUM + rb")\s+(" + _NUM + rb")\s*\]")
+# TJ array elements: strings AND kerning numbers (thousandths of an
+# em subtracted from the advance, §9.4.3)
+_TJ_ELEM_RE = re.compile(
+    rb"\(((?:[^()\\]|\\.)*)\)|<([0-9A-Fa-f\s]*)>|(" + _NUM + rb")")
+# deterministic glyph metrics for the geometry slice: 0.5 em advance
+# per decoded char, 1.0 em line box above the baseline. pdfminer uses
+# the font's real widths/ascent; without embedded metrics this
+# documented approximation keeps the ORDER relations the downstream
+# geometry operators consume (W1 reading order, F10-F12 margins,
+# A4/EP3 row clustering) exact for axis-aligned text, which is the
+# slice's contract — not glyph-accurate ink extents.
+GLYPH_W = 0.5
 _TOUNICODE_RE = re.compile(rb"/ToUnicode\s+(\d+)\s+\d+\s+R")
 _BFCHAR_RE = re.compile(rb"beginbfchar(.*?)endbfchar", re.DOTALL)
 _CSRANGE_RE = re.compile(
@@ -654,7 +684,11 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
                     ops.append(operand + b" '")
             else:
                 ops.append(operand + b" Tj")
-                ops.append(b"0 -14 Td")
+                # in quote mode the NEXT line's ' / " does the T*
+                # line move itself — an explicit Td too would double
+                # the leading (geometry-visible)
+                if not quote_show:
+                    ops.append(b"0 -14 Td")
         ops.append(b"ET")
         for k in range((inline_images or [0] * n_pages)[i]):
             # adversarial sample bytes: operator spellings inside the
@@ -760,6 +794,63 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
     buf += (b"trailer\n<< /Size %d /Root 1 0 R /Info %d 0 R%s >>\n"
             b"startxref\n%d\n%%%%EOF\n"
             % (n_objs, info_obj, trailer_extra, xref_at))
+    return bytes(buf)
+
+
+def build_layout_pdf(doc_id: str,
+                     pages: list[list[tuple[str, float, float]]],
+                     compress=False) -> bytes:
+    """A PDF whose text is POSITIONED: each page is a list of
+    (text, x, y) shows, each placed with `1 0 0 1 x y Tm` — the shape
+    table-emitting writers produce (cells at explicit coordinates).
+    This is the fixture source for the bytes-in → tables-out EP3
+    path: decode_payloads_geom over this payload yields a geometry
+    frame the A4/EP3 row-clustering pipeline reconstructs tables
+    from. Same object skeleton as build_tiny_pdf (flat page tree,
+    one content stream per page, Info /Title doc_id)."""
+    n_pages = len(pages)
+    page_objs = [3 + i for i in range(n_pages)]
+    cont_objs = [3 + n_pages + i for i in range(n_pages)]
+    font_obj = 3 + 2 * n_pages
+    info_obj = font_obj + 1
+    objs: dict[int, bytes] = {}
+    kids = b" ".join(b"%d 0 R" % p for p in page_objs)
+    objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
+    objs[2] = (b"<< /Type /Pages /Kids [" + kids
+               + b"] /Count %d >>" % n_pages)
+    for i, (pobj, cobj) in enumerate(zip(page_objs, cont_objs)):
+        objs[pobj] = (
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
+            b"/Resources << /Font << /F1 %d 0 R >> >> "
+            b"/Contents %d 0 R >>" % (font_obj, cobj))
+        ops = [b"BT", b"/F1 12 Tf"]
+        for text, x, y in pages[i]:
+            ops.append(b"1 0 0 1 %s %s Tm" % (
+                (b"%g" % x), (b"%g" % y)))
+            ops.append(b"(" + _escape(text) + b") Tj")
+        ops.append(b"ET")
+        stream = b"\n".join(ops)
+        clause, stream = _encode_stream(stream, compress)
+        objs[cobj] = (b"<< /Length %d%s >>\nstream\n"
+                      % (len(stream), clause)
+                      + stream + b"\nendstream")
+    objs[font_obj] = (b"<< /Type /Font /Subtype /Type1 "
+                      b"/BaseFont /Helvetica >>")
+    objs[info_obj] = b"<< /Title (" + _escape(doc_id) + b") >>"
+    buf = bytearray(b"%PDF-1.4\n%\xc2\xb5\xc2\xb6\n")
+    offsets = {}
+    for num in sorted(objs):
+        offsets[num] = len(buf)
+        buf += b"%d 0 obj\n" % num + objs[num] + b"\nendobj\n"
+    xref_at = len(buf)
+    n_objs = max(objs) + 1
+    buf += b"xref\n0 %d\n" % n_objs
+    buf += b"0000000000 65535 f \n"
+    for num in range(1, n_objs):
+        buf += b"%010d 00000 n \n" % offsets[num]
+    buf += (b"trailer\n<< /Size %d /Root 1 0 R /Info %d 0 R >>\n"
+            b"startxref\n%d\n%%%%EOF\n"
+            % (n_objs, info_obj, xref_at))
     return bytes(buf)
 
 
@@ -1496,10 +1587,21 @@ def decode_tiny_pdf(content: bytes) -> dict:
     doc_id = title
 
     spans: list[dict] = []
+    # page context for the geometry columns: 0 = document prologue
+    # (TOC spans), pages count from 1 — the synthetic corpus
+    # convention (synth.py spans_geom)
+    page_ctx = [0]
 
-    def emit(kind, text, media_ref=None):
-        spans.append(dict(kind=kind, text=text, media_ref=media_ref,
-                          offset=len(spans)))
+    def emit(kind, text, media_ref=None, bbox=None):
+        x0, y0, x1, y1 = bbox if bbox is not None else (None,) * 4
+        spans.append(dict(
+            kind=kind, text=text, media_ref=media_ref,
+            offset=len(spans), page_id=page_ctx[0],
+            x0=None if x0 is None else round(x0, 2),
+            y0=None if y0 is None else round(y0, 2),
+            x1=None if x1 is None else round(x1, 2),
+            y1=None if y1 is None else round(y1, 2),
+        ))
 
     # S5 outline-tree scan: one TOC span per outline /Title, ahead of
     # the page spans (document prologue, like the synthetic corpus)
@@ -1507,7 +1609,8 @@ def decode_tiny_pdf(content: bytes) -> dict:
         emit("TOC", t)
 
     cmap_cache: dict = {}
-    for pid, xobjs, fonts in page_list:
+    for page_no, (pid, xobjs, fonts) in enumerate(page_list, start=1):
+        page_ctx[0] = page_no
         body = objs.get(pid)
         if body is None:
             raise ValueError(f"missing page object {pid}")
@@ -1530,9 +1633,16 @@ def decode_tiny_pdf(content: bytes) -> dict:
                 raise ValueError("missing content stream object")
             parts.append(_content_stream(cbody))
         cdata = b"\n".join(parts)
+        # PageStart carries the page box: /MediaBox from the page
+        # object, else the page-tree root (inheritable, §7.7.3.4),
+        # else US Letter — downstream margin operators key header/
+        # footer bands off this span's y1 (synth._hf_local shape)
+        mb = _MEDIABOX_RE.search(body) or _MEDIABOX_RE.search(pages_obj)
+        box = (tuple(float(mb.group(i)) for i in range(1, 5))
+               if mb is not None else (0.0, 0.0, 612.0, 792.0))
         # xobjs: the page's own /XObject map layered over everything
         # inherited down the page tree (built during the tree walk)
-        emit("PageStart", "")
+        emit("PageStart", "", bbox=box)
         _walk_content(objs, cdata, xobjs, emit, frozenset(),
                       fonts=fonts, cmap_cache=cmap_cache)
     return dict(doc_id=doc_id, spans=spans)
@@ -1693,17 +1803,61 @@ def _walk_content(objs, cdata, xobjs, emit, active,
     fonts = fonts or {}
     if cmap_cache is None:
         cmap_cache = {}
-    # Tf events over the whole (masked) stream, in order; the active
-    # font at any show position is the last Tf before it
-    tf_events = [(t.start(), t.group(1)) for t in _TF_RE.finditer(cdata)]
+    # string-masked copy for STATE-operator scans (Tf/TL/Td/TD/Tm/T*/
+    # cm): operand-shaped bytes inside show strings ("(0 -14 Td)")
+    # must not register as state changes. Offset-preserving, so event
+    # positions line up with the real stream.
+    sscan = bytearray(cdata)
+    for sm in _STR_TOKEN_RE.finditer(cdata):
+        s_, e_ = sm.span()
+        sscan[s_:e_] = b" " * (e_ - s_)
+    sscan = bytes(sscan)
+    # Tf/TL events over the whole masked stream, in order; the active
+    # font/size/leading at any position is the last event before it —
+    # text state persists across BT blocks within a stream (§9.3.1)
+    tf_events = [(t.start(), t.group(1), float(t.group(2)))
+                 for t in _TF_RE.finditer(sscan)]
+    tl_events = [(t.start(), float(t.group(1)))
+                 for t in _TL_RE.finditer(sscan)]
+    # cm events feed Do image geometry: the unit square maps through
+    # the LAST cm before the paint (slice approximation — no q/Q
+    # stack replay; the common writer shape is `q <cm> /Im Do Q`)
+    cm_events = [(t.start(), tuple(float(t.group(i)) for i in
+                                   range(1, 7)))
+                 for t in _CM_RE.finditer(sscan)]
 
     def _font_at(pos: int):
         name = None
-        for p, nm in tf_events:
+        for p, nm, _sz in tf_events:
             if p >= pos:
                 break
             name = nm
         return name
+
+    def _state_at(pos: int) -> tuple[float, float]:
+        size, lead = 12.0, 0.0
+        for p, _nm, sz in tf_events:
+            if p >= pos:
+                break
+            size = sz
+        for p, v in tl_events:
+            if p >= pos:
+                break
+            lead = v
+        return size, lead
+
+    def _cm_box(pos: int):
+        last = None
+        for p, mat in cm_events:
+            if p >= pos:
+                break
+            last = mat
+        if last is None:
+            return None
+        a2, b2, c2, d2, e2, f2 = last
+        xs = (e2, e2 + a2 + c2)
+        ys = (f2, f2 + b2 + d2)
+        return (min(xs), min(ys), max(xs), max(ys))
 
     def _show_text(raw_bytes: bytes, cmap) -> str:
         if cmap is not None:
@@ -1723,7 +1877,7 @@ def _walk_content(objs, cdata, xobjs, emit, active,
         events.append((dm.start(), "do", dm))
     for _pos, tag, m in sorted(events, key=lambda t: t[0]):
         if tag == "inline":
-            emit("Image", "", media_ref=f"inline://{m}")
+            emit("Image", "", media_ref=f"inline://{m}", bbox=_cm_box(m))
             continue
         if tag == "do":
             name = m.group(1)
@@ -1736,7 +1890,8 @@ def _walk_content(objs, cdata, xobjs, emit, active,
                     if b"stream" in xbody else xbody)
             if _SUBTYPE_IMG_RE.search(head):
                 emit("Image", "",
-                     media_ref=f"xobj://{onum}/{name.decode('latin-1')}")
+                     media_ref=f"xobj://{onum}/{name.decode('latin-1')}",
+                     bbox=_cm_box(m.start()))
             elif _SUBTYPE_FORM_RE.search(head):
                 if onum in active:
                     raise ValueError("form XObject cycle")
@@ -1760,28 +1915,86 @@ def _walk_content(objs, cdata, xobjs, emit, active,
             continue
         body = m.group(1)
         base = m.start(1)
+        sbody = sscan[base:base + len(body)]
+        # text-state machine (§9.4.2): BT resets Tm = Tlm = identity;
+        # Td premultiplies a translation onto Tlm; TD also sets
+        # leading; Tm sets both; T* is Td(0, -TL); ' and " imply T*
+        # before their show. Size/leading enter from the stream-level
+        # state at the BT position (they persist across BT blocks).
+        tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
+        lm = list(tm)
+        size, lead = _state_at(m.start())
+
+        def _td(tx: float, ty: float) -> None:
+            lm[4] = tx * lm[0] + ty * lm[2] + lm[4]
+            lm[5] = tx * lm[1] + ty * lm[3] + lm[5]
+            tm[:] = lm
+
+        inbody: list[tuple[int, str, object]] = [
+            (t.start(), "show", t) for t in _SHOW_RE.finditer(body)
+        ]
+        inbody += [(t.start(), "td", t) for t in _TD_RE.finditer(sbody)]
+        inbody += [(t.start(), "tm", t) for t in _TM_RE.finditer(sbody)]
+        inbody += [(t.start(), "t*", t) for t in _TSTAR_RE.finditer(sbody)]
+        inbody += [(t.start(), "tl", t) for t in _TL_RE.finditer(sbody)]
+        inbody += [(t.start(), "tf", t) for t in _TF_RE.finditer(sbody)]
         consumed: list[tuple[int, int]] = []
-        for show in _SHOW_RE.finditer(body):
+        for _p, knd, t in sorted(inbody, key=lambda ev: ev[0]):
+            if knd == "td":
+                if t.group(3) == b"TD":
+                    lead = -float(t.group(2))
+                _td(float(t.group(1)), float(t.group(2)))
+                continue
+            if knd == "tm":
+                tm[:] = [float(t.group(i)) for i in range(1, 7)]
+                lm[:] = tm
+                continue
+            if knd == "t*":
+                _td(0.0, -lead)
+                continue
+            if knd == "tl":
+                lead = float(t.group(1))
+                continue
+            if knd == "tf":
+                size = float(t.group(2))
+                continue
+            show = t
             consumed.append(show.span())
             cmap = _font_cmap(objs, fonts.get(_font_at(
                 base + show.start())), cmap_cache)
+            kern = 0.0  # TJ kerning, thousandths of an em (§9.4.3)
             if show.group(1) is not None:  # (..) Tj / ' / "
-                emit("TextBox",
-                     _show_text(_unescape_bytes(show.group(1)), cmap))
+                text = _show_text(_unescape_bytes(show.group(1)), cmap)
             elif show.group(2) is not None:  # <hex> Tj / ' / "
-                emit("TextBox",
-                     _show_text(_hex_bytes(show.group(2)), cmap))
-            else:  # [..] TJ: concatenate the string elements
-                parts = [
-                    _show_text(
+                text = _show_text(_hex_bytes(show.group(2)), cmap)
+            else:  # [..] TJ: strings concatenate, numbers kern
+                parts = []
+                for m2 in _TJ_ELEM_RE.finditer(show.group(3)):
+                    if m2.group(3) is not None:
+                        kern += float(m2.group(3))
+                        continue
+                    parts.append(_show_text(
                         _unescape_bytes(m2.group(1))
                         if m2.group(1) is not None
                         else _hex_bytes(m2.group(2)),
                         cmap,
-                    )
-                    for m2 in _TJ_STR_RE.finditer(show.group(3))
-                ]
-                emit("TextBox", "".join(parts))
+                    ))
+                text = "".join(parts)
+            # ' and " move to the next line BEFORE showing
+            if show.group(0)[-1:] in (b"'", b'"'):
+                _td(0.0, -lead)
+            # text-space advance under the deterministic glyph model,
+            # mapped through Tm's scale/shear; the origin is Tm's
+            # translation (text rendered at the baseline)
+            adv = (GLYPH_W * len(text) - kern / 1000.0) * size
+            x0d, y0d = tm[4], tm[5]
+            x1d = x0d + adv * tm[0]
+            y1d = y0d + size * tm[3]
+            emit("TextBox", text,
+                 bbox=(min(x0d, x1d), min(y0d, y1d),
+                       max(x0d, x1d), max(y0d, y1d)))
+            tm[4] += adv * tm[0]
+            tm[5] += adv * tm[1]
         # wrong-parse guard: a string token the show scan did not
         # consume means a text operator this codec doesn't understand
         # (an exotic show form, a BDC property list carrying

@@ -423,6 +423,7 @@ def write_pdf_payloads(out_dir: str) -> None:
     import pyarrow as _pa
     import pyarrow.parquet as _pq
 
+    from pdfspark.sources.binary_decode import geom_digest
     from pdfspark.sources.pdf_mini import (
         append_incremental_update,
         build_nested_pdf,
@@ -453,7 +454,8 @@ def write_pdf_payloads(out_dir: str) -> None:
             fh.write(payload)
         decoded = decode_tiny_pdf(payload)  # Spark-free expected result
         assert decoded["doc_id"] == doc_id
-        rows.append((doc_id, "ok", len(decoded["spans"]), len(payload)))
+        rows.append((doc_id, "ok", len(decoded["spans"]), len(payload),
+                 geom_digest(decoded["spans"])))
     # PDF 1.5-style payload: xref STREAM (predictor 12) + object
     # stream + /Outlines tree -> TOC spans (S5 from raw bytes) — the
     # structure modern writers emit by default, previously quarantined
@@ -470,7 +472,8 @@ def write_pdf_payloads(out_dir: str) -> None:
     decoded = decode_tiny_pdf(payload)
     assert decoded["doc_id"] == pdf15_id
     assert [s["kind"] for s in decoded["spans"][:3]] == ["TOC"] * 3
-    rows.append((pdf15_id, "ok", len(decoded["spans"]), len(payload)))
+    rows.append((pdf15_id, "ok", len(decoded["spans"]), len(payload),
+                 geom_digest(decoded["spans"])))
     # filter chain + hex text shows: /Filter [/ASCIIHexDecode
     # /FlateDecode] content streams whose text operands are hex
     # strings (`<...> Tj`) — the CID-era writer shape
@@ -482,7 +485,8 @@ def write_pdf_payloads(out_dir: str) -> None:
         fh.write(payload)
     decoded = decode_tiny_pdf(payload)
     assert decoded["doc_id"] == hx_id
-    rows.append((hx_id, "ok", len(decoded["spans"]), len(payload)))
+    rows.append((hx_id, "ok", len(decoded["spans"]), len(payload),
+                 geom_digest(decoded["spans"])))
     # LZWDecode content streams (pre-Flate writers)
     lzw_id = "pdfdoc-00017"
     payload = build_tiny_pdf(
@@ -492,7 +496,8 @@ def write_pdf_payloads(out_dir: str) -> None:
         fh.write(payload)
     decoded = decode_tiny_pdf(payload)
     assert decoded["doc_id"] == lzw_id
-    rows.append((lzw_id, "ok", len(decoded["spans"]), len(payload)))
+    rows.append((lzw_id, "ok", len(decoded["spans"]), len(payload),
+                 geom_digest(decoded["spans"])))
     # interleaved text + media: embedded image XObjects painted with
     # /ImN Do emit kind='Image' spans with media_ref in stream order
     img_id = "pdfdoc-00018"
@@ -507,7 +512,8 @@ def write_pdf_payloads(out_dir: str) -> None:
     assert [s["kind"] for s in decoded["spans"]].count("Image") == 3
     assert all(s["media_ref"] for s in decoded["spans"]
                if s["kind"] == "Image")
-    rows.append((img_id, "ok", len(decoded["spans"]), len(payload)))
+    rows.append((img_id, "ok", len(decoded["spans"]), len(payload),
+                 geom_digest(decoded["spans"])))
     # running-header Form XObject painted `/Fm1 Do` ahead of every
     # page's text — the decoder recurses into the form's nested
     # content stream (pdfminer render_contents nesting), so the header
@@ -523,7 +529,8 @@ def write_pdf_payloads(out_dir: str) -> None:
     assert decoded["doc_id"] == frm_id
     texts = [s["text"] for s in decoded["spans"]]
     assert texts.count("RUNNING HEADER") == 2
-    rows.append((frm_id, "ok", len(decoded["spans"]), len(payload)))
+    rows.append((frm_id, "ok", len(decoded["spans"]), len(payload),
+                 geom_digest(decoded["spans"])))
     # inline images (BI..ID..EI) whose raw sample bytes spell
     # operators — the excision pass keeps them out of the text scan
     # while emitting Image spans at the paint sites
@@ -538,7 +545,8 @@ def write_pdf_payloads(out_dir: str) -> None:
     kinds = [s["kind"] for s in decoded["spans"]]
     assert kinds.count("Image") == 2
     assert not any("fake" in (s["text"] or "") for s in decoded["spans"])
-    rows.append((inl_id, "ok", len(decoded["spans"]), len(payload)))
+    rows.append((inl_id, "ok", len(decoded["spans"]), len(payload),
+                 geom_digest(decoded["spans"])))
     # nested /Pages tree + /Contents stream arrays (big-writer shape):
     # pages hang off an intermediate node and each page's operators
     # split across two streams with BT..ET straddling the boundary
@@ -550,7 +558,8 @@ def write_pdf_payloads(out_dir: str) -> None:
     decoded = decode_tiny_pdf(payload)
     assert decoded["doc_id"] == nst_id
     assert [s["kind"] for s in decoded["spans"]].count("PageStart") == 2
-    rows.append((nst_id, "ok", len(decoded["spans"]), len(payload)))
+    rows.append((nst_id, "ok", len(decoded["spans"]), len(payload),
+                 geom_digest(decoded["spans"])))
     # move-and-show operators (' and ") + BOM'd UTF-16BE Info /Title
     # hex string — the older word-processor-writer shape; doc_id must
     # be encoding-invariant
@@ -563,7 +572,8 @@ def write_pdf_payloads(out_dir: str) -> None:
     decoded = decode_tiny_pdf(payload)
     assert decoded["doc_id"] == qt_id
     assert sum(1 for s in decoded["spans"] if s["kind"] == "TextBox") == 3
-    rows.append((qt_id, "ok", len(decoded["spans"]), len(payload)))
+    rows.append((qt_id, "ok", len(decoded["spans"]), len(payload),
+                 geom_digest(decoded["spans"])))
     # incremental update (PDF 7.5.6): the saved-over shape editing
     # tools produce — an appended replacement content stream +
     # /Prev-chained trailer; the NEWEST object version must win and
@@ -582,7 +592,8 @@ def write_pdf_payloads(out_dir: str) -> None:
     assert decoded["doc_id"] == iu_id
     texts = [s["text"] for s in decoded["spans"]]
     assert "Post-edit body." in texts and "Pre-edit body." not in texts
-    rows.append((iu_id, "ok", len(decoded["spans"]), len(payload)))
+    rows.append((iu_id, "ok", len(decoded["spans"]), len(payload),
+                 geom_digest(decoded["spans"])))
     # inherited /Resources (PDF 7.7.3.4): a running-header Form
     # declared once on the intermediate /Pages node, painted by pages
     # that carry no /XObject entry of their own
@@ -595,7 +606,8 @@ def write_pdf_payloads(out_dir: str) -> None:
     decoded = decode_tiny_pdf(payload)
     assert decoded["doc_id"] == ih_id
     assert [s["text"] for s in decoded["spans"]].count("SHARED HEADER") == 2
-    rows.append((ih_id, "ok", len(decoded["spans"]), len(payload)))
+    rows.append((ih_id, "ok", len(decoded["spans"]), len(payload),
+                 geom_digest(decoded["spans"])))
     # CID/Type0 font with /ToUnicode CMap (every modern embedded-
     # subset font): shows are 2-byte codes offset from the Unicode
     # code points, so only the CMap path recovers the text
@@ -608,7 +620,8 @@ def write_pdf_payloads(out_dir: str) -> None:
     decoded = decode_tiny_pdf(payload)
     assert decoded["doc_id"] == cd_id
     assert "CID body text." in [s["text"] for s in decoded["spans"]]
-    rows.append((cd_id, "ok", len(decoded["spans"]), len(payload)))
+    rows.append((cd_id, "ok", len(decoded["spans"]), len(payload),
+                 geom_digest(decoded["spans"])))
     # RC4-encrypted documents (standard security handler, empty user
     # password — the owner-locked world-readable shape): the codec
     # authenticates via /U and decrypts streams + strings in place;
@@ -622,7 +635,8 @@ def write_pdf_payloads(out_dir: str) -> None:
     decoded = decode_tiny_pdf(payload)
     assert decoded["doc_id"] == r40_id
     assert "RC4-40 body text." in [s["text"] for s in decoded["spans"]]
-    rows.append((r40_id, "ok", len(decoded["spans"]), len(payload)))
+    rows.append((r40_id, "ok", len(decoded["spans"]), len(payload),
+                 geom_digest(decoded["spans"])))
     # 128-bit /R 3 with compressed streams AND an embedded image:
     # decrypt-then-inflate order, Image spans from ciphertext bytes
     r128_id = "pdfdoc-00027"
@@ -634,35 +648,37 @@ def write_pdf_payloads(out_dir: str) -> None:
     decoded = decode_tiny_pdf(payload)
     assert decoded["doc_id"] == r128_id
     assert [s["kind"] for s in decoded["spans"]].count("Image") == 1
-    rows.append((r128_id, "ok", len(decoded["spans"]), len(payload)))
+    rows.append((r128_id, "ok", len(decoded["spans"]), len(payload),
+                 geom_digest(decoded["spans"])))
     # beyond the RC4 slice: a REAL user password (the /U check fails)
     # and AES /V 4 must quarantine — ciphertext never parses on
     pw = build_tiny_pdf("encrypted_pw", [["secret body"]],
                         encrypt="rc4-128-pw")
     with open(os.path.join(pdir, "encrypted_pw.pdf"), "wb") as fh:
         fh.write(pw)
-    rows.append(("encrypted_pw", "decode_error", 0, len(pw)))
+    rows.append(("encrypted_pw", "decode_error", 0, len(pw), ""))
     aes = build_tiny_pdf("encrypted_aes", [["secret body"]],
                          encrypt="aesv2")
     with open(os.path.join(pdir, "encrypted_aes.pdf"), "wb") as fh:
         fh.write(aes)
-    rows.append(("encrypted_aes", "decode_error", 0, len(aes)))
+    rows.append(("encrypted_aes", "decode_error", 0, len(aes), ""))
     # dangling /Encrypt ref: still ciphertext by declaration, and the
     # handler dict is unresolvable -> quarantine (wrong-parse guard)
     enc = build_tiny_pdf("encrypted_pdf", [["secret body"]]).replace(
         b"/Root 1 0 R", b"/Root 1 0 R /Encrypt 99 0 R")
     with open(os.path.join(pdir, "encrypted_pdf.pdf"), "wb") as fh:
         fh.write(enc)
-    rows.append(("encrypted_pdf", "decode_error", 0, len(enc)))
+    rows.append(("encrypted_pdf", "decode_error", 0, len(enc), ""))
     corrupt = b"%PDF-1.4\nno objects here, just noise\n%%EOF\n"
     with open(os.path.join(pdir, "corrupt_pdf.pdf"), "wb") as fh:
         fh.write(corrupt)
-    rows.append(("corrupt_pdf", "decode_error", 0, len(corrupt)))
+    rows.append(("corrupt_pdf", "decode_error", 0, len(corrupt), ""))
     tbl = _pa.table(
         {"doc_id": _pa.array([r[0] for r in rows], _pa.string()),
          "status": _pa.array([r[1] for r in rows], _pa.string()),
          "n_spans": _pa.array([r[2] for r in rows], _pa.int32()),
-         "bytes_len": _pa.array([r[3] for r in rows], _pa.int64())}
+         "bytes_len": _pa.array([r[3] for r in rows], _pa.int64()),
+         "geom_digest": _pa.array([r[4] for r in rows], _pa.string())}
     )
     _pq.write_table(tbl, os.path.join(out_dir, "payloads_pdf_expected.parquet"))
 
@@ -1021,7 +1037,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 18  # 18: RC4-encrypted payloads (pdfdoc-00026/27)
+FIXTURE_VERSION = 19  # 19: span geometry from the codec (geom_digest sidecar)
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

@@ -753,3 +753,126 @@ def test_pdf_rc4_wrong_parse_guard_still_applies():
     bad = enc[:i + 4] + bytes(b ^ 0xFF for b in enc[i + 4:i + 8]) + enc[i + 8:]
     with pytest.raises(ValueError):
         decode_tiny_pdf(bad)
+
+
+def test_codec_geometry_from_text_state():
+    """Round-5 geometry slice: Td/TD/Tm/T*/TL tracking emits per-show
+    (x, y) with the deterministic 0.5-em advance / 1-em line box —
+    plus PageStart MediaBox and cm-mapped Image boxes."""
+    out = decode_tiny_pdf(build_tiny_pdf(
+        "g", [["1. Intro", "body text"]], compress=True, images=[1]))
+    ps, t1, t2, img = out["spans"]
+    assert (ps["x0"], ps["y0"], ps["x1"], ps["y1"]) == (0, 0, 612, 792)
+    # builder: /F1 12 Tf, 72 720 Td, then 0 -14 Td per line
+    assert (t1["x0"], t1["y0"], t1["y1"]) == (72.0, 720.0, 732.0)
+    assert t1["x1"] == 72.0 + 0.5 * 12 * len("1. Intro")
+    assert (t2["y0"], t2["y1"]) == (706.0, 718.0)
+    # image painted q 100 0 0 80 72 600 cm /Im1 Do Q
+    assert (img["x0"], img["y0"], img["x1"], img["y1"]) == (
+        72.0, 600.0, 172.0, 680.0)
+    assert all(s["page_id"] == 1 for s in out["spans"])
+
+
+def test_codec_geometry_tm_and_tj_kerning():
+    """Tm absolute placement, TJ kerning advance (thousandths of an
+    em), and show-to-show advance within one line."""
+    from pdfspark.sources.pdf_mini import build_layout_pdf
+
+    pdf = build_layout_pdf(
+        "tm", [[("left", 100, 500), ("right", 300, 500)]])
+    out = decode_tiny_pdf(pdf)
+    _, a, b = out["spans"]
+    assert (a["x0"], a["y0"]) == (100.0, 500.0)
+    assert (b["x0"], b["y0"]) == (300.0, 500.0)
+    # hand-built stream: two shows in one line + TJ with kern
+    raw = build_tiny_pdf("kern", [["placeholder"]])
+    raw = raw.replace(
+        b"(placeholder) Tj",
+        b"(ab) Tj (cd) Tj [(ef) 500 (gh)] TJ")
+    out = decode_tiny_pdf(raw)
+    t = [s for s in out["spans"] if s["kind"] == "TextBox"]
+    assert [s["text"] for s in t] == ["ab", "cd", "efgh"]
+    # each show starts where the previous advance ended (0.5 em/char)
+    assert t[0]["x0"] == 72.0 and t[0]["x1"] == 84.0
+    assert t[1]["x0"] == 84.0 and t[1]["x1"] == 96.0
+    # TJ: 4 chars * 6pt - 500/1000 * 12pt = 24 - 6 = 18pt advance
+    assert t[2]["x0"] == 96.0 and t[2]["x1"] == 114.0
+
+
+def test_codec_state_ops_inside_strings_ignored():
+    """Operand-shaped bytes INSIDE show strings ("0 -14 Td", "99 TL")
+    must not register as state changes (string-masked state scan)."""
+    raw = build_tiny_pdf("mask", [["placeholder", "second"]])
+    raw = raw.replace(b"(placeholder) Tj", b"(x 0 -600 Td 99 TL y) Tj")
+    out = decode_tiny_pdf(raw)
+    t = [s for s in out["spans"] if s["kind"] == "TextBox"]
+    assert t[0]["text"] == "x 0 -600 Td 99 TL y"
+    assert t[0]["y0"] == 720.0
+    assert t[1]["y0"] == 706.0  # the real 0 -14 Td, not the decoy
+
+
+def test_ep3_tables_from_raw_bytes(spark, tmp_path):
+    """The bytes-in → tables-out gap closed: a multi-table %PDF
+    payload decoded by decode_payloads_geom feeds the EP3 pipeline
+    (header_footer + extract_tables_sql) end-to-end, and the
+    reconstructed tables match both the known planted content and
+    the exact reference fold (fold_tables_page) run locally on the
+    same geometry."""
+    from pdfspark.operators.boilerplate import header_footer
+    from pdfspark.operators.tables import extract_tables_sql, fold_tables_page
+    from pdfspark.sources.binary_decode import (
+        decode_payloads_geom,
+        read_payloads,
+    )
+    from pdfspark.sources.pdf_mini import build_layout_pdf
+
+    pages = [
+        [("Intro paragraph before any table.", 72, 740),
+         ("Table 1 Primary results", 72, 720),
+         ("r1c1", 72, 700), ("r1c2", 200, 702), ("r1c3", 330, 698),
+         ("r2c1", 72, 680), ("r2c2", 200, 680), ("r2c3", 330, 681),
+         ("Table 2 Secondary", 72, 640),
+         ("s1a", 72, 620), ("s1b", 200, 620)],
+        [("Closing body text.", 72, 700)],
+    ]
+    d = str(tmp_path / "payloads")
+    os.makedirs(d)
+    with open(os.path.join(d, "t.pdf"), "wb") as fh:
+        fh.write(build_layout_pdf("pdf-tables", pages, compress=True))
+    geom = decode_payloads_geom(read_payloads(spark, d))
+    rows = (extract_tables_sql(geom, header_footer(geom))
+            .orderBy("page_id", "table_id", "row_id").collect())
+    got = [(r.page_id, r.table_id, r.title, r.row_id,
+            None if r.cells is None else list(r.cells)) for r in rows]
+    # known planted content: cell rows cluster by y-tolerance and
+    # order by x within the row
+    by_title = {}
+    for _pg, tid, title, _rid, cells in got:
+        by_title.setdefault(title, []).append(cells)
+    assert ["r1c1", "r1c2", "r1c3"] in by_title["Table 1 Primary results"]
+    assert ["r2c1", "r2c2", "r2c3"] in by_title["Table 1 Primary results"]
+    assert ["s1a", "s1b"] in by_title["Table 2 Secondary"]
+    # exact-parity path (quirks preserved: pre-title row leaks into
+    # table 0, empty-row flush) against the reference fold run
+    # locally on the same decoded geometry
+    from pdfspark.operators.tables import extract_tables_exact
+
+    exact = [(r.page_id, r.table_id, r.title, r.row_id,
+              None if r.cells is None else list(r.cells))
+             for r in extract_tables_exact(geom, header_footer(geom))
+             .orderBy("page_id", "table_id", "row_id").collect()]
+    gx = geom.filter("kind = 'TextBox'").collect()
+    expected = []
+    for pid in sorted({r.page_id for r in gx}):
+        boxes = sorted(
+            [dict(text=r.text, x0=r.x0, y0=r.y0, x1=r.x1, y1=r.y1)
+             for r in gx if r.page_id == pid],
+            key=lambda b: (-b["y1"], b["x1"]))
+        for fr in fold_tables_page(boxes, "", ""):
+            expected.append((pid, fr["table_id"], fr["title"],
+                             fr["row_id"], fr["cells"]))
+    assert exact == sorted(expected)
+    # the quirk is present from raw bytes too: the pre-title Intro
+    # paragraph leaks into table 0's first row (ref :56-65)
+    assert (1, 0, "Table 1 Primary results", 0,
+            ["Intro paragraph before any table."]) in exact

@@ -488,9 +488,33 @@ def _q_minhash_verified(spark, sf_dir):
 
 
 def _q_simhash_pairs(spark, sf_dir):
-    from pdfspark.operators.dedup import simhash_candidates
+    """Dual-config Hamming blocking: the fixture-regime 32-bit 4x8
+    banding (full recall on the planted ~9%-bit-distance corpus)
+    UNION the production tight contract (64-bit, 4x16 bands,
+    hamming <= 3 — pigeonhole-exact, O(N) candidates at scale)."""
+    from pdfspark.operators.dedup import (
+        simhash_candidates,
+        simhash_candidates_tight,
+    )
 
-    return simhash_candidates(_docs_all(spark, sf_dir))
+    from pdfspark.operators.dedup import simhash_signatures
+
+    docs = _docs_all(spark, sf_dir)
+    # ONE bigram explode + ONE 64-column groupBy feeds BOTH configs:
+    # bits 0..31 of the 64-bit signature use the identical digit
+    # source as the 32-bit signature, so the fixture variant's sigs
+    # are literally the 64-bit prefix (pinned by
+    # test_simhash32_is_prefix_of_simhash64) — the dual-config query
+    # costs one signature pass, not two
+    sigs64 = simhash_signatures(docs, bits=64).localCheckpoint(eager=False)
+    sigs32 = sigs64.select(
+        "doc_id", F.substring("simhash", 1, 32).alias("simhash"))
+    cols = ["variant", "doc_a", "doc_b", "sh_a", "sh_b", "hamming"]
+    fx = simhash_candidates(docs, precomputed_sigs=sigs32).withColumn(
+        "variant", F.lit("b32x8"))
+    tt = simhash_candidates_tight(docs, precomputed_sigs=sigs64).withColumn(
+        "variant", F.lit("b64x16h3"))
+    return fx.select(*cols).unionByName(tt.select(*cols))
 
 
 def _q_langid(spark, sf_dir):

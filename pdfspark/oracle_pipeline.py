@@ -226,19 +226,27 @@ WHERE cl.pred_lang = '{lang}' AND cq.quality_score >= {min_quality}
 """
 
 
-def _simhash_cte() -> str:
-    hexdig = (
-        "(strpos('0123456789abcdef', substr(md5(shingle), {p}, 1)) - 1 - 7.5)"
-    )
+def _simhash_cte(bits: int = SIMHASH_HEX, suffix: str = "") -> str:
+    """Positional-digit SimHash CTEs; bits > 32 extend the digit
+    source with md5(shingle || '|2') — the engine's second
+    engine-portable hash (dedup.simhash_signatures)."""
+    def hexdig(p: int) -> str:
+        if p < 32:
+            src, pos = "md5(shingle)", p + 1
+        else:
+            src, pos = "md5(shingle || '|2')", p - 31
+        return (f"(strpos('0123456789abcdef', substr({src}, {pos}, 1))"
+                f" - 1 - 7.5)")
+
     sums = ", ".join(
-        f"sum({hexdig.format(p=p + 1)}) AS s{p}" for p in range(SIMHASH_HEX)
+        f"sum({hexdig(p)}) AS s{p}" for p in range(bits)
     )
-    bits = " || ".join(
-        f"CASE WHEN s{p} > 0 THEN '1' ELSE '0' END" for p in range(SIMHASH_HEX)
+    bitstr = " || ".join(
+        f"CASE WHEN s{p} > 0 THEN '1' ELSE '0' END" for p in range(bits)
     )
     return f"""
-ssum AS (SELECT doc_id, {sums} FROM shingles2 GROUP BY doc_id),
-ssig AS (SELECT doc_id, {bits} AS simhash FROM ssum)
+ssum{suffix} AS (SELECT doc_id, {sums} FROM shingles2 GROUP BY doc_id),
+ssig{suffix} AS (SELECT doc_id, {bitstr} AS simhash FROM ssum{suffix})
 """
 
 
@@ -249,41 +257,67 @@ SELECT doc_id, simhash FROM ssig
 """
 
 
-def simhash_pairs_sql(fix: str) -> str:
-    w = SIMHASH_HEX // SIMHASH_BANDS
+def _simhash_pairs_ctes(bits: int, bands: int, suffix: str) -> str:
+    """Two-tier candidate CTE chain (signature-group star + banded
+    all-pairs across distinct signatures) for one banding config,
+    twin of dedup.simhash_candidates."""
+    w = bits // bands
     band_rows = "\n  UNION ALL\n  ".join(
         f"SELECT doc_id, simhash, {b} AS band,"
-        f" substr(simhash, {b * w + 1}, {w}) AS band_bits FROM ssig"
-        for b in range(SIMHASH_BANDS)
+        f" substr(simhash, {b * w + 1}, {w}) AS band_bits"
+        f" FROM dsig{suffix}"
+        for b in range(bands)
     )
-    ham = " + ".join(
-        f"CASE WHEN substr(sh_a, {p + 1}, 1) <> substr(sh_b, {p + 1}, 1)"
-        f" THEN 1 ELSE 0 END"
-        for p in range(SIMHASH_HEX)
-    )
-    # two-tier twin of dedup.simhash_candidates: signature-group star
-    # + banded all-pairs across distinct signatures
     return f"""
-WITH {_docs_all(fix)}, {_shingles(2, "shingles2")}, {_simhash_cte()},
-sgroups AS (
-  SELECT simhash, min(doc_id) AS rep_id FROM ssig GROUP BY simhash),
-intra AS (
+sgroups{suffix} AS (
+  SELECT simhash, min(doc_id) AS rep_id FROM ssig{suffix}
+  GROUP BY simhash),
+intra{suffix} AS (
   SELECT g.rep_id AS doc_a, s.doc_id AS doc_b,
          g.simhash AS sh_a, s.simhash AS sh_b
-  FROM ssig s JOIN sgroups g USING (simhash)
+  FROM ssig{suffix} s JOIN sgroups{suffix} g USING (simhash)
   WHERE s.doc_id <> g.rep_id),
-dsig AS (SELECT rep_id AS doc_id, simhash FROM sgroups),
-sbands AS (
-  {band_rows.replace('FROM ssig', 'FROM dsig')}),
-crossp AS (
+dsig{suffix} AS (SELECT rep_id AS doc_id, simhash FROM sgroups{suffix}),
+sbands{suffix} AS (
+  {band_rows}),
+crossp{suffix} AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
          a.simhash AS sh_a, b.simhash AS sh_b
-  FROM sbands a JOIN sbands b
+  FROM sbands{suffix} a JOIN sbands{suffix} b
        ON a.band = b.band AND a.band_bits = b.band_bits
           AND a.doc_id < b.doc_id),
-spairs AS (
-  SELECT * FROM intra UNION ALL SELECT * FROM crossp)
-SELECT doc_a, doc_b, sh_a, sh_b, CAST({ham} AS INT) AS hamming FROM spairs
+spairs{suffix} AS (
+  SELECT * FROM intra{suffix} UNION ALL SELECT * FROM crossp{suffix})
+"""
+
+
+def _ham_expr(bits: int) -> str:
+    return " + ".join(
+        f"CASE WHEN substr(sh_a, {p + 1}, 1) <> substr(sh_b, {p + 1}, 1)"
+        f" THEN 1 ELSE 0 END"
+        for p in range(bits)
+    )
+
+
+def simhash_pairs_sql(fix: str) -> str:
+    """Twin of the dual-config dd_simhash_pairs driver row: the
+    fixture-regime 32-bit 4x8 banding (variant 'b32x8') UNION the
+    production tight contract — 64-bit, 4x16-bit bands, hamming <= 3
+    (variant 'b64x16h3', dedup.simhash_candidates_tight)."""
+    return f"""
+WITH {_docs_all(fix)}, {_shingles(2, "shingles2")},
+{_simhash_cte(SIMHASH_HEX, "")}, {_simhash_cte(64, "t")},
+{_simhash_pairs_ctes(SIMHASH_HEX, SIMHASH_BANDS, "")},
+{_simhash_pairs_ctes(64, 4, "t")}
+SELECT 'b32x8' AS variant, doc_a, doc_b, sh_a, sh_b,
+       CAST({_ham_expr(SIMHASH_HEX)} AS INT) AS hamming
+FROM spairs
+UNION ALL
+SELECT 'b64x16h3' AS variant, doc_a, doc_b, sh_a, sh_b, hamming
+FROM (SELECT doc_a, doc_b, sh_a, sh_b,
+             CAST({_ham_expr(64)} AS INT) AS hamming
+      FROM spairst)
+WHERE hamming <= 3
 """
 
 

@@ -977,3 +977,63 @@ def test_classify_fold_parity_edges(spark):
     # (3) NULL text behaves as '' (fold_document coercion)
     assert c[2].content == "" and c[2].line_count == 0
     assert not c[2].is_heading
+
+
+def test_simhash_tight_candidates_pigeonhole_exact_and_linear(spark):
+    """The production 64-bit / 4x16-band / h<=3 config: every planted
+    pair within the hamming budget MUST surface (pigeonhole over 4
+    bands — exact recall, not probabilistic), and raw candidate
+    volume stays O(N) (random 16-bit band collisions ~2^-16), unlike
+    the ~N^2/256 of 8-bit bands. Signatures injected via
+    precomputed_sigs so distances are exact by construction."""
+    import hashlib
+
+    from pdfspark.operators.dedup import (
+        simhash_candidates,
+        simhash_candidates_tight,
+    )
+
+    def sig64(seed: str) -> str:
+        return "".join(
+            f"{b:08b}" for b in hashlib.md5(seed.encode()).digest()[:8])
+
+    rows, planted = [], []
+    n_docs = 400
+    for i in range(n_docs // 2):
+        base = sig64(f"base-{i}")
+        rows.append((2 * i, base))
+        flips = {(i * 7 + k * 13) % 64 for k in range(3)}  # always 3
+        mut = list(base)
+        for p in flips:
+            mut[p] = "1" if mut[p] == "0" else "0"
+        rows.append((2 * i + 1, "".join(mut)))
+        planted.append((2 * i, 2 * i + 1))
+    sigs = spark.createDataFrame(rows, "doc_id long, simhash string")
+
+    tight = {(r.doc_a, r.doc_b): r.hamming
+             for r in simhash_candidates_tight(
+                 None, precomputed_sigs=sigs).collect()}
+    for a, b in planted:
+        assert tight.get((a, b)) == 3, (a, b, tight.get((a, b)))
+    # raw (pre-budget) candidate stream is linear in N
+    raw = simhash_candidates(None, bits=64, bands=4,
+                             precomputed_sigs=sigs).count()
+    assert raw < n_docs, raw  # planted N/2 + tiny collision noise
+
+
+def test_simhash32_is_prefix_of_simhash64(spark):
+    """Bits 0..31 of the 64-bit signature use the identical digit
+    source as the 32-bit signature — the prefix property the dual-
+    config driver query's shared signature pass relies on."""
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon word{i} zeta eta")
+         for i in range(20)],
+        "doc_id long, text string")
+    s32 = {r.doc_id: r.simhash
+           for r in simhash_signatures(docs).collect()}
+    s64 = {r.doc_id: r.simhash
+           for r in simhash_signatures(docs, bits=64).collect()}
+    assert set(s32) == set(s64)
+    for d, s in s32.items():
+        assert len(s) == 32 and len(s64[d]) == 64
+        assert s64[d][:32] == s

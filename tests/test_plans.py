@@ -56,7 +56,12 @@ PUSHDOWN_REQUIRED = {
 # round must explain or revert.
 MAX_EXCHANGES = {
     "dd_exact_dups": 1, "dd_minhash_pairs": 5, "dd_minhash_verified": 11,
-    "dd_simhash_pairs": 5, "dd_components": 4, "ts_langid": 0,
+    # dd_simhash_pairs 5 -> 6 (round 5): the dual-config row (fixture
+    # 4x8 + production 64-bit/4x16/h<=3) shares ONE bigram explode +
+    # signature groupBy (32-bit sig = 64-bit prefix); the one extra
+    # exchange is the second config's band/group stage, vs +3 for an
+    # unshared union
+    "dd_simhash_pairs": 6, "dd_components": 4, "ts_langid": 0,
     "ts_quality_tokens": 0, "ts_fingerprints": 0, "td_curation": 3,
     "sim_ann_topk": 1, "sim_ivf_topk": 2, "j5_topk_euclidean": 1,
     # sim_neardup_lsh 4 -> 5 (round 4): the star-candidate rewrite

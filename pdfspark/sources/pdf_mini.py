@@ -195,6 +195,15 @@ _CSRANGE_RE = re.compile(
 _BFRANGE_RE = re.compile(rb"beginbfrange(.*?)endbfrange", re.DOTALL)
 _CMAP_TOK_RE = re.compile(rb"<([0-9A-Fa-f]+)>|(\[)|(\])")
 _SUBTYPE_FORM_RE = re.compile(rb"/Subtype\s*/Form\b")
+# simple-font /Encoding (§9.6.6): a name, an inline dict, or an
+# indirect ref to a dict with /BaseEncoding + /Differences
+_ENC_NAME_RE = re.compile(rb"/Encoding\s*/(\w+)")
+_ENC_REF_RE = re.compile(rb"/Encoding\s+(\d+)\s+\d+\s+R")
+_ENC_DICT_RE = re.compile(rb"/Encoding\s*<<(.*?)>>", re.DOTALL)
+_ENC_DICT_RE_BODY = re.compile(rb"<<(.*?)>>", re.DOTALL)
+_BASEENC_RE = re.compile(rb"/BaseEncoding\s*/(\w+)")
+_DIFFS_RE = re.compile(rb"/Differences\s*\[(.*?)\]", re.DOTALL)
+_DIFF_TOK_RE = re.compile(rb"(\d+)|/([A-Za-z0-9._]+)")
 _FIRST_REF_RE = re.compile(rb"/First\s+(\d+)\s+\d+\s+R")
 _NEXT_REF_RE = re.compile(rb"/Next\s+(\d+)\s+\d+\s+R")
 # standard security handler (PDF 32000-1 §7.6.2-7.6.4, public spec)
@@ -569,7 +578,8 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
                    quote_show: bool = False,
                    title_utf16: bool = False,
                    cid: bool = False,
-                   encrypt: str | None = None) -> bytes:
+                   encrypt: str | None = None,
+                   encoding: str | None = None) -> bytes:
     """A complete PDF: one content stream per page, one Tj text-show
     per line, doc_id in the Info /Title. ``compress`` selects the
     content-stream filter: True/'flate' (/FlateDecode, the real-world
@@ -605,7 +615,15 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
     password (the world-readable restricted-permissions shape);
     'rc4-128-pw' sets a real user password (the decoder must
     quarantine, not guess); 'aesv2' writes a V4 /AESV2 crypt-filter
-    dict (beyond the RC4 slice — must quarantine)."""
+    dict (beyond the RC4 slice — must quarantine).
+    ``encoding`` selects the simple-font encoding shape (ignored
+    under ``cid``): 'macroman' declares /Encoding /MacRomanEncoding
+    and emits show bytes in Mac OS Roman (the pre-OSX-writer shape
+    where é is byte 0x8E, not 0xE9); 'differences' declares an
+    /Encoding dict whose /Differences remaps every non-ASCII char of
+    the document to codes 128+ under AGL glyph names (the embedded-
+    subset Type1 shape) — in both, a latin-1 identity decode emits
+    garbage and only the /Encoding path recovers the text."""
     n_pages = len(pages)
     images = images or [0] * n_pages
     # object numbering: 1 catalog, 2 pages, 3..2+n page objs,
@@ -632,6 +650,14 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
                           | set(form_header or ""))
         cid_codes = {c: 0x0100 + i for i, c in enumerate(alphabet)}
 
+    diff_codes: dict[str, int] = {}
+    if encoding == "differences" and not cid:
+        specials = sorted({c for pg in pages for ln in pg for c in ln
+                           if ord(c) > 126} | {c for c in (form_header
+                                                           or "")
+                                               if ord(c) > 126})
+        diff_codes = {c: 128 + i for i, c in enumerate(specials)}
+
     def _show_operand(line: str) -> bytes:
         if cid:
             # the form inherits the page's /F1, so its shows must be
@@ -639,6 +665,13 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
             # show under a 2-byte Identity-H font)
             codes = b"".join(b"%04X" % cid_codes[c] for c in line)
             return b"<" + codes + b">"
+        if encoding == "macroman":
+            raw = line.encode("mac_roman")
+            return b"(" + _escape("".join(chr(b) for b in raw)) + b")"
+        if encoding == "differences":
+            remapped = "".join(chr(diff_codes.get(c, ord(c)))
+                               for c in line)
+            return b"(" + _escape(remapped) + b")"
         if hex_show:
             return (b"<" + line.encode("latin-1", "replace")
                     .hex().encode("ascii") + b">")
@@ -738,8 +771,20 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
         objs[tounicode_obj] = (b"<< /Length %d >>\nstream\n" % len(cm)
                                + cm + b"\nendstream")
     else:
+        enc_clause = b""
+        if encoding == "macroman":
+            enc_clause = b" /Encoding /MacRomanEncoding"
+        elif encoding == "differences" and diff_codes:
+            rev = {}
+            for k in sorted(_AGL):
+                rev.setdefault(_AGL[k], k)
+            ents = b" ".join(
+                b"%d /%s" % (code, rev[c].encode("ascii"))
+                for c, code in sorted(diff_codes.items(),
+                                      key=lambda kv: kv[1]))
+            enc_clause = b" /Encoding << /Differences [ " + ents + b" ] >>"
         objs[font_obj] = (b"<< /Type /Font /Subtype /Type1 "
-                          b"/BaseFont /Helvetica >>")
+                          b"/BaseFont /Helvetica" + enc_clause + b" >>")
     if title_utf16:
         thex = (b"\xfe\xff" + doc_id.encode("utf-16-be")
                 ).hex().upper().encode("ascii")
@@ -1718,23 +1763,206 @@ def _parse_tounicode(data: bytes) -> dict:
     return {"width": width, "map": cmap}
 
 
+def _build_agl() -> dict[str, str]:
+    """Glyph-name -> Unicode table: the slice of the public Adobe
+    Glyph List a simple-font /Differences array draws from — ASCII
+    names, Latin accents (generated via unicodedata, deterministic),
+    and the common typographic/symbol names. uniXXXX / uXXXXXX names
+    are handled programmatically in _glyph_char."""
+    import string as _string
+    import unicodedata as _ud
+
+    agl = {
+        "space": " ", "exclam": "!", "quotedbl": '"',
+        "numbersign": "#", "dollar": "$", "percent": "%",
+        "ampersand": "&", "quotesingle": "'", "parenleft": "(",
+        "parenright": ")", "asterisk": "*", "plus": "+", "comma": ",",
+        "hyphen": "-", "period": ".", "slash": "/", "colon": ":",
+        "semicolon": ";", "less": "<", "equal": "=", "greater": ">",
+        "question": "?", "at": "@", "bracketleft": "[",
+        "backslash": "\\", "bracketright": "]", "asciicircum": "^",
+        "underscore": "_", "grave": "`", "braceleft": "{", "bar": "|",
+        "braceright": "}", "asciitilde": "~",
+    }
+    agl.update({c: c for c in _string.ascii_letters})
+    for i, w in enumerate(["zero", "one", "two", "three", "four",
+                           "five", "six", "seven", "eight", "nine"]):
+        agl[w] = str(i)
+    for base in "aceinouyACEINOUY":
+        for suffix, uname in [
+            ("acute", "ACUTE"), ("grave", "GRAVE"),
+            ("circumflex", "CIRCUMFLEX"), ("dieresis", "DIAERESIS"),
+            ("tilde", "TILDE"), ("ring", "RING ABOVE"),
+            ("cedilla", "CEDILLA"), ("macron", "MACRON"),
+            ("caron", "CARON"), ("breve", "BREVE"),
+        ]:
+            case = "SMALL" if base.islower() else "CAPITAL"
+            try:
+                agl[base + suffix] = _ud.lookup(
+                    f"LATIN {case} LETTER {base.upper()} WITH {uname}")
+            except KeyError:
+                pass
+    agl.update({
+        "germandbls": "ß", "ae": "æ", "AE": "Æ",
+        "oe": "œ", "OE": "Œ", "oslash": "ø",
+        "Oslash": "Ø", "thorn": "þ", "Thorn": "Þ",
+        "eth": "ð", "Eth": "Ð", "dotlessi": "ı",
+        "lslash": "ł", "Lslash": "Ł", "Euro": "€",
+        "sterling": "£", "yen": "¥", "cent": "¢",
+        "currency": "¤", "section": "§",
+        "paragraph": "¶", "copyright": "©",
+        "registered": "®", "trademark": "™",
+        "degree": "°", "plusminus": "±",
+        "divide": "÷", "multiply": "×", "mu": "µ",
+        "periodcentered": "·", "bullet": "•",
+        "dagger": "†", "daggerdbl": "‡",
+        "ellipsis": "…", "emdash": "—", "endash": "–",
+        "quoteleft": "‘", "quoteright": "’",
+        "quotedblleft": "“", "quotedblright": "”",
+        "quotesinglbase": "‚", "quotedblbase": "„",
+        "guillemotleft": "«", "guillemotright": "»",
+        "guilsinglleft": "‹", "guilsinglright": "›",
+        "exclamdown": "¡", "questiondown": "¿",
+        "florin": "ƒ", "fraction": "⁄",
+        "perthousand": "‰", "brokenbar": "¦",
+        "ordfeminine": "ª", "ordmasculine": "º",
+        "onequarter": "¼", "onehalf": "½",
+        "threequarters": "¾", "onesuperior": "¹",
+        "twosuperior": "²", "threesuperior": "³",
+        "logicalnot": "¬", "acute": "´",
+        "dieresis": "¨", "cedilla": "¸",
+        "tilde": "˜", "circumflex": "ˆ",
+        "caron": "ˇ", "macron": "¯", "breve": "˘",
+        "dotaccent": "˙", "ring": "˚", "ogonek": "˛",
+        "hungarumlaut": "˝",
+    })
+    return agl
+
+
+_AGL = _build_agl()
+
+
+def _glyph_char(name: str) -> str:
+    """AGL-subset glyph name -> character; uniXXXX / uXXXX[XX] parsed
+    per the AGL algorithm. Unknown names quarantine — substituting
+    .notdef or guessing would be a silent wrong parse."""
+    if name in _AGL:
+        return _AGL[name]
+    if name.startswith("uni") and len(name) == 7:
+        return chr(int(name[3:], 16))
+    if name.startswith("u") and len(name) in (5, 7):
+        try:
+            return chr(int(name[1:], 16))
+        except ValueError:
+            pass
+    raise ValueError(f"unknown glyph name /{name}")
+
+
+def _base_encoding_map(name: bytes | None) -> dict[int, str]:
+    """Byte -> char table for a named simple-font base encoding.
+    WinAnsi IS cp1252 and MacRoman IS the classic Mac OS Roman set —
+    both stdlib codecs, so the tables come from the codecs themselves
+    (undefined cp1252 slots stay unmapped; showing one quarantines).
+    No /Encoding name (bare /Differences dict) keeps the latin-1
+    identity base the codec has always used for plain simple fonts.
+    Any OTHER name (StandardEncoding's 30+ high-range moves,
+    MacExpertEncoding, symbolic sets) quarantines — decoding those
+    through latin-1 would silently emit wrong characters."""
+    if name is None:
+        codec = "latin-1"
+    elif name == b"WinAnsiEncoding":
+        codec = "cp1252"
+    elif name == b"MacRomanEncoding":
+        codec = "mac_roman"
+    else:
+        raise ValueError(
+            f"unsupported base encoding /{name.decode('latin-1')}")
+    table: dict[int, str] = {}
+    for b in range(256):
+        try:
+            table[b] = bytes([b]).decode(codec)
+        except UnicodeDecodeError:
+            pass
+    return table
+
+
+def _parse_differences(raw: bytes, table: dict[int, str]) -> None:
+    """Overlay a /Differences array (§9.6.6.3: a code number followed
+    by the glyph names for consecutive codes) onto ``table``."""
+    code = None
+    for tok in _DIFF_TOK_RE.finditer(raw):
+        if tok.group(1) is not None:
+            code = int(tok.group(1))
+            continue
+        if code is None or code > 255:
+            raise ValueError("malformed /Differences array")
+        table[code] = _glyph_char(tok.group(2).decode("latin-1"))
+        code += 1
+
+
 def _font_cmap(objs, fnum: int | None, cache: dict) -> dict | None:
-    """The parsed ToUnicode CMap of font object ``fnum`` (None when
-    the font has no /ToUnicode — simple fonts whose string bytes ARE
-    latin-1-compatible character codes). Memoized per decode call."""
+    """The decode table of font object ``fnum``, memoized per decode
+    call. Three shapes: a /ToUnicode CMap ({'width','map'} — wins
+    when present, it IS the text mapping); a simple-font /Encoding
+    ({'enc_map'}: WinAnsi / MacRoman base + /Differences overlay,
+    §9.6.6); or None — fonts with neither keep the latin-1 identity
+    (their string bytes ARE the character codes)."""
     if fnum is None:
         return None
     if fnum not in cache:
         body = objs.get(fnum)
         cm = _TOUNICODE_RE.search(body) if body is not None else None
-        if cm is None:
-            cache[fnum] = None
-        else:
+        if cm is not None:
             tu = objs.get(int(cm.group(1)))
             if tu is None:
                 raise ValueError("missing ToUnicode stream object")
             cache[fnum] = _parse_tounicode(_content_stream(tu))
+        else:
+            cache[fnum] = _font_encoding(objs, body)
     return cache[fnum]
+
+
+def _font_encoding(objs, body: bytes | None) -> dict | None:
+    """Parse a simple font's /Encoding entry (name, inline dict, or
+    indirect dict) into {'enc_map': {byte: char}}; None when the font
+    has no /Encoding."""
+    if body is None:
+        return None
+    dm = _ENC_DICT_RE.search(body)
+    if dm is None:
+        rm = _ENC_REF_RE.search(body)
+        if rm is not None:
+            enc_obj = objs.get(int(rm.group(1)))
+            if enc_obj is None:
+                raise ValueError("missing /Encoding object")
+            dm = _ENC_DICT_RE_BODY.search(enc_obj)
+            if dm is None:
+                raise ValueError("/Encoding ref is not a dictionary")
+        else:
+            nm = _ENC_NAME_RE.search(body)
+            if nm is None:
+                return None
+            return {"enc_map": _base_encoding_map(nm.group(1))}
+    ddict = dm.group(1)
+    bm = _BASEENC_RE.search(ddict)
+    table = _base_encoding_map(bm.group(1) if bm is not None else None)
+    dfm = _DIFFS_RE.search(ddict)
+    if dfm is not None:
+        _parse_differences(dfm.group(1), table)
+    return {"enc_map": table}
+
+
+def _decode_simple(bs: bytes, enc_map: dict[int, str]) -> str:
+    """String bytes -> text through a simple-font encoding table; a
+    byte outside the table (undefined cp1252 slot, un-overlaid code)
+    is a WRONG parse and quarantines."""
+    out = []
+    for b in bs:
+        t = enc_map.get(b)
+        if t is None:
+            raise ValueError(f"byte {b:#x} undefined in font encoding")
+        out.append(t)
+    return "".join(out)
 
 
 def _decode_codes(bs: bytes, cmap: dict) -> str:
@@ -1860,9 +2088,11 @@ def _walk_content(objs, cdata, xobjs, emit, active,
         return (min(xs), min(ys), max(xs), max(ys))
 
     def _show_text(raw_bytes: bytes, cmap) -> str:
-        if cmap is not None:
-            return _decode_codes(raw_bytes, cmap)
-        return raw_bytes.decode("latin-1")
+        if cmap is None:
+            return raw_bytes.decode("latin-1")
+        if "enc_map" in cmap:  # simple-font /Encoding table
+            return _decode_simple(raw_bytes, cmap["enc_map"])
+        return _decode_codes(raw_bytes, cmap)
 
     bts = [(m.start(), m) for m in _BT_RE.finditer(cdata)]
     spans_bt = [(m.start(), m.end()) for _p, m in bts]

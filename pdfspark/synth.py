@@ -650,6 +650,42 @@ def write_pdf_payloads(out_dir: str) -> None:
     assert [s["kind"] for s in decoded["spans"]].count("Image") == 1
     rows.append((r128_id, "ok", len(decoded["spans"]), len(payload),
                  geom_digest(decoded["spans"])))
+    # simple-font /Encoding slice: /Differences remap (embedded-
+    # subset Type1 shape) and /MacRomanEncoding byte semantics —
+    # accented European text a latin-1 identity decode would garble
+    df_id = "pdfdoc-00028"
+    payload = build_tiny_pdf(
+        df_id, [["16. Diacritiques", "Café déjà vu — naïve François."],
+                ["Zürich piñata søster."]],
+        encoding="differences", compress=True)
+    with open(os.path.join(pdir, f"{df_id}.pdf"), "wb") as fh:
+        fh.write(payload)
+    decoded = decode_tiny_pdf(payload)
+    assert decoded["doc_id"] == df_id
+    assert "Café déjà vu — naïve François." in [
+        s["text"] for s in decoded["spans"]]
+    rows.append((df_id, "ok", len(decoded["spans"]), len(payload),
+                 geom_digest(decoded["spans"])))
+    mr_id = "pdfdoc-00029"
+    payload = build_tiny_pdf(
+        mr_id, [["17. MacRoman", "Crème brûlée à Montréal."]],
+        encoding="macroman")
+    with open(os.path.join(pdir, f"{mr_id}.pdf"), "wb") as fh:
+        fh.write(payload)
+    decoded = decode_tiny_pdf(payload)
+    assert decoded["doc_id"] == mr_id
+    assert "Crème brûlée à Montréal." in [
+        s["text"] for s in decoded["spans"]]
+    rows.append((mr_id, "ok", len(decoded["spans"]), len(payload),
+                 geom_digest(decoded["spans"])))
+    # unknown base encoding -> quarantine (wrong-parse guard: latin-1
+    # through MacExpert/Standard high ranges would be silent garbage)
+    ub = build_tiny_pdf("encoding_unknown", [["expert set"]]).replace(
+        b"/BaseFont /Helvetica",
+        b"/BaseFont /Helvetica /Encoding /MacExpertEncoding")
+    with open(os.path.join(pdir, "encoding_unknown.pdf"), "wb") as fh:
+        fh.write(ub)
+    rows.append(("encoding_unknown", "decode_error", 0, len(ub), ""))
     # beyond the RC4 slice: a REAL user password (the /U check fails)
     # and AES /V 4 must quarantine — ciphertext never parses on
     pw = build_tiny_pdf("encrypted_pw", [["secret body"]],
@@ -1037,7 +1073,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 19  # 19: span geometry from the codec (geom_digest sidecar)
+FIXTURE_VERSION = 20  # 20: geometry sidecar + /Encoding payloads (00028/29)
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

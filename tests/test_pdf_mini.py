@@ -876,3 +876,61 @@ def test_ep3_tables_from_raw_bytes(spark, tmp_path):
     # paragraph leaks into table 0's first row (ref :56-65)
     assert (1, 0, "Table 1 Primary results", 0,
             ["Intro paragraph before any table."]) in exact
+
+
+def test_simple_font_encodings_recover_accented_text():
+    """§9.6.6 simple-font encodings: /MacRomanEncoding (é = 0x8E, not
+    latin-1's 0xE9) and an /Encoding << /Differences >> remap to
+    codes 128+ under AGL glyph names — both must recover the exact
+    text a latin-1 identity would garble. Geometry rides along
+    unchanged (advance counts decoded chars)."""
+    pages = [["Café déjà vu — naïve François", "Zürich piñata"],
+             ["søster Øre"]]
+    flat = [ln for pg in pages for ln in pg]
+    for enc in ("macroman", "differences"):
+        out = decode_tiny_pdf(build_tiny_pdf("e", pages, encoding=enc))
+        texts = [s["text"] for s in out["spans"] if s["kind"] == "TextBox"]
+        assert texts == flat, (enc, texts)
+        t0 = [s for s in out["spans"] if s["kind"] == "TextBox"][0]
+        assert (t0["x0"], t0["y0"]) == (72.0, 720.0)
+        assert t0["x1"] == 72.0 + 0.5 * 12 * len(flat[0])
+    # compressed + encrypted writers compose with the encoding path
+    out = decode_tiny_pdf(build_tiny_pdf(
+        "e2", pages, encoding="differences", compress=True,
+        encrypt="rc4-128"))
+    assert [s["text"] for s in out["spans"]
+            if s["kind"] == "TextBox"] == flat
+
+
+def test_simple_font_encoding_quarantines():
+    """Wrong-parse guards: an unsupported base encoding name and a
+    show referencing an undefined cp1252 slot must quarantine —
+    decoding on through latin-1 would silently emit wrong text."""
+    bad = build_tiny_pdf("b", [["hello"]]).replace(
+        b"/BaseFont /Helvetica",
+        b"/BaseFont /Helvetica /Encoding /MacExpertEncoding")
+    with pytest.raises(ValueError, match="unsupported base encoding"):
+        decode_tiny_pdf(bad)
+    bad2 = build_tiny_pdf("b2", [["abc"]]).replace(
+        b"/BaseFont /Helvetica",
+        b"/BaseFont /Helvetica /Encoding /WinAnsiEncoding").replace(
+        b"(abc)", b"(a\x81c)")
+    with pytest.raises(ValueError, match="undefined in font encoding"):
+        decode_tiny_pdf(bad2)
+    # unknown glyph name in /Differences
+    bad3 = build_tiny_pdf("b3", [["x"]]).replace(
+        b"/BaseFont /Helvetica",
+        b"/BaseFont /Helvetica /Encoding "
+        b"<< /Differences [ 120 /notarealglyph ] >>")
+    with pytest.raises(ValueError, match="unknown glyph name"):
+        decode_tiny_pdf(bad3)
+
+
+def test_tounicode_wins_over_simple_encoding():
+    """A font carrying BOTH /ToUnicode and /Encoding decodes through
+    the CMap (it IS the authoritative text mapping, §9.10.2)."""
+    pdf = build_tiny_pdf("cid-enc", [["CID body text."]], cid=True)
+    pdf = pdf.replace(b"/Encoding /Identity-H",
+                      b"/Encoding /Identity-H /Subtype /Type0")
+    out = decode_tiny_pdf(pdf)
+    assert "CID body text." in [s["text"] for s in out["spans"]]

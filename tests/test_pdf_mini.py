@@ -728,18 +728,50 @@ def test_pdf_rc4_encrypted_round_trip(mode):
 
 
 def test_pdf_rc4_beyond_slice_quarantines():
-    """A real user password (the /U check fails), AES /V 4, and a
-    tampered /U must all quarantine — never a garbage parse."""
+    """A real user password (the /U check fails, RC4 or AES), AES-256
+    /V 5, and a tampered /U must all quarantine — never a garbage
+    parse."""
     pages = [["secret line"]]
     with pytest.raises(ValueError, match="password protected"):
         decode_tiny_pdf(build_tiny_pdf("pw", pages, encrypt="rc4-128-pw"))
-    with pytest.raises(ValueError, match="beyond the RC4 slice"):
-        decode_tiny_pdf(build_tiny_pdf("aes", pages, encrypt="aesv2"))
+    with pytest.raises(ValueError, match="password protected"):
+        decode_tiny_pdf(build_tiny_pdf("pw2", pages, encrypt="aesv2-pw"))
+    with pytest.raises(ValueError, match="beyond the RC4/AESV2 slice"):
+        decode_tiny_pdf(build_tiny_pdf("aes", pages, encrypt="aes256"))
     enc = build_tiny_pdf("tamper", pages, encrypt="rc4-40")
     i = enc.rfind(b"/U <")
     flip = b"1" if enc[i + 4:i + 5] == b"0" else b"0"
     with pytest.raises(ValueError, match="password protected"):
         decode_tiny_pdf(enc[:i + 4] + flip + enc[i + 5:])
+
+
+def test_pdf_aesv2_round_trip_and_guards():
+    """/V 4 /R 4 AESV2 (the modern encrypted-PDF default): spans must
+    equal the unencrypted twin's across compression, images, CID
+    fonts, and simple-font encodings; ciphertext must not leak
+    plaintext; tampered ciphertext quarantines (bad padding/deflate),
+    and a non-StdCF string filter quarantines rather than
+    mis-decrypting."""
+    pages = [["1. AES", "Sealed body text."], ["Second page."]]
+    plain = decode_tiny_pdf(build_tiny_pdf("a", pages, compress=True,
+                                           images=[1, 0]))
+    enc = build_tiny_pdf("a", pages, compress=True, images=[1, 0],
+                         encrypt="aesv2")
+    assert b"Sealed body text." not in enc
+    assert decode_tiny_pdf(enc) == plain
+    for opts in (dict(cid=True), dict(encoding="differences"),
+                 dict(quote_show=True)):
+        p2 = decode_tiny_pdf(build_tiny_pdf("a", pages, **opts))
+        assert decode_tiny_pdf(
+            build_tiny_pdf("a", pages, encrypt="aesv2", **opts)) == p2
+    # flip bytes inside the largest stream payload -> quarantine
+    i = enc.find(b"stream\n") + len(b"stream\n")
+    bad = enc[:i + 20] + bytes(b ^ 0xFF for b in enc[i + 20:i + 24]) \
+        + enc[i + 24:]
+    with pytest.raises(ValueError):
+        decode_tiny_pdf(bad)
+    with pytest.raises(ValueError, match="not StdCF"):
+        decode_tiny_pdf(enc.replace(b"/StrF /StdCF", b"/StrF /Identity"))
 
 
 def test_pdf_rc4_wrong_parse_guard_still_applies():

@@ -125,7 +125,7 @@ def _scanner_safe(pages) -> bool:
             "quote_show": st.booleans(),
             "cid": st.booleans(),
             "title_utf16": st.booleans(),
-            "encrypt": st.sampled_from([None, "rc4-40", "rc4-128"]),
+            "encrypt": st.sampled_from([None, "rc4-40", "rc4-128", "aesv2"]),
         }
     ),
 )
@@ -149,7 +149,7 @@ def test_pdf_codec_spans_invariant_under_writer_options(pages, opts):
             "cid": st.booleans(),
         }
     ),
-    st.sampled_from(["rc4-40", "rc4-128"]),
+    st.sampled_from(["rc4-40", "rc4-128", "aesv2"]),
 )
 def test_pdf_codec_encryption_is_span_invariant(pages, opts, mode):
     from pdfspark.sources.pdf_mini import build_tiny_pdf, decode_tiny_pdf

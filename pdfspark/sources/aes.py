@@ -57,6 +57,12 @@ def _build_sbox() -> tuple[list[int], list[int]]:
 _SBOX, _INV_SBOX = _build_sbox()
 _RCON = [0x01, 0x02, 0x04, 0x08, 0x10, 0x20, 0x40, 0x80, 0x1B, 0x36,
          0x6C, 0xD8, 0xAB, 0x4D]
+# precomputed GF(2^8) multiplication tables for the fixed MixColumns
+# coefficients — the R6 KDF (Algorithm 2.B) runs thousands of blocks
+# per key derivation, and per-bit _gmul loops make that minutes in
+# pure Python; table lookups make it tenths of a second
+_MUL = {c: [_gmul(x, c) for x in range(256)]
+        for c in (2, 3, 9, 11, 13, 14)}
 
 
 def _expand_key(key: bytes) -> list[list[int]]:
@@ -91,17 +97,18 @@ def _encrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
     st = list(block)
     _add_round_key(st, rks[0])
     nr = len(rks) - 1
+    m2, m3 = _MUL[2], _MUL[3]
     for rnd in range(1, nr + 1):
         st = [_SBOX[st[_SHIFT[i]]] for i in range(16)]  # sub+shift
         if rnd != nr:
             out = []
-            for c in range(4):
-                a = st[4 * c:4 * c + 4]
+            for c in range(0, 16, 4):
+                a0, a1, a2, a3 = st[c:c + 4]
                 out += [
-                    _gmul(a[0], 2) ^ _gmul(a[1], 3) ^ a[2] ^ a[3],
-                    a[0] ^ _gmul(a[1], 2) ^ _gmul(a[2], 3) ^ a[3],
-                    a[0] ^ a[1] ^ _gmul(a[2], 2) ^ _gmul(a[3], 3),
-                    _gmul(a[0], 3) ^ a[1] ^ a[2] ^ _gmul(a[3], 2),
+                    m2[a0] ^ m3[a1] ^ a2 ^ a3,
+                    a0 ^ m2[a1] ^ m3[a2] ^ a3,
+                    a0 ^ a1 ^ m2[a2] ^ m3[a3],
+                    m3[a0] ^ a1 ^ a2 ^ m2[a3],
                 ]
             st = out
         _add_round_key(st, rks[rnd])
@@ -112,33 +119,35 @@ def _decrypt_block(block: bytes, rks: list[list[int]]) -> bytes:
     st = list(block)
     nr = len(rks) - 1
     _add_round_key(st, rks[nr])
+    m9, m11, m13, m14 = _MUL[9], _MUL[11], _MUL[13], _MUL[14]
     for rnd in range(nr - 1, -1, -1):
         st = [_INV_SBOX[st[_INV_SHIFT[i]]] for i in range(16)]
         _add_round_key(st, rks[rnd])
         if rnd != 0:
             out = []
-            for c in range(4):
-                a = st[4 * c:4 * c + 4]
+            for c in range(0, 16, 4):
+                a0, a1, a2, a3 = st[c:c + 4]
                 out += [
-                    _gmul(a[0], 14) ^ _gmul(a[1], 11)
-                    ^ _gmul(a[2], 13) ^ _gmul(a[3], 9),
-                    _gmul(a[0], 9) ^ _gmul(a[1], 14)
-                    ^ _gmul(a[2], 11) ^ _gmul(a[3], 13),
-                    _gmul(a[0], 13) ^ _gmul(a[1], 9)
-                    ^ _gmul(a[2], 14) ^ _gmul(a[3], 11),
-                    _gmul(a[0], 11) ^ _gmul(a[1], 13)
-                    ^ _gmul(a[2], 9) ^ _gmul(a[3], 14),
+                    m14[a0] ^ m11[a1] ^ m13[a2] ^ m9[a3],
+                    m9[a0] ^ m14[a1] ^ m11[a2] ^ m13[a3],
+                    m13[a0] ^ m9[a1] ^ m14[a2] ^ m11[a3],
+                    m11[a0] ^ m13[a1] ^ m9[a2] ^ m14[a3],
                 ]
             st = out
     return bytes(st)
 
 
-def cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
+def cbc_encrypt(key: bytes, iv: bytes, data: bytes,
+                pad: bool = True) -> bytes:
     """AES-CBC with PKCS#7-style padding (what /AESV2 streams carry,
-    §7.6.2: ciphertext = IV || CBC(pad(data)))."""
+    §7.6.2: ciphertext = IV || CBC(pad(data))). ``pad=False`` is the
+    R6 key-wrap mode (/UE /OE: exactly 32 bytes, no padding)."""
     rks = _expand_key(key)
-    pad = 16 - (len(data) % 16)
-    data = data + bytes([pad]) * pad
+    if pad:
+        n = 16 - (len(data) % 16)
+        data = data + bytes([n]) * n
+    elif len(data) % 16:
+        raise ValueError("unpadded CBC needs block-aligned input")
     out = bytearray()
     prev = iv
     for i in range(0, len(data), 16):
@@ -146,6 +155,23 @@ def cbc_encrypt(key: bytes, iv: bytes, data: bytes) -> bytes:
         prev = _encrypt_block(block, rks)
         out += prev
     return bytes(out)
+
+
+def ecb_encrypt(key: bytes, data: bytes) -> bytes:
+    """Block-aligned AES-ECB (the R6 /Perms entry, §7.6.4.3)."""
+    if len(data) % 16:
+        raise ValueError("ECB needs block-aligned input")
+    rks = _expand_key(key)
+    return b"".join(_encrypt_block(data[i:i + 16], rks)
+                    for i in range(0, len(data), 16))
+
+
+def ecb_decrypt(key: bytes, data: bytes) -> bytes:
+    if len(data) % 16:
+        raise ValueError("ECB needs block-aligned input")
+    rks = _expand_key(key)
+    return b"".join(_decrypt_block(data[i:i + 16], rks)
+                    for i in range(0, len(data), 16))
 
 
 def cbc_decrypt(key: bytes, iv: bytes, data: bytes,

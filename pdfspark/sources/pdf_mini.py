@@ -225,6 +225,14 @@ _CFM_RE = re.compile(rb"/CFM\s*/(\w+)")
 _STMF_RE = re.compile(rb"/StmF\s*/(\w+)")
 _STRF_RE = re.compile(rb"/StrF\s*/(\w+)")
 _ENCMETA_RE = re.compile(rb"/EncryptMetadata\s+(true|false)")
+# R6 (AES-256) key-wrap entries (§7.6.4)
+_UE_LIT_RE = re.compile(rb"/UE\s*\(((?:[^()\\]|\\.)*)\)", re.DOTALL)
+_UE_HEX_RE = re.compile(rb"/UE\s*<(?!<)([0-9A-Fa-f\s]*)>")
+_OE_LIT_RE = re.compile(rb"/OE\s*\(((?:[^()\\]|\\.)*)\)", re.DOTALL)
+_OE_HEX_RE = re.compile(rb"/OE\s*<(?!<)([0-9A-Fa-f\s]*)>")
+_PERMS_LIT_RE = re.compile(rb"/Perms\s*\(((?:[^()\\]|\\.)*)\)",
+                           re.DOTALL)
+_PERMS_HEX_RE = re.compile(rb"/Perms\s*<(?!<)([0-9A-Fa-f\s]*)>")
 
 _ESCAPES = {b"n": b"\n", b"r": b"\r", b"t": b"\t", b"b": b"\b",
             b"f": b"\f", b"(": b"(", b")": b")", b"\\": b"\\"}
@@ -558,6 +566,33 @@ def _crypt_object_body(body: bytes, key: bytes,
     return (new_head + body[sm.start():sm.end()] + out + tail)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=256)
+def _r6_hash(pw: bytes, salt: bytes, udata: bytes) -> bytes:
+    """ISO 32000-2 Algorithm 2.B (the R6 'hardened' KDF): iterated
+    SHA-256/384/512 selected by an AES-128-CBC round over the
+    running digest. Public-spec, stdlib-only. Memoized: ~0.5 s per
+    derivation by design (it is a password KDF), and a decode session
+    re-derives the same empty-password keys for every document that
+    shares salts."""
+    import hashlib
+
+    from pdfspark.sources.aes import cbc_encrypt
+
+    k = hashlib.sha256(pw + salt + udata).digest()
+    i = 0
+    while True:
+        k1 = (pw + k + udata) * 64
+        e = cbc_encrypt(k[:16], k[16:32], k1, pad=False)
+        k = {0: hashlib.sha256, 1: hashlib.sha384,
+             2: hashlib.sha512}[sum(e[:16]) % 3](e).digest()
+        i += 1
+        if i >= 64 and e[-1] <= i - 32:
+            return k[:32]
+
+
 def _string_entry(enc: bytes, lit_re, hex_re) -> bytes | None:
     """A string-valued dict entry (/O, /U) in literal or hex form."""
     m = lit_re.search(enc)
@@ -622,33 +657,74 @@ def _decrypt_objects(objs: dict[int, bytes], trailer: bytes,
         encrypt_metadata = emm is None or emm.group(1) == b"true"
         cipher = "aes"
         n = 16
+    elif v == 5 and r == 6:
+        # AES-256 (PDF 2.0 default, §7.6.4): /StdCF AESV3 on both
+        # streams and strings; the file key is wrapped in /UE by an
+        # Algorithm-2.B-derived intermediate key, and every object
+        # encrypts with the file key directly (no per-object MD5).
+        cm_ = _CFM_RE.search(enc)
+        if cm_ is None or cm_.group(1) != b"AESV3":
+            raise ValueError(
+                "encrypted document (V5 without AESV3 crypt filter)")
+        stm = _STMF_RE.search(enc)
+        stf = _STRF_RE.search(enc)
+        if (stm is None or stm.group(1) != b"StdCF"
+                or stf is None or stf.group(1) != b"StdCF"):
+            raise ValueError(
+                "encrypted document (V5 stream/string filter not StdCF)")
+        cipher = "aes"
+        n = 32
     else:
         raise ValueError(
-            f"encrypted document (V={v} R={r}: beyond the RC4/AESV2 "
-            f"slice)")
-    idm = _ID_HEX_RE.search(trailer)
-    if idm is not None:
-        id0 = _hex_bytes(idm.group(1))
+            f"encrypted document (V={v} R={r}: beyond the "
+            f"RC4/AESV2/AESV3 slice)")
+    if v == 5:
+        from pdfspark.sources.aes import cbc_decrypt, ecb_decrypt
+
+        ue_val = _string_entry(enc, _UE_LIT_RE, _UE_HEX_RE)
+        if ue_val is None or len(u_val) < 48 or len(ue_val) < 32:
+            raise ValueError("encrypted document (incomplete R6 keys)")
+        # Algorithm 11: empty-user-password validation against /U =
+        # hash(32) || validation salt(8) || key salt(8)
+        if _r6_hash(b"", u_val[32:40], b"") != u_val[:32]:
+            raise ValueError("encrypted document (password protected)")
+        ikey = _r6_hash(b"", u_val[40:48], b"")
+        file_key = cbc_decrypt(ikey, b"\x00" * 16, ue_val[:32],
+                               unpad=False)
+        # Algorithm 13 sanity slice: /Perms decrypts under the file
+        # key to ... 'a' 'd' 'b' at bytes 9-11 — a wrong key (or a
+        # tampered dict) fails here instead of emitting garbage
+        perms = _string_entry(enc, _PERMS_LIT_RE, _PERMS_HEX_RE)
+        if perms is not None and len(perms) >= 16:
+            if ecb_decrypt(file_key, perms[:16])[9:12] != b"adb":
+                raise ValueError(
+                    "encrypted document (/Perms check failed)")
     else:
-        idm = _ID_LIT_RE.search(trailer)
-        id0 = _unescape_bytes(idm.group(1)) if idm is not None else None
-    if id0 is None:
-        # /ID may live in an earlier trailer of the update chain
-        id0 = fallback_ids[-1] if fallback_ids else None
-    if id0 is None:
-        raise ValueError("encrypted document (missing /ID)")
-    file_key = _std_file_key(b"", o_val, p, id0, r, n,
-                             encrypt_metadata=encrypt_metadata)
-    expect = _std_user_value(file_key, id0, r)
-    sig = 32 if r == 2 else 16  # R3+: only the first 16 bytes compare
-    if expect[:sig] != u_val[:sig]:
-        raise ValueError("encrypted document (password protected)")
+        idm = _ID_HEX_RE.search(trailer)
+        if idm is not None:
+            id0 = _hex_bytes(idm.group(1))
+        else:
+            idm = _ID_LIT_RE.search(trailer)
+            id0 = (_unescape_bytes(idm.group(1))
+                   if idm is not None else None)
+        if id0 is None:
+            # /ID may live in an earlier trailer of the update chain
+            id0 = fallback_ids[-1] if fallback_ids else None
+        if id0 is None:
+            raise ValueError("encrypted document (missing /ID)")
+        file_key = _std_file_key(b"", o_val, p, id0, r, n,
+                                 encrypt_metadata=encrypt_metadata)
+        expect = _std_user_value(file_key, id0, r)
+        sig = 32 if r == 2 else 16  # R3+: first 16 bytes compare
+        if expect[:sig] != u_val[:sig]:
+            raise ValueError("encrypted document (password protected)")
     aes = cipher == "aes"
     for num, body in list(objs.items()):
         if num == enc_num or _TYPE_XREF_RE.search(body):
             continue
-        objs[num] = _crypt_object_body(
-            body, _obj_key(file_key, num, aes=aes), cipher=cipher)
+        key = (file_key if v == 5
+               else _obj_key(file_key, num, aes=aes))
+        objs[num] = _crypt_object_body(body, key, cipher=cipher)
 
 
 def build_tiny_pdf(doc_id: str, pages: list[list[str]],
@@ -698,8 +774,9 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
     default; content-derived deterministic IVs keep fixtures
     reproducible); 'rc4-128-pw' / 'aesv2-pw' set a real user
     password (the decoder must quarantine, not guess); 'aes256'
-    writes a V5/R6 /AESV3 dict (beyond the implemented slice — must
-    quarantine).
+    (V5/R6 AES-256, the PDF 2.0 default: Algorithm 2.B KDF, /UE
+    key wrap, /Perms); 'aes256-r5' writes the deprecated pre-ISO
+    /R 5 revision (beyond the slice — must quarantine).
     ``encoding`` selects the simple-font encoding shape (ignored
     under ``cid``): 'macroman' declares /Encoding /MacRomanEncoding
     and emits show bytes in Mac OS Roman (the pre-OSX-writer shape
@@ -880,17 +957,58 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
     if encrypt is not None:
         id0 = _md5(b"pdfspark-id:" + doc_id.encode("utf-8"))
         enc_obj = max(objs) + 1
-        user_pw = (b"hunter2" if encrypt in ("rc4-128-pw", "aesv2-pw")
+        user_pw = (b"hunter2"
+                   if encrypt in ("rc4-128-pw", "aesv2-pw", "aes256-pw")
                    else b"")
-        if encrypt == "aes256":
-            # plausible V5/R6 (AES-256) dict; beyond the implemented
-            # slice, so O/U placeholders never authenticate anything
+        if encrypt == "aes256-r5":
+            # plausible V5/R5 dict (the deprecated pre-ISO Adobe
+            # revision); beyond the implemented slice, so O/U
+            # placeholders never authenticate anything
             zeros = b"00" * 48
             objs[enc_obj] = (
-                b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P -44 "
+                b"<< /Filter /Standard /V 5 /R 5 /Length 256 /P -44 "
                 b"/CF << /StdCF << /CFM /AESV3 >> >> /StmF /StdCF "
                 b"/StrF /StdCF /O <" + zeros + b"> /U <" + zeros
                 + b"> >>")
+        elif encrypt in ("aes256", "aes256-pw"):
+            from pdfspark.sources.aes import cbc_encrypt, ecb_encrypt
+
+            p = -44
+            # deterministic 32-byte file key + salts (fixtures must
+            # be byte-reproducible)
+            file_key = _md5(b"fk1|" + id0) + _md5(b"fk2|" + id0)
+            vsalt = _md5(b"vs|" + id0)[:8]
+            ksalt = _md5(b"ks|" + id0)[:8]
+            u_val = _r6_hash(user_pw, vsalt, b"") + vsalt + ksalt
+            ikey = _r6_hash(user_pw, ksalt, b"")
+            ue_val = cbc_encrypt(ikey, b"\x00" * 16, file_key,
+                                 pad=False)
+            ovs = _md5(b"ovs|" + id0)[:8]
+            oks = _md5(b"oks|" + id0)[:8]
+            o_val = (_r6_hash(b"fixture-owner", ovs, u_val)
+                     + ovs + oks)
+            oikey = _r6_hash(b"fixture-owner", oks, u_val)
+            oe_val = cbc_encrypt(oikey, b"\x00" * 16, file_key,
+                                 pad=False)
+            # /Perms (§7.6.4.3): P || 0xFFFFFFFF || 'T' || 'adb' ||
+            # 4 filler bytes, AES-256-ECB under the file key
+            perms = ecb_encrypt(
+                file_key,
+                (p & 0xFFFFFFFF).to_bytes(4, "little")
+                + b"\xff\xff\xff\xffTadb" + b"fix!")
+            for num in list(objs):
+                objs[num] = _crypt_object_body(
+                    objs[num], file_key, cipher="aes", encrypting=True)
+            objs[enc_obj] = (
+                b"<< /Filter /Standard /V 5 /R 6 /Length 256 /P %d "
+                b"/CF << /StdCF << /CFM /AESV3 /Length 32 >> >> "
+                b"/StmF /StdCF /StrF /StdCF "
+                b"/O <%s> /U <%s> /OE <%s> /UE <%s> /Perms <%s> >>"
+                % (p, o_val.hex().encode("ascii"),
+                   u_val.hex().encode("ascii"),
+                   oe_val.hex().encode("ascii"),
+                   ue_val.hex().encode("ascii"),
+                   perms.hex().encode("ascii")))
         elif encrypt in ("aesv2", "aesv2-pw"):
             r, n, p = 4, 16, -44
             o_val = _std_owner_value(b"fixture-owner", user_pw, r, n)

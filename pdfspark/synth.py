@@ -702,14 +702,27 @@ def write_pdf_payloads(out_dir: str) -> None:
     rows.append((av_id, "ok", len(decoded["spans"]), len(payload),
                  geom_digest(decoded["spans"])))
     # beyond the slice: a REAL user password (RC4 and AES forms) and
-    # AES-256 /V 5 must quarantine — ciphertext never parses on
+    # the deprecated AES-256 /R 5 revision must quarantine
     pw = build_tiny_pdf("encrypted_pw", [["secret body"]],
                         encrypt="rc4-128-pw")
     with open(os.path.join(pdir, "encrypted_pw.pdf"), "wb") as fh:
         fh.write(pw)
     rows.append(("encrypted_pw", "decode_error", 0, len(pw), ""))
+    # AES-256 /V 5 /R 6 (PDF 2.0 default): fully decoded since
+    # round 5 (Algorithm 2.B KDF + /UE unwrap + /Perms check)
+    a2_id = "pdfdoc-00031"
+    payload = build_tiny_pdf(
+        a2_id, [["19. PDF 2.0 sealed", "AES-256 R6 body."]],
+        compress=True, encrypt="aes256")
+    with open(os.path.join(pdir, f"{a2_id}.pdf"), "wb") as fh:
+        fh.write(payload)
+    decoded = decode_tiny_pdf(payload)
+    assert decoded["doc_id"] == a2_id
+    assert "AES-256 R6 body." in [s["text"] for s in decoded["spans"]]
+    rows.append((a2_id, "ok", len(decoded["spans"]), len(payload),
+                 geom_digest(decoded["spans"])))
     aes = build_tiny_pdf("encrypted_aes", [["secret body"]],
-                         encrypt="aes256")
+                         encrypt="aes256-r5")
     with open(os.path.join(pdir, "encrypted_aes.pdf"), "wb") as fh:
         fh.write(aes)
     rows.append(("encrypted_aes", "decode_error", 0, len(aes), ""))
@@ -1088,7 +1101,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 21  # 21: AESV2 payload (pdfdoc-00030); aes256 quarantine
+FIXTURE_VERSION = 22  # 22: AES-256 R6 payload (pdfdoc-00031)
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

@@ -736,8 +736,9 @@ def test_pdf_rc4_beyond_slice_quarantines():
         decode_tiny_pdf(build_tiny_pdf("pw", pages, encrypt="rc4-128-pw"))
     with pytest.raises(ValueError, match="password protected"):
         decode_tiny_pdf(build_tiny_pdf("pw2", pages, encrypt="aesv2-pw"))
-    with pytest.raises(ValueError, match="beyond the RC4/AESV2 slice"):
-        decode_tiny_pdf(build_tiny_pdf("aes", pages, encrypt="aes256"))
+    with pytest.raises(ValueError, match="beyond the RC4/AESV2/AESV3"):
+        decode_tiny_pdf(build_tiny_pdf("aes", pages,
+                                       encrypt="aes256-r5"))
     enc = build_tiny_pdf("tamper", pages, encrypt="rc4-40")
     i = enc.rfind(b"/U <")
     flip = b"1" if enc[i + 4:i + 5] == b"0" else b"0"
@@ -966,3 +967,23 @@ def test_tounicode_wins_over_simple_encoding():
                       b"/Encoding /Identity-H /Subtype /Type0")
     out = decode_tiny_pdf(pdf)
     assert "CID body text." in [s["text"] for s in out["spans"]]
+
+
+def test_pdf_aes256_r6_round_trip_and_guards():
+    """/V 5 /R 6 AES-256 (the PDF 2.0 default): Algorithm 2.B KDF,
+    /UE key unwrap, /Perms sanity check, file-key object encryption.
+    Spans must equal the unencrypted twin's; a tampered /Perms or a
+    real user password quarantines."""
+    pages = [["1. AES256", "PDF 2.0 sealed body."], ["Second page."]]
+    plain = decode_tiny_pdf(build_tiny_pdf("a", pages, compress=True,
+                                           images=[1, 0]))
+    enc = build_tiny_pdf("a", pages, compress=True, images=[1, 0],
+                         encrypt="aes256")
+    assert b"PDF 2.0 sealed body." not in enc
+    assert decode_tiny_pdf(enc) == plain
+    with pytest.raises(ValueError, match="password protected"):
+        decode_tiny_pdf(build_tiny_pdf("b", pages, encrypt="aes256-pw"))
+    i = enc.find(b"/Perms <") + len(b"/Perms <")
+    flip = b"1" if enc[i:i + 1] == b"0" else b"0"
+    with pytest.raises(ValueError, match="Perms check failed"):
+        decode_tiny_pdf(enc[:i] + flip + enc[i + 1:])

@@ -11,6 +11,12 @@ Usage:
         --metrics <lineage metrics table path> \
         [--resume] [--skew-threshold 5000] [--spans-per-chunk 1024]
 
+    # OR bytes-in: raw PDF/JSON payload files, no pre-decoded table —
+    # geometry AND span documents come from one binaryFile decode pass
+    spark-submit --py-files pdfspark.zip jobs/extract_job.py \
+        --payloads <dir of .pdf/.bin byte payloads> \
+        --output <extracted spans table path> [--metrics ...]
+
 Behavior (all per SURVEY.md §4 / BASELINE.json north_rule):
  - salted repartition on xxhash64(doc_id) before the Arrow fold
  - skew splitter for documents above --skew-threshold spans
@@ -42,7 +48,17 @@ from pyspark.sql import SparkSession  # noqa: E402
 
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
-    ap.add_argument("--input", required=True)
+    ap.add_argument("--input", default=None,
+                    help="documents_in parquet (doc_id, spans)")
+    ap.add_argument(
+        "--payloads", default=None,
+        help="RAW byte-payload directory (PDF/JSON files) instead of "
+             "--input: one binaryFile scan feeds decode_payloads_geom, "
+             "header/footer boilerplate is derived from the decoded "
+             "geometry, and the span documents are reassembled from "
+             "the same frame — the bytes-in -> extraction-out path, "
+             "no pre-decoded table required. Quarantined payloads "
+             "emit no rows (they have no decodable spans).")
     ap.add_argument("--geom", default=None)
     ap.add_argument("--output", required=True)
     ap.add_argument("--metrics", default=None)
@@ -90,9 +106,44 @@ def main(argv=None) -> int:
         resume_filter,
     )
 
-    docs = spark.read.parquet(args.input)
-    hf = header_footer(spark.read.parquet(args.geom)) \
-        if args.geom else None
+    if (args.input is None) == (args.payloads is None):
+        ap.error("exactly one of --input / --payloads is required")
+
+    from pyspark.sql import functions as F
+
+    if args.payloads:
+        from pdfspark.sources.binary_decode import (
+            decode_payloads_geom,
+            read_payloads,
+        )
+
+        # ONE decode pass: the exploded geometry frame feeds BOTH the
+        # header/footer derivation and the reassembled span documents
+        # (checkpointed so the byte decode runs once, not per consumer)
+        geom = decode_payloads_geom(
+            read_payloads(spark, args.payloads)
+        ).localCheckpoint(eager=False)
+        docs = (
+            geom.groupBy("doc_id")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(
+                        F.col("offset").alias("o"),
+                        F.struct(
+                            F.col("kind"), F.col("text"),
+                            F.col("media_ref"), F.col("offset"),
+                        ).alias("s"),
+                    ))),
+                    lambda x: x["s"],
+                ).alias("spans")
+            )
+        )
+        hf = header_footer(
+            spark.read.parquet(args.geom) if args.geom else geom)
+    else:
+        docs = spark.read.parquet(args.input)
+        hf = header_footer(spark.read.parquet(args.geom)) \
+            if args.geom else None
 
     from pdfspark.sinks.snapshot import (
         commit_append,
@@ -119,8 +170,6 @@ def main(argv=None) -> int:
         committed = read_committed(spark, args.output, args.format)
         if committed is not None:
             docs = resume_filter(docs, committed)
-
-    from pyspark.sql import functions as F
 
     # probe-routed skew splitter (same shape as extract_spans_auto):
     # the plain salted fold unless a doc crosses --skew-threshold

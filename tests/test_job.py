@@ -352,3 +352,53 @@ def test_gc_orphans_reclaims_crash_debris(spark, job_paths, tmp_path):
     # committed snapshots (rename-protocol dir + manifest-only staging
     # data) survive and still read back identically
     assert _read_out(spark, out).count() == before
+
+
+def test_job_payloads_bytes_in_extraction_out(spark, tmp_path):
+    """--payloads mode: raw %PDF byte files in, committed extraction
+    snapshots out — no pre-decoded table anywhere. Header/footer
+    derive from the decoded geometry; span sequences must equal
+    decode_tiny_pdf + the sequential fold run by hand."""
+    import os as _os
+
+    from pdfspark.config import ExtractConfig
+    from pdfspark.fold import fold_document
+    from pdfspark.sources.pdf_mini import (
+        build_layout_pdf,
+        build_tiny_pdf,
+        decode_tiny_pdf,
+    )
+
+    pdir = str(tmp_path / "payloads")
+    _os.makedirs(pdir)
+    payloads = {
+        "pdf-j1": build_tiny_pdf(
+            "pdf-j1", [["1. Intro", "Body text."], ["2. More", "Tail."]],
+            compress=True),
+        "pdf-j2": build_layout_pdf(
+            "pdf-j2", [[("Table 1 Results", 72, 720),
+                        ("a", 72, 700), ("b", 200, 700)]]),
+        "pdf-j3": build_tiny_pdf("pdf-j3", [["Sealed."]],
+                                 encrypt="aesv2"),
+    }
+    for name, data in payloads.items():
+        with open(_os.path.join(pdir, f"{name}.pdf"), "wb") as fh:
+            fh.write(data)
+    with open(_os.path.join(pdir, "broken.pdf"), "wb") as fh:
+        fh.write(b"%PDF-1.4\nnot really\n")
+    out = str(tmp_path / "out")
+    rc = main(["--payloads", pdir, "--output", out])
+    assert rc == 0
+    got = {r.doc_id: [tuple(s) for s in r.spans]
+           for r in _read_out(spark, out).collect()}
+    assert set(got) == set(payloads)  # broken.pdf emits no rows
+    cfg = ExtractConfig()
+    for doc_id, raw in payloads.items():
+        spans = decode_tiny_pdf(raw)["spans"]
+        res = fold_document(
+            [dict(kind=s["kind"], text=s["text"],
+                  media_ref=s["media_ref"], offset=s["offset"])
+             for s in spans], "", "", cfg)
+        assert got[doc_id] == [
+            (s["kind"], s["text"], s["media_ref"], s["offset"])
+            for s in res["out_spans"]], doc_id

@@ -2432,16 +2432,19 @@ def _walk_content(objs, cdata, xobjs, emit, active,
             # ' and " move to the next line BEFORE showing
             if show.group(0)[-1:] in (b"'", b'"'):
                 _td(0.0, -lead)
-            # text-space advance under the deterministic glyph model,
-            # mapped through Tm's scale/shear; the origin is Tm's
-            # translation (text rendered at the baseline)
+            # text-space advance under the deterministic glyph model;
+            # the box is the text-space rect (0,0)-(adv,size) with all
+            # FOUR corners mapped through Tm (pdfminer's apply_matrix
+            # shape), so rotated/sheared text gets its true axis-
+            # aligned envelope instead of a degenerate zero-area box
             adv = (GLYPH_W * len(text) - kern / 1000.0) * size
-            x0d, y0d = tm[4], tm[5]
-            x1d = x0d + adv * tm[0]
-            y1d = y0d + size * tm[3]
+            xs, ys = [], []
+            for dx, dy in ((0.0, 0.0), (adv, 0.0),
+                           (0.0, size), (adv, size)):
+                xs.append(tm[4] + dx * tm[0] + dy * tm[2])
+                ys.append(tm[5] + dx * tm[1] + dy * tm[3])
             emit("TextBox", text,
-                 bbox=(min(x0d, x1d), min(y0d, y1d),
-                       max(x0d, x1d), max(y0d, y1d)))
+                 bbox=(min(xs), min(ys), max(xs), max(ys)))
             tm[4] += adv * tm[0]
             tm[5] += adv * tm[1]
         # wrong-parse guard: a string token the show scan did not

@@ -987,3 +987,24 @@ def test_pdf_aes256_r6_round_trip_and_guards():
     flip = b"1" if enc[i:i + 1] == b"0" else b"0"
     with pytest.raises(ValueError, match="Perms check failed"):
         decode_tiny_pdf(enc[:i] + flip + enc[i + 1:])
+
+
+def test_codec_geometry_rotated_text_envelope():
+    """Rotated text (Tm with b/c terms): the box is the four text-
+    space corners mapped through the matrix — a 90-degree rotation
+    yields a tall box at the right position, not a zero-area line."""
+    raw = build_tiny_pdf("rot", [["placeholder"]])
+    raw = raw.replace(b"72 720 Td", b"0 1 -1 0 300 400 Tm")
+    out = decode_tiny_pdf(raw)
+    t = [s for s in out["spans"] if s["kind"] == "TextBox"][0]
+    adv = 0.5 * 12 * len("placeholder")  # 66pt along +y after rotation
+    assert (t["x0"], t["x1"]) == (300.0 - 12.0, 300.0)  # size extent
+    assert (t["y0"], t["y1"]) == (400.0, 400.0 + adv)
+    # scale matrix: 2x glyphs double both extents
+    raw2 = build_tiny_pdf("sc", [["ab"]]).replace(
+        b"72 720 Td", b"2 0 0 2 100 100 Tm")
+    t2 = [s for s in decode_tiny_pdf(raw2)["spans"]
+          if s["kind"] == "TextBox"][0]
+    assert (t2["x0"], t2["y0"]) == (100.0, 100.0)
+    assert t2["x1"] == 100.0 + 2 * 0.5 * 12 * 2
+    assert t2["y1"] == 100.0 + 2 * 12

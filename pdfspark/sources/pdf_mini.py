@@ -170,6 +170,15 @@ _TM_RE = re.compile(
     + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+Tm\b")
 _TSTAR_RE = re.compile(rb"T\*")
 _TL_RE = re.compile(rb"(" + _NUM + rb")\s+TL\b")
+# spacing state (§9.3.2-3): char spacing, word spacing, horizontal
+# scaling — all enter the advance; persist across BT blocks
+_TC_RE = re.compile(rb"(" + _NUM + rb")\s+Tc\b")
+_TW_RE = re.compile(rb"(" + _NUM + rb")\s+Tw\b")
+_TZ_RE = re.compile(rb"(" + _NUM + rb")\s+Tz\b")
+# the " operator's own aw ac operands (word/char spacing set by the
+# show itself, §9.4.3)
+_DQ_OPS_RE = re.compile(
+    rb"(" + _NUM + rb")\s+(" + _NUM + rb")\s*$")
 _CM_RE = re.compile(
     rb"(" + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+("
     + _NUM + rb")\s+(" + _NUM + rb")\s+(" + _NUM + rb")\s+cm\b")
@@ -873,7 +882,12 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
             operand = _show_operand(line)
             if quote_show and j > 0:
                 if j + 1 == len(pages[i]) and j > 1:
-                    ops.append(b"0.5 0 " + operand + b' "')
+                    # aw=0 ac=0: the " operator form without a word-
+                    # spacing delta, so quote-mode output stays span-
+                    # AND geometry-identical to the Tj form (nonzero
+                    # aw genuinely widens spaces per §9.4.4 — that
+                    # semantic is pinned by the dedicated Tw test)
+                    ops.append(b"0 0 " + operand + b' "')
                 else:
                     ops.append(operand + b" '")
             else:
@@ -2266,12 +2280,20 @@ def _walk_content(objs, cdata, xobjs, emit, active,
                  for t in _TF_RE.finditer(sscan)]
     tl_events = [(t.start(), float(t.group(1)))
                  for t in _TL_RE.finditer(sscan)]
-    # cm events feed Do image geometry: the unit square maps through
-    # the LAST cm before the paint (slice approximation — no q/Q
-    # stack replay; the common writer shape is `q <cm> /Im Do Q`)
-    cm_events = [(t.start(), tuple(float(t.group(i)) for i in
-                                   range(1, 7)))
+    # image geometry: the unit square maps through the CTM at the
+    # paint site, replayed through the q/Q graphics-state stack
+    # (§8.4.2: q pushes a copy, Q restores, cm premultiplies) — a
+    # paint after a Q must NOT see a popped transform
+    gs_events = [(t.start(), "cm",
+                  tuple(float(t.group(i)) for i in range(1, 7)))
                  for t in _CM_RE.finditer(sscan)]
+    gs_events += [(t.start(), "q", None)
+                  for t in re.finditer(rb"(?<![A-Za-z])q(?![A-Za-z])",
+                                       sscan)]
+    gs_events += [(t.start(), "Q", None)
+                  for t in re.finditer(rb"(?<![A-Za-z])Q(?![A-Za-z])",
+                                       sscan)]
+    gs_events.sort(key=lambda e: e[0])
 
     def _font_at(pos: int):
         name = None
@@ -2281,29 +2303,57 @@ def _walk_content(objs, cdata, xobjs, emit, active,
             name = nm
         return name
 
-    def _state_at(pos: int) -> tuple[float, float]:
-        size, lead = 12.0, 0.0
+    tc_events = [(t.start(), float(t.group(1)))
+                 for t in _TC_RE.finditer(sscan)]
+    tw_events = [(t.start(), float(t.group(1)))
+                 for t in _TW_RE.finditer(sscan)]
+    tz_events = [(t.start(), float(t.group(1)))
+                 for t in _TZ_RE.finditer(sscan)]
+
+    def _last_before(events, pos: int, default: float) -> float:
+        val = default
+        for p, v in events:
+            if p >= pos:
+                break
+            val = v
+        return val
+
+    def _state_at(pos: int):
+        size = 12.0
         for p, _nm, sz in tf_events:
             if p >= pos:
                 break
             size = sz
-        for p, v in tl_events:
-            if p >= pos:
-                break
-            lead = v
-        return size, lead
+        return (size,
+                _last_before(tl_events, pos, 0.0),
+                _last_before(tc_events, pos, 0.0),
+                _last_before(tw_events, pos, 0.0),
+                _last_before(tz_events, pos, 100.0))
 
     def _cm_box(pos: int):
-        last = None
-        for p, mat in cm_events:
+        ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+        ctm = ident
+        stack: list[tuple] = []
+        any_cm = False
+        for p, op, mat in gs_events:
             if p >= pos:
                 break
-            last = mat
-        if last is None:
+            if op == "q":
+                stack.append(ctm)
+            elif op == "Q":
+                ctm = stack.pop() if stack else ident
+            else:
+                any_cm = True
+                a1, b1, c1, d1, e1, f1 = mat
+                a2, b2, c2, d2, e2, f2 = ctm
+                ctm = (a1 * a2 + b1 * c2, a1 * b2 + b1 * d2,
+                       c1 * a2 + d1 * c2, c1 * b2 + d1 * d2,
+                       e1 * a2 + f1 * c2 + e2, e1 * b2 + f1 * d2 + f2)
+        if not any_cm and ctm == ident:
             return None
-        a2, b2, c2, d2, e2, f2 = last
-        xs = (e2, e2 + a2 + c2)
-        ys = (f2, f2 + b2 + d2)
+        a2, b2, c2, d2, e2, f2 = ctm
+        xs = [e2, e2 + a2, e2 + c2, e2 + a2 + c2]
+        ys = [f2, f2 + b2, f2 + d2, f2 + b2 + d2]
         return (min(xs), min(ys), max(xs), max(ys))
 
     def _show_text(raw_bytes: bytes, cmap) -> str:
@@ -2372,7 +2422,7 @@ def _walk_content(objs, cdata, xobjs, emit, active,
         # state at the BT position (they persist across BT blocks).
         tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
         lm = list(tm)
-        size, lead = _state_at(m.start())
+        size, lead, tc, tw, tz = _state_at(m.start())
 
         def _td(tx: float, ty: float) -> None:
             lm[4] = tx * lm[0] + ty * lm[2] + lm[4]
@@ -2387,6 +2437,9 @@ def _walk_content(objs, cdata, xobjs, emit, active,
         inbody += [(t.start(), "t*", t) for t in _TSTAR_RE.finditer(sbody)]
         inbody += [(t.start(), "tl", t) for t in _TL_RE.finditer(sbody)]
         inbody += [(t.start(), "tf", t) for t in _TF_RE.finditer(sbody)]
+        inbody += [(t.start(), "tc", t) for t in _TC_RE.finditer(sbody)]
+        inbody += [(t.start(), "tw", t) for t in _TW_RE.finditer(sbody)]
+        inbody += [(t.start(), "tz", t) for t in _TZ_RE.finditer(sbody)]
         consumed: list[tuple[int, int]] = []
         for _p, knd, t in sorted(inbody, key=lambda ev: ev[0]):
             if knd == "td":
@@ -2407,37 +2460,65 @@ def _walk_content(objs, cdata, xobjs, emit, active,
             if knd == "tf":
                 size = float(t.group(2))
                 continue
+            if knd == "tc":
+                tc = float(t.group(1))
+                continue
+            if knd == "tw":
+                tw = float(t.group(1))
+                continue
+            if knd == "tz":
+                tz = float(t.group(1))
+                continue
             show = t
             consumed.append(show.span())
             cmap = _font_cmap(objs, fonts.get(_font_at(
                 base + show.start())), cmap_cache)
+            # word spacing applies per byte-32 of SINGLE-BYTE
+            # encodings only (§9.3.3) — CID multi-byte codes never
+            # trigger it, so spaces are counted on the raw bytes and
+            # only for non-CMap fonts
+            simple = cmap is None or "enc_map" in cmap
             kern = 0.0  # TJ kerning, thousandths of an em (§9.4.3)
+            n_spaces = 0
             if show.group(1) is not None:  # (..) Tj / ' / "
-                text = _show_text(_unescape_bytes(show.group(1)), cmap)
+                raw = _unescape_bytes(show.group(1))
+                n_spaces = raw.count(0x20) if simple else 0
+                text = _show_text(raw, cmap)
             elif show.group(2) is not None:  # <hex> Tj / ' / "
-                text = _show_text(_hex_bytes(show.group(2)), cmap)
+                raw = _hex_bytes(show.group(2))
+                n_spaces = raw.count(0x20) if simple else 0
+                text = _show_text(raw, cmap)
             else:  # [..] TJ: strings concatenate, numbers kern
                 parts = []
                 for m2 in _TJ_ELEM_RE.finditer(show.group(3)):
                     if m2.group(3) is not None:
                         kern += float(m2.group(3))
                         continue
-                    parts.append(_show_text(
-                        _unescape_bytes(m2.group(1))
-                        if m2.group(1) is not None
-                        else _hex_bytes(m2.group(2)),
-                        cmap,
-                    ))
+                    raw = (_unescape_bytes(m2.group(1))
+                           if m2.group(1) is not None
+                           else _hex_bytes(m2.group(2)))
+                    n_spaces += raw.count(0x20) if simple else 0
+                    parts.append(_show_text(raw, cmap))
                 text = "".join(parts)
-            # ' and " move to the next line BEFORE showing
-            if show.group(0)[-1:] in (b"'", b'"'):
+            # ' and " move to the next line BEFORE showing; " also
+            # SETS word/char spacing from its aw ac operands (§9.4.3)
+            if show.group(0)[-1:] == b'"':
+                dq = _DQ_OPS_RE.search(sbody[:show.start()])
+                if dq is not None:
+                    tw = float(dq.group(1))
+                    tc = float(dq.group(2))
                 _td(0.0, -lead)
-            # text-space advance under the deterministic glyph model;
+            elif show.group(0)[-1:] == b"'":
+                _td(0.0, -lead)
+            # text-space advance under the deterministic glyph model
+            # (§9.4.4: per glyph (w0*Tfs + Tc + Tw_if_space) * Tz%);
             # the box is the text-space rect (0,0)-(adv,size) with all
             # FOUR corners mapped through Tm (pdfminer's apply_matrix
             # shape), so rotated/sheared text gets its true axis-
             # aligned envelope instead of a degenerate zero-area box
-            adv = (GLYPH_W * len(text) - kern / 1000.0) * size
+            adv = ((GLYPH_W * size + tc) * len(text)
+                   + tw * n_spaces
+                   - kern / 1000.0 * size) * (tz / 100.0)
             xs, ys = [], []
             for dx, dy in ((0.0, 0.0), (adv, 0.0),
                            (0.0, size), (adv, size)):

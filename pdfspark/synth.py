@@ -1101,7 +1101,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 22  # 22: AES-256 R6 payload (pdfdoc-00031)
+FIXTURE_VERSION = 23  # 23: Tc/Tw/Tz advance semantics (geom digests)
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

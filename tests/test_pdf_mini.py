@@ -1008,3 +1008,46 @@ def test_codec_geometry_rotated_text_envelope():
     assert (t2["x0"], t2["y0"]) == (100.0, 100.0)
     assert t2["x1"] == 100.0 + 2 * 0.5 * 12 * 2
     assert t2["y1"] == 100.0 + 2 * 12
+
+
+def test_codec_image_geometry_qQ_stack_replay():
+    """Image CTMs replay through the q/Q stack (§8.4.2): a paint
+    after Q must not see the popped transform, and nested q scopes
+    compose — the last-cm-before heuristic would get both wrong."""
+    raw = build_tiny_pdf("qq", [["t"]], images=[2])
+    # rewrite page ops: Im1 under nested q scopes (outer 2x scale),
+    # Im2 after both pops under its own fresh transform
+    raw = raw.replace(
+        b"q 100 0 0 80 72 600 cm /Im1 Do Q",
+        b"q 2 0 0 2 10 20 cm q 100 0 0 80 72 600 cm /Im1 Do Q Q")
+    raw = raw.replace(
+        b"q 100 0 0 80 72 510 cm /Im2 Do Q",
+        b"q 50 0 0 40 300 100 cm /Im2 Do Q")
+    out = decode_tiny_pdf(raw)
+    boxes = {s["media_ref"].split("/")[-1]:
+             (s["x0"], s["y0"], s["x1"], s["y1"])
+             for s in out["spans"] if s["kind"] == "Image"}
+    # Im1: inner cm composed with outer [2 0 0 2 10 20]
+    assert boxes["Im1"] == (2 * 72 + 10, 2 * 600 + 20,
+                            2 * 72 + 10 + 200, 2 * 600 + 20 + 160)
+    assert boxes["Im2"] == (300.0, 100.0, 350.0, 140.0)
+
+
+def test_codec_spacing_operators_enter_advance():
+    """Tc (per glyph), Tw (per byte-32 space, simple fonts only), Tz
+    (percent horizontal scale) and the " operator's aw/ac operands
+    all enter the advance per §9.4.4."""
+    raw = build_tiny_pdf("s", [["placeholder"]]).replace(
+        b"(placeholder) Tj", b"2 Tc 5 Tw 50 Tz (a b) Tj (cd) Tj")
+    ts = [s for s in decode_tiny_pdf(raw)["spans"]
+          if s["kind"] == "TextBox"]
+    # 'a b': 3*(0.5*12+2) + 1*5 = 29 pts, halved by Tz 50 -> 14.5
+    assert (ts[0]["x0"], ts[0]["x1"]) == (72.0, 86.5)
+    # second show starts at the advance end: 2*(6+2)*0.5 = 8
+    assert (ts[1]["x0"], ts[1]["x1"]) == (86.5, 94.5)
+    # CID fonts never apply word spacing (multi-byte codes)
+    cid = build_tiny_pdf("c", [["a b"]], cid=True)
+    cid = cid.replace(b"BT\n/F1 12 Tf", b"BT\n/F1 12 Tf 5 Tw")
+    t = [s for s in decode_tiny_pdf(cid)["spans"]
+         if s["kind"] == "TextBox"][0]
+    assert t["x1"] == 72.0 + 0.5 * 12 * 3  # no Tw contribution

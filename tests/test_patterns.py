@@ -199,3 +199,21 @@ def test_named_matcher_prefix_parity(corpus_results):
         assert _py_bool(rx, first) == py or first != r.s, r.s
         if first == r.s:
             assert r.named == py, r.s
+
+
+def test_j1_oracle_trailing_strip_matches_python_W_underscore():
+    """ADVICE r4: the j1 oracle's RE2 class must emulate Python's
+    [\\W_]+$ — trailing underscores strip like any other
+    non-alphanumeric. Probe both engines over the tricky shapes."""
+    import re
+
+    import duckdb
+
+    con = duckdb.connect()
+    for s in ["Intro_", "Intro__", "Head-", "A_b", "é_", "x",
+              "x_y_", "Résumé—", "_", "1.2.", "keep"]:
+        got = con.execute(
+            "SELECT regexp_replace(?, '[^\\p{L}\\p{N}]+$', '')",
+            [s]).fetchone()[0]
+        exp = re.sub(r"[\W_]+$", "", s)
+        assert got == exp, (s, got, exp)

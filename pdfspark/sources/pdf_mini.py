@@ -1023,10 +1023,12 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
                    oe_val.hex().encode("ascii"),
                    ue_val.hex().encode("ascii"),
                    perms.hex().encode("ascii")))
-        elif encrypt in ("aesv2", "aesv2-pw"):
+        elif encrypt in ("aesv2", "aesv2-pw", "aesv2-nometa"):
             r, n, p = 4, 16, -44
+            meta = encrypt != "aesv2-nometa"
             o_val = _std_owner_value(b"fixture-owner", user_pw, r, n)
-            file_key = _std_file_key(user_pw, o_val, p, id0, r, n)
+            file_key = _std_file_key(user_pw, o_val, p, id0, r, n,
+                                     encrypt_metadata=meta)
             u_val = _std_user_value(file_key, id0, r)
             for num in list(objs):
                 objs[num] = _crypt_object_body(
@@ -1035,9 +1037,11 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
             objs[enc_obj] = (
                 b"<< /Filter /Standard /V 4 /R 4 /Length 128 /P %d "
                 b"/CF << /StdCF << /CFM /AESV2 /Length 16 >> >> "
-                b"/StmF /StdCF /StrF /StdCF "
+                b"/StmF /StdCF /StrF /StdCF%s "
                 b"/O <%s> /U <%s> >>"
-                % (p, o_val.hex().encode("ascii"),
+                % (p,
+                   b"" if meta else b" /EncryptMetadata false",
+                   o_val.hex().encode("ascii"),
                    u_val.hex().encode("ascii")))
         else:
             v, r, n = ((1, 2, 5) if encrypt == "rc4-40" else (2, 3, 16))

@@ -1051,3 +1051,18 @@ def test_codec_spacing_operators_enter_advance():
     t = [s for s in decode_tiny_pdf(cid)["spans"]
          if s["kind"] == "TextBox"][0]
     assert t["x1"] == 72.0 + 0.5 * 12 * 3  # no Tw contribution
+
+
+def test_pdf_aesv2_encrypt_metadata_false_key_derivation():
+    """/EncryptMetadata false changes the Algorithm 2 file key
+    (0xFFFFFFFF appended, §7.6.3.3 step f): a writer emitting it must
+    round-trip, and the two key derivations must genuinely differ
+    (same doc decodes under both flags to the same spans)."""
+    pages = [["1. Meta", "Unencrypted-metadata body."]]
+    plain = decode_tiny_pdf(build_tiny_pdf("m", pages))
+    enc = build_tiny_pdf("m", pages, encrypt="aesv2-nometa")
+    assert b"/EncryptMetadata false" in enc
+    assert decode_tiny_pdf(enc) == plain
+    enc2 = build_tiny_pdf("m", pages, encrypt="aesv2")
+    # different file keys -> different ciphertext for the same doc
+    assert enc != enc2.replace(b" /EncryptMetadata false", b"")

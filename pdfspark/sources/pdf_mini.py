@@ -185,6 +185,7 @@ _CM_RE = re.compile(
 _MEDIABOX_RE = re.compile(
     rb"/MediaBox\s*\[\s*(" + _NUM + rb")\s+(" + _NUM + rb")\s+("
     + _NUM + rb")\s+(" + _NUM + rb")\s*\]")
+_ROTATE_RE = re.compile(rb"/Rotate\s+(-?\d+)")
 # TJ array elements: strings AND kerning numbers (thousandths of an
 # em subtracted from the advance, §9.4.3)
 _TJ_ELEM_RE = re.compile(
@@ -745,7 +746,9 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
                    title_utf16: bool = False,
                    cid: bool = False,
                    encrypt: str | None = None,
-                   encoding: str | None = None) -> bytes:
+                   encoding: str | None = None,
+                   rotate: int | None = None,
+                   rotate_on_parent: bool = False) -> bytes:
     """A complete PDF: one content stream per page, one Tj text-show
     per line, doc_id in the Info /Title. ``compress`` selects the
     content-stream filter: True/'flate' (/FlateDecode, the real-world
@@ -786,7 +789,12 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
     (V5/R6 AES-256, the PDF 2.0 default: Algorithm 2.B KDF, /UE
     key wrap, /Perms); 'aes256-r5' writes the deprecated pre-ISO
     /R 5 revision (beyond the slice — must quarantine).
-    ``encoding`` selects the simple-font encoding shape (ignored
+    ``rotate`` writes a `/Rotate N` page attribute — on every page
+    object, or (``rotate_on_parent=True``) once on the /Pages tree
+    node so the decoder's inheritance path (§7.7.3.4) is exercised —
+    the scanned-landscape shape whose geometry pdfminer reorients via
+    the page's base CTM. ``encoding`` selects the simple-font
+    encoding shape (ignored
     under ``cid``): 'macroman' declares /Encoding /MacRomanEncoding
     and emits show bytes in Mac OS Roman (the pre-OSX-writer shape
     where é is byte 0x8E, not 0xE9); 'differences' declares an
@@ -856,9 +864,11 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
             b"/Length %d >>\nstream\n" % len(fstream)
             + fstream + b"\nendstream")
     kids = b" ".join(b"%d 0 R" % p for p in page_objs)
+    rot_attr = (b" /Rotate %d" % rotate) if rotate is not None else b""
     objs[1] = b"<< /Type /Catalog /Pages 2 0 R >>"
     objs[2] = (b"<< /Type /Pages /Kids [" + kids
-               + b"] /Count %d >>" % n_pages)
+               + b"] /Count %d" % n_pages
+               + (rot_attr if rotate_on_parent else b"") + b" >>")
     for i, (pobj, cobj) in enumerate(zip(page_objs, cont_objs)):
         res = b"<< /Font << /F1 %d 0 R >>" % font_obj
         xnames = [b"/Im%d %d 0 R" % (k + 1, onum)
@@ -869,8 +879,9 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
             res += b" /XObject << " + b" ".join(xnames) + b" >>"
         res += b" >>"
         objs[pobj] = (
-            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Resources " + res + b" /Contents %d 0 R >>" % cobj
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            + (rot_attr if not rotate_on_parent else b"")
+            + b" /Resources " + res + b" /Contents %d 0 R >>" % cobj
         )
         ops = []
         if form_obj is not None:
@@ -1930,10 +1941,48 @@ def decode_tiny_pdf(content: bytes) -> dict:
         mb = _MEDIABOX_RE.search(body) or _MEDIABOX_RE.search(pages_obj)
         box = (tuple(float(mb.group(i)) for i in range(1, 5))
                if mb is not None else (0.0, 0.0, 612.0, 792.0))
+        # /Rotate (inheritable, §7.7.3.4): the page's base CTM is
+        # exactly pdfminer's process_page matrix — 90/180/270 rotate
+        # the user space into the displayed orientation and every
+        # variant (including the identity) translates the MediaBox
+        # origin to (0,0), so PageStart lands at (0,0,w,h) with w/h
+        # swapped on 90/270 (pdfminer's LTPage frame). Values that
+        # are not a multiple of 90 fall to the translate-only branch,
+        # matching pdfminer's else-branch rather than quarantining.
+        # For the overwhelmingly common unrotated zero-origin page the
+        # matrix is the identity and every bbox is byte-identical to
+        # the pre-/Rotate decode.
+        rm = _ROTATE_RE.search(body) or _ROTATE_RE.search(pages_obj)
+        rot = (int(rm.group(1)) % 360 + 360) % 360 if rm else 0
+        bx0, by0, bx1, by1 = box
+        if rot == 90:
+            base = (0.0, -1.0, 1.0, 0.0, -by0, bx1)
+        elif rot == 180:
+            base = (-1.0, 0.0, 0.0, -1.0, bx1, by1)
+        elif rot == 270:
+            base = (0.0, 1.0, -1.0, 0.0, by1, -bx0)
+        else:
+            base = (1.0, 0.0, 0.0, 1.0, -bx0, -by0)
+        if base == (1.0, 0.0, 0.0, 1.0, 0.0, 0.0):
+            pemit = emit
+        else:
+            def pemit(kind, text, media_ref=None, bbox=None, _m=base):
+                if bbox is not None:
+                    a, b, c, d, e, f = _m
+                    pts = [(a * x + c * y + e, b * x + d * y + f)
+                           for x, y in ((bbox[0], bbox[1]),
+                                        (bbox[2], bbox[1]),
+                                        (bbox[0], bbox[3]),
+                                        (bbox[2], bbox[3]))]
+                    bbox = (min(p[0] for p in pts),
+                            min(p[1] for p in pts),
+                            max(p[0] for p in pts),
+                            max(p[1] for p in pts))
+                emit(kind, text, media_ref=media_ref, bbox=bbox)
         # xobjs: the page's own /XObject map layered over everything
         # inherited down the page tree (built during the tree walk)
-        emit("PageStart", "", bbox=box)
-        _walk_content(objs, cdata, xobjs, emit, frozenset(),
+        pemit("PageStart", "", bbox=box)
+        _walk_content(objs, cdata, xobjs, pemit, frozenset(),
                       fonts=fonts, cmap_cache=cmap_cache)
     return dict(doc_id=doc_id, spans=spans)
 

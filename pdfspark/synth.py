@@ -721,6 +721,24 @@ def write_pdf_payloads(out_dir: str) -> None:
     assert "AES-256 R6 body." in [s["text"] for s in decoded["spans"]]
     rows.append((a2_id, "ok", len(decoded["spans"]), len(payload),
                  geom_digest(decoded["spans"])))
+    # /Rotate 90 landscape scan: geometry is reoriented through the
+    # page's base CTM (pdfminer process_page semantics) — PageStart
+    # lands at (0,0,792,612) and every text/image box swaps axes,
+    # verified span-for-span against the unrotated twin
+    rt_id = "pdfdoc-00032"
+    payload = build_tiny_pdf(
+        rt_id,
+        [["20. Sideways scan", "Rotated body line."], ["Second page."]],
+        compress=True, images=[1, 0], rotate=90)
+    with open(os.path.join(pdir, f"{rt_id}.pdf"), "wb") as fh:
+        fh.write(payload)
+    decoded = decode_tiny_pdf(payload)
+    assert decoded["doc_id"] == rt_id
+    ps = [s for s in decoded["spans"] if s["kind"] == "PageStart"]
+    assert all((s["x0"], s["y0"], s["x1"], s["y1"])
+               == (0.0, 0.0, 792.0, 612.0) for s in ps)
+    rows.append((rt_id, "ok", len(decoded["spans"]), len(payload),
+                 geom_digest(decoded["spans"])))
     aes = build_tiny_pdf("encrypted_aes", [["secret body"]],
                          encrypt="aes256-r5")
     with open(os.path.join(pdir, "encrypted_aes.pdf"), "wb") as fh:
@@ -1101,7 +1119,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 23  # 23: Tc/Tw/Tz advance semantics (geom digests)
+FIXTURE_VERSION = 24  # 24: /Rotate payload pdfdoc-00032
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

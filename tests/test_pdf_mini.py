@@ -1066,3 +1066,72 @@ def test_pdf_aesv2_encrypt_metadata_false_key_derivation():
     enc2 = build_tiny_pdf("m", pages, encrypt="aesv2")
     # different file keys -> different ciphertext for the same doc
     assert enc != enc2.replace(b" /EncryptMetadata false", b"")
+
+
+def test_page_rotate_reorients_geometry():
+    """/Rotate (inheritable, §7.7.3.4) applies pdfminer's
+    process_page base CTM: the span texts/kinds/order are unchanged
+    and every bbox maps through the page rotation, with PageStart at
+    (0,0,w,h) in the displayed orientation (w/h swapped on 90/270).
+    pdfminer.six pdfinterp.PDFPageInterpreter.process_page is the
+    matrix source; the reference gets this for free through pdfminer
+    (reference src/pdf_extractor.py extract_pages usage)."""
+    from pdfspark.sources.pdf_mini import build_tiny_pdf, decode_tiny_pdf
+
+    pages = [["1. Intro", "Body line one."], ["2. More", "Second."]]
+    plain = decode_tiny_pdf(build_tiny_pdf("d", pages,
+                                           images=[1, 0]))["spans"]
+    W, H = 612.0, 792.0
+
+    def box(s):
+        return (s["x0"], s["y0"], s["x1"], s["y1"])
+
+    r90 = decode_tiny_pdf(build_tiny_pdf("d", pages, images=[1, 0],
+                                         rotate=90))["spans"]
+    assert [(s["kind"], s["text"]) for s in r90] \
+        == [(s["kind"], s["text"]) for s in plain]
+    for p, q in zip(plain, r90):
+        if p["x0"] is None:
+            assert q["x0"] is None
+            continue
+        assert box(q) == (p["y0"], round(W - p["x1"], 2),
+                          p["y1"], round(W - p["x0"], 2))
+    ps = [s for s in r90 if s["kind"] == "PageStart"]
+    assert all(box(s) == (0.0, 0.0, H, W) for s in ps)
+
+    r180 = decode_tiny_pdf(build_tiny_pdf("d", pages, images=[1, 0],
+                                          rotate=180))["spans"]
+    for p, q in zip(plain, r180):
+        if p["x0"] is None:
+            continue
+        assert box(q) == (round(W - p["x1"], 2), round(H - p["y1"], 2),
+                          round(W - p["x0"], 2), round(H - p["y0"], 2))
+
+    r270 = decode_tiny_pdf(build_tiny_pdf("d", pages, images=[1, 0],
+                                          rotate=270))["spans"]
+    for p, q in zip(plain, r270):
+        if p["x0"] is None:
+            continue
+        assert box(q) == (round(H - p["y1"], 2), p["x0"],
+                          round(H - p["y0"], 2), p["x1"])
+
+
+def test_page_rotate_normalization_and_inheritance():
+    """-90 == 270 and 450 == 90 (mod-360 normalization); a /Rotate on
+    the /Pages tree node inherits to every kid; a value that is not a
+    multiple of 90 falls to the translate-only branch exactly as
+    pdfminer's process_page else-arm does (no quarantine)."""
+    from pdfspark.sources.pdf_mini import build_tiny_pdf, decode_tiny_pdf
+
+    pages = [["1. Intro", "Body."], ["2. More", "Tail."]]
+
+    def boxes(**kw):
+        return [(s["x0"], s["y0"], s["x1"], s["y1"])
+                for s in decode_tiny_pdf(
+                    build_tiny_pdf("d", pages, **kw))["spans"]]
+
+    assert boxes(rotate=-90) == boxes(rotate=270)
+    assert boxes(rotate=450) == boxes(rotate=90)
+    assert boxes(rotate=90, rotate_on_parent=True) == boxes(rotate=90)
+    assert boxes(rotate=45) == boxes()
+    assert boxes(rotate=0) == boxes()

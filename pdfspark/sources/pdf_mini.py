@@ -394,6 +394,8 @@ def _encode_stream(stream: bytes, spec) -> tuple[bytes, bytes]:
     if spec == "a85":
         return (b" /Filter /ASCII85Decode",
                 base64.a85encode(stream) + b"~>")
+    if spec == "rle":
+        return b" /Filter /RunLengthDecode", _rle_encode(stream)
     if spec == "ahx+flate":
         z = zlib.compress(stream)
         return (b" /Filter [/ASCIIHexDecode /FlateDecode]",
@@ -752,8 +754,8 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
     """A complete PDF: one content stream per page, one Tj text-show
     per line, doc_id in the Info /Title. ``compress`` selects the
     content-stream filter: True/'flate' (/FlateDecode, the real-world
-    default), 'lzw', 'a85', or the chain 'ahx+flate'
-    (/Filter [/ASCIIHexDecode /FlateDecode]). ``hex_show=True`` emits
+    default), 'lzw', 'a85', 'rle' (/RunLengthDecode), or the chain
+    'ahx+flate' (/Filter [/ASCIIHexDecode /FlateDecode]). ``hex_show=True`` emits
     text-show operands as hex strings (`<...> Tj`), the form CID-era
     writers use for every string. ``images`` gives a per-page count of
     embedded image XObjects, painted with `/ImN Do` after the page's
@@ -1455,6 +1457,57 @@ def _stream_filters(sdict: bytes) -> list[bytes]:
     return re.findall(rb"/(\w+)", fm.group(1))
 
 
+def _rle_decode(data: bytes) -> bytes:
+    """RunLengthDecode (PDF 7.4.5): length byte L < 128 copies the
+    next L+1 bytes literally, L > 128 repeats the next byte 257-L
+    times, L == 128 is EOD. Truncated input (a run promised past the
+    end, or no EOD) raises and the doc quarantines."""
+    out = bytearray()
+    i = 0
+    while True:
+        if i >= len(data):
+            raise ValueError("RunLength stream without EOD")
+        ln = data[i]
+        i += 1
+        if ln == 128:
+            return bytes(out)
+        if ln < 128:
+            chunk = data[i:i + ln + 1]
+            if len(chunk) != ln + 1:
+                raise ValueError("truncated RunLength literal")
+            out += chunk
+            i += ln + 1
+        else:
+            if i >= len(data):
+                raise ValueError("truncated RunLength run")
+            out += data[i:i + 1] * (257 - ln)
+            i += 1
+
+
+def _rle_encode(data: bytes) -> bytes:
+    """Builder-side §7.4.5 encoder: runs of >= 3 equal bytes become
+    (257-n, byte) pairs, everything else literal chunks of <= 128."""
+    out = bytearray()
+    i = 0
+    while i < len(data):
+        j = i
+        while j < len(data) and j - i < 128 and data[j] == data[i]:
+            j += 1
+        if j - i >= 3:
+            out += bytes([257 - (j - i), data[i]])
+            i = j
+            continue
+        j = i
+        while (j < len(data) and j - i < 128
+               and not (j + 2 < len(data)
+                        and data[j] == data[j + 1] == data[j + 2])):
+            j += 1
+        out += bytes([j - i - 1]) + data[i:j]
+        i = j
+    out.append(128)
+    return bytes(out)
+
+
 def _ahx_decode(data: bytes) -> bytes:
     """ASCIIHexDecode (PDF 7.4.2): whitespace ignored, `>` is EOD, an
     odd final digit is padded with 0."""
@@ -1522,6 +1575,7 @@ _DECODERS = {
     b"ASCIIHexDecode": _ahx_decode,
     b"ASCII85Decode": _a85_decode,
     b"LZWDecode": _lzw_decode,
+    b"RunLengthDecode": _rle_decode,
 }
 
 
@@ -1544,9 +1598,11 @@ def _apply_filters(sdict: bytes, data: bytes) -> bytes:
 
 def _png_unpredict(data: bytes, columns: int) -> bytes:
     """Reverse PNG row predictors (PDF /Predictor >= 10): every row is
-    a filter-type byte + `columns` data bytes. Types 0 (None),
-    1 (Sub) and 2 (Up — what real xref-stream writers emit) are
-    decoded; anything else raises and the doc quarantines."""
+    a filter-type byte + `columns` data bytes. All five RFC 2083 row
+    filters are decoded — 0 (None), 1 (Sub), 2 (Up — what real
+    xref-stream writers emit), 3 (Average), 4 (Paeth) — at bpp=1
+    (integer-packed xref columns); an unknown type byte raises and
+    the doc quarantines."""
     row_len = columns + 1
     if columns <= 0 or len(data) % row_len:
         raise ValueError("bad predictor row geometry")
@@ -1561,6 +1617,24 @@ def _png_unpredict(data: bytes, columns: int) -> bytes:
         elif ft == 2:  # Up
             for i in range(columns):
                 row[i] = (row[i] + prev[i]) & 0xFF
+        elif ft == 3:  # Average: floor((left + up) / 2)
+            for i in range(columns):
+                left = row[i - 1] if i else 0
+                row[i] = (row[i] + (left + prev[i]) // 2) & 0xFF
+        elif ft == 4:  # Paeth: nearest of left/up/upper-left
+            for i in range(columns):
+                a = row[i - 1] if i else 0
+                b = prev[i]
+                c = prev[i - 1] if i else 0
+                p = a + b - c
+                pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+                if pa <= pb and pa <= pc:
+                    pr = a
+                elif pb <= pc:
+                    pr = b
+                else:
+                    pr = c
+                row[i] = (row[i] + pr) & 0xFF
         elif ft != 0:
             raise ValueError(f"unsupported PNG predictor type {ft}")
         out += row

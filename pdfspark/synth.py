@@ -739,6 +739,17 @@ def write_pdf_payloads(out_dir: str) -> None:
                == (0.0, 0.0, 792.0, 612.0) for s in ps)
     rows.append((rt_id, "ok", len(decoded["spans"]), len(payload),
                  geom_digest(decoded["spans"])))
+    # RunLengthDecode content streams (fax/scan-era writers)
+    rle_id = "pdfdoc-00033"
+    payload = build_tiny_pdf(
+        rle_id, [["21. RLE era", "Run-length coded body."]],
+        compress="rle")
+    with open(os.path.join(pdir, f"{rle_id}.pdf"), "wb") as fh:
+        fh.write(payload)
+    decoded = decode_tiny_pdf(payload)
+    assert decoded["doc_id"] == rle_id
+    rows.append((rle_id, "ok", len(decoded["spans"]), len(payload),
+                 geom_digest(decoded["spans"])))
     aes = build_tiny_pdf("encrypted_aes", [["secret body"]],
                          encrypt="aes256-r5")
     with open(os.path.join(pdir, "encrypted_aes.pdf"), "wb") as fh:
@@ -1119,7 +1130,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 24  # 24: /Rotate payload pdfdoc-00032
+FIXTURE_VERSION = 25  # 25: /Rotate + RunLength payloads (00032-33)
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

@@ -410,9 +410,10 @@ def test_png_unpredict_types():
     assert _png_unpredict(data, 3) == bytes([1, 2, 3, 2, 3, 4])
     # Sub adds the left neighbour
     assert _png_unpredict(bytes([1, 5, 1, 1]), 3) == bytes([5, 6, 7])
-    # unsupported row type quarantines
+    # unsupported row type quarantines (Average/Paeth are decoded
+    # since round 5; 5+ is outside RFC 2083)
     with pytest.raises(ValueError):
-        _png_unpredict(bytes([4, 0, 0, 0]), 3)
+        _png_unpredict(bytes([5, 0, 0, 0]), 3)
     with pytest.raises(ValueError):
         _png_unpredict(bytes([2, 0]), 3)  # bad geometry
 
@@ -1135,3 +1136,78 @@ def test_page_rotate_normalization_and_inheritance():
     assert boxes(rotate=90, rotate_on_parent=True) == boxes(rotate=90)
     assert boxes(rotate=45) == boxes()
     assert boxes(rotate=0) == boxes()
+
+
+def test_runlength_filter_round_trip_and_vectors():
+    """RunLengthDecode (§7.4.5): spec vectors, builder round-trip
+    through a /Filter /RunLengthDecode content stream, and truncation
+    quarantine."""
+    import pytest
+
+    from pdfspark.sources.pdf_mini import (
+        _rle_decode,
+        _rle_encode,
+        build_tiny_pdf,
+        decode_tiny_pdf,
+    )
+
+    assert _rle_decode(b"\x02abc\xfeX\x80") == b"abcXXX"
+    assert _rle_decode(b"\x80") == b""
+    assert _rle_decode(b"\x00q\x80") == b"q"
+    for payload in (b"", b"q", b"aaaabbbbbbcdcdcd" * 9,
+                    bytes(range(256)) * 3, b"\x80" * 300):
+        assert _rle_decode(_rle_encode(payload)) == payload
+    with pytest.raises(ValueError):
+        _rle_decode(b"\x05ab")  # literal promised past the end
+    with pytest.raises(ValueError):
+        _rle_decode(b"\xfe")  # run with no byte
+    with pytest.raises(ValueError):
+        _rle_decode(b"\x00q")  # no EOD
+
+    pages = [["1. RLE era", "Run-length body line."]]
+    plain = decode_tiny_pdf(build_tiny_pdf("r", pages))
+    rle = build_tiny_pdf("r", pages, compress="rle")
+    assert b"/RunLengthDecode" in rle
+    assert decode_tiny_pdf(rle) == plain
+
+
+def test_png_predictor_average_and_paeth_rows():
+    """All five RFC 2083 row filters invert at bpp=1: forward-filter
+    rows with an independent in-test implementation, then check
+    _png_unpredict recovers the raw bytes regardless of which filter
+    each row used."""
+    from pdfspark.sources.pdf_mini import _png_unpredict
+
+    cols = 7
+    raw_rows = [bytes((r * 37 + i * 11) % 256 for i in range(cols))
+                for r in range(6)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    enc = bytearray()
+    prev = bytes(cols)
+    for r, row in enumerate(raw_rows):
+        ft = r % 5  # exercise every filter type incl. Average/Paeth
+        enc.append(ft)
+        for i, x in enumerate(row):
+            left = row[i - 1] if i else 0
+            up = prev[i]
+            ul = prev[i - 1] if i else 0
+            if ft == 0:
+                v = x
+            elif ft == 1:
+                v = x - left
+            elif ft == 2:
+                v = x - up
+            elif ft == 3:
+                v = x - (left + up) // 2
+            else:
+                v = x - paeth(left, up, ul)
+            enc.append(v & 0xFF)
+        prev = row
+    assert _png_unpredict(bytes(enc), cols) == b"".join(raw_rows)

@@ -1094,7 +1094,7 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
 
 def build_layout_pdf(doc_id: str,
                      pages: list[list[tuple[str, float, float]]],
-                     compress=False) -> bytes:
+                     compress=False, rotate: int | None = None) -> bytes:
     """A PDF whose text is POSITIONED: each page is a list of
     (text, x, y) shows, each placed with `1 0 0 1 x y Tm` — the shape
     table-emitting writers produce (cells at explicit coordinates).
@@ -1102,7 +1102,18 @@ def build_layout_pdf(doc_id: str,
     path: decode_payloads_geom over this payload yields a geometry
     frame the A4/EP3 row-clustering pipeline reconstructs tables
     from. Same object skeleton as build_tiny_pdf (flat page tree,
-    one content stream per page, Info /Title doc_id)."""
+    one content stream per page, Info /Title doc_id).
+
+    ``rotate=90`` stores the page the way a rotated-scan writer does:
+    `/Rotate 90` on the page plus SIDEWAYS text matrices
+    (`0 1 -1 0 xu yu Tm`, glyphs advancing along user +y) computed so
+    that each (text, x, y) entry still DISPLAYS at (x, y) after the
+    page rotation — the decoded geometry is position-identical to the
+    unrotated build (coordinates must fit the displayed landscape
+    612-pt height). Only 90 is supported; the point is the writer
+    shape, not a rotation library."""
+    if rotate not in (None, 90):
+        raise ValueError("build_layout_pdf supports rotate=90 only")
     n_pages = len(pages)
     page_objs = [3 + i for i in range(n_pages)]
     cont_objs = [3 + n_pages + i for i in range(n_pages)]
@@ -1115,13 +1126,21 @@ def build_layout_pdf(doc_id: str,
                + b"] /Count %d >>" % n_pages)
     for i, (pobj, cobj) in enumerate(zip(page_objs, cont_objs)):
         objs[pobj] = (
-            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] "
-            b"/Resources << /Font << /F1 %d 0 R >> >> "
+            b"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792]"
+            + (b" /Rotate 90" if rotate == 90 else b"")
+            + b" /Resources << /Font << /F1 %d 0 R >> >> "
             b"/Contents %d 0 R >>" % (font_obj, cobj))
         ops = [b"BT", b"/F1 12 Tf"]
         for text, x, y in pages[i]:
-            ops.append(b"1 0 0 1 %s %s Tm" % (
-                (b"%g" % x), (b"%g" % y)))
+            if rotate == 90:
+                # displayed (x, y) = (yu, 612 - xu) under the page's
+                # base CTM, so the user-space origin is (612 - y, x)
+                # and the glyph advance runs along user +y
+                ops.append(b"0 1 -1 0 %s %s Tm" % (
+                    (b"%g" % (612 - y)), (b"%g" % x)))
+            else:
+                ops.append(b"1 0 0 1 %s %s Tm" % (
+                    (b"%g" % x), (b"%g" % y)))
             ops.append(b"(" + _escape(text) + b") Tj")
         ops.append(b"ET")
         stream = b"\n".join(ops)

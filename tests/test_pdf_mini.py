@@ -1211,3 +1211,46 @@ def test_png_predictor_average_and_paeth_rows():
             enc.append(v & 0xFF)
         prev = row
     assert _png_unpredict(bytes(enc), cols) == b"".join(raw_rows)
+
+
+def test_ep3_tables_from_rotated_raw_bytes(spark, tmp_path):
+    """The rotated-scan writer shape end-to-end: /Rotate 90 pages
+    whose text is stored SIDEWAYS (`0 1 -1 0 xu yu Tm`) decode to
+    display-space geometry position-identical to the upright twin, so
+    the EP3 table pipeline reconstructs the same planted tables from
+    the rotated bytes (header/footer bands key off the landscape
+    PageStart instead of the portrait one, hence mid-page targets)."""
+    from pdfspark.operators.boilerplate import header_footer
+    from pdfspark.operators.tables import extract_tables_sql
+    from pdfspark.sources.binary_decode import (
+        decode_payloads_geom,
+        read_payloads,
+    )
+    from pdfspark.sources.pdf_mini import build_layout_pdf
+
+    pages = [
+        [("Table 1 Rotated scan", 72, 500),
+         ("r1c1", 72, 480), ("r1c2", 200, 481), ("r1c3", 330, 479),
+         ("r2c1", 72, 460), ("r2c2", 200, 460), ("r2c3", 330, 461)],
+    ]
+    d = str(tmp_path / "payloads")
+    os.makedirs(d)
+    with open(os.path.join(d, "t.pdf"), "wb") as fh:
+        fh.write(build_layout_pdf("pdf-rot", pages, compress=True,
+                                  rotate=90))
+    with open(os.path.join(d, "u.pdf"), "wb") as fh:
+        fh.write(build_layout_pdf("pdf-upr", pages, compress=True))
+    geom = decode_payloads_geom(read_payloads(spark, d))
+    tb = geom.filter("kind = 'TextBox'").collect()
+    by_doc = {}
+    for r in tb:
+        by_doc.setdefault(r.doc_id, []).append(
+            (r.page_id, r.text, r.x0, r.y0, r.x1, r.y1))
+    assert sorted(by_doc["pdf-rot"]) == sorted(by_doc["pdf-upr"])
+    rot = geom.filter("doc_id = 'pdf-rot'")
+    rows = (extract_tables_sql(rot, header_footer(rot))
+            .orderBy("table_id", "row_id").collect())
+    cells = [None if r.cells is None else list(r.cells) for r in rows
+             if r.title == "Table 1 Rotated scan"]
+    assert ["r1c1", "r1c2", "r1c3"] in cells
+    assert ["r2c1", "r2c2", "r2c3"] in cells

@@ -175,6 +175,7 @@ _TL_RE = re.compile(rb"(" + _NUM + rb")\s+TL\b")
 _TC_RE = re.compile(rb"(" + _NUM + rb")\s+Tc\b")
 _TW_RE = re.compile(rb"(" + _NUM + rb")\s+Tw\b")
 _TZ_RE = re.compile(rb"(" + _NUM + rb")\s+Tz\b")
+_TS_RE = re.compile(rb"(" + _NUM + rb")\s+Ts\b")
 # the " operator's own aw ac operands (word/char spacing set by the
 # show itself, §9.4.3)
 _DQ_OPS_RE = re.compile(
@@ -2463,6 +2464,8 @@ def _walk_content(objs, cdata, xobjs, emit, active,
                  for t in _TW_RE.finditer(sscan)]
     tz_events = [(t.start(), float(t.group(1)))
                  for t in _TZ_RE.finditer(sscan)]
+    ts_events = [(t.start(), float(t.group(1)))
+                 for t in _TS_RE.finditer(sscan)]
 
     def _last_before(events, pos: int, default: float) -> float:
         val = default
@@ -2482,7 +2485,8 @@ def _walk_content(objs, cdata, xobjs, emit, active,
                 _last_before(tl_events, pos, 0.0),
                 _last_before(tc_events, pos, 0.0),
                 _last_before(tw_events, pos, 0.0),
-                _last_before(tz_events, pos, 100.0))
+                _last_before(tz_events, pos, 100.0),
+                _last_before(ts_events, pos, 0.0))
 
     def _cm_box(pos: int):
         ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
@@ -2576,7 +2580,7 @@ def _walk_content(objs, cdata, xobjs, emit, active,
         # state at the BT position (they persist across BT blocks).
         tm = [1.0, 0.0, 0.0, 1.0, 0.0, 0.0]
         lm = list(tm)
-        size, lead, tc, tw, tz = _state_at(m.start())
+        size, lead, tc, tw, tz, rise = _state_at(m.start())
 
         def _td(tx: float, ty: float) -> None:
             lm[4] = tx * lm[0] + ty * lm[2] + lm[4]
@@ -2594,6 +2598,7 @@ def _walk_content(objs, cdata, xobjs, emit, active,
         inbody += [(t.start(), "tc", t) for t in _TC_RE.finditer(sbody)]
         inbody += [(t.start(), "tw", t) for t in _TW_RE.finditer(sbody)]
         inbody += [(t.start(), "tz", t) for t in _TZ_RE.finditer(sbody)]
+        inbody += [(t.start(), "ts", t) for t in _TS_RE.finditer(sbody)]
         consumed: list[tuple[int, int]] = []
         for _p, knd, t in sorted(inbody, key=lambda ev: ev[0]):
             if knd == "td":
@@ -2622,6 +2627,9 @@ def _walk_content(objs, cdata, xobjs, emit, active,
                 continue
             if knd == "tz":
                 tz = float(t.group(1))
+                continue
+            if knd == "ts":
+                rise = float(t.group(1))
                 continue
             show = t
             consumed.append(show.span())
@@ -2666,16 +2674,19 @@ def _walk_content(objs, cdata, xobjs, emit, active,
                 _td(0.0, -lead)
             # text-space advance under the deterministic glyph model
             # (§9.4.4: per glyph (w0*Tfs + Tc + Tw_if_space) * Tz%);
-            # the box is the text-space rect (0,0)-(adv,size) with all
-            # FOUR corners mapped through Tm (pdfminer's apply_matrix
-            # shape), so rotated/sheared text gets its true axis-
-            # aligned envelope instead of a degenerate zero-area box
+            # the box is the text-space rect (0,rise)-(adv,rise+size)
+            # — Ts lifts the baseline in unscaled text space (§9.3.7,
+            # super/subscripts) without entering the line-advance —
+            # with all FOUR corners mapped through Tm (pdfminer's
+            # apply_matrix shape), so rotated/sheared text gets its
+            # true axis-aligned envelope instead of a degenerate
+            # zero-area box
             adv = ((GLYPH_W * size + tc) * len(text)
                    + tw * n_spaces
                    - kern / 1000.0 * size) * (tz / 100.0)
             xs, ys = [], []
-            for dx, dy in ((0.0, 0.0), (adv, 0.0),
-                           (0.0, size), (adv, size)):
+            for dx, dy in ((0.0, rise), (adv, rise),
+                           (0.0, rise + size), (adv, rise + size)):
                 xs.append(tm[4] + dx * tm[0] + dy * tm[2])
                 ys.append(tm[5] + dx * tm[1] + dy * tm[3])
             emit("TextBox", text,

@@ -1254,3 +1254,37 @@ def test_ep3_tables_from_rotated_raw_bytes(spark, tmp_path):
              if r.title == "Table 1 Rotated scan"]
     assert ["r1c1", "r1c2", "r1c3"] in cells
     assert ["r2c1", "r2c2", "r2c3"] in cells
+
+
+def test_text_rise_lifts_the_box():
+    """Ts (§9.3.7) lifts the glyph box by the rise in unscaled text
+    space — superscripts sit above the baseline run — persists across
+    BT blocks like the other text-state params (§9.3.1), resets the
+    box when set back to 0, and operand-shaped bytes inside show
+    strings never register as a Ts event."""
+    from pdfspark.sources.pdf_mini import build_tiny_pdf, decode_tiny_pdf
+
+    raw = build_tiny_pdf("s", [["placeholder"]]).replace(
+        b"(placeholder) Tj",
+        b"(base) Tj 4 Ts (sup) Tj 0 Ts (back) Tj")
+    ts = [s for s in decode_tiny_pdf(raw)["spans"]
+          if s["kind"] == "TextBox"]
+    assert (ts[0]["y0"], ts[0]["y1"]) == (720.0, 732.0)
+    assert (ts[1]["y0"], ts[1]["y1"]) == (724.0, 736.0)
+    assert (ts[2]["y0"], ts[2]["y1"]) == (720.0, 732.0)
+
+    # persists across BT blocks within the stream
+    raw = build_tiny_pdf("s", [["placeholder"]]).replace(
+        b"(placeholder) Tj",
+        b"-3 Ts (sub) Tj ET BT /F1 12 Tf 72 600 Td (still) Tj")
+    ts = [s for s in decode_tiny_pdf(raw)["spans"]
+          if s["kind"] == "TextBox"]
+    assert (ts[0]["y0"], ts[0]["y1"]) == (717.0, 729.0)
+    assert (ts[1]["y0"], ts[1]["y1"]) == (597.0, 609.0)
+
+    # "(4 Ts)" inside a show string is string bytes, not an operator
+    raw = build_tiny_pdf("s", [["placeholder"]]).replace(
+        b"(placeholder) Tj", b"(4 Ts) Tj (next) Tj")
+    ts = [s for s in decode_tiny_pdf(raw)["spans"]
+          if s["kind"] == "TextBox"]
+    assert all((s["y0"], s["y1"]) == (720.0, 732.0) for s in ts)

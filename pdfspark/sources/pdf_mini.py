@@ -751,7 +751,8 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
                    encrypt: str | None = None,
                    encoding: str | None = None,
                    rotate: int | None = None,
-                   rotate_on_parent: bool = False) -> bytes:
+                   rotate_on_parent: bool = False,
+                   tagged: bool = False) -> bytes:
     """A complete PDF: one content stream per page, one Tj text-show
     per line, doc_id in the Info /Title. ``compress`` selects the
     content-stream filter: True/'flate' (/FlateDecode, the real-world
@@ -792,6 +793,10 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
     (V5/R6 AES-256, the PDF 2.0 default: Algorithm 2.B KDF, /UE
     key wrap, /Perms); 'aes256-r5' writes the deprecated pre-ISO
     /R 5 revision (beyond the slice — must quarantine).
+    ``tagged=True`` wraps every Tj in a §14.6 marked-content sequence
+    (`/P << /MCID n /ActualText (line) >> BDC .. EMC`) — the
+    accessibility shape modern office writers emit, whose property
+    strings are operands the decoder must mask, not shows.
     ``rotate`` writes a `/Rotate N` page attribute — on every page
     object, or (``rotate_on_parent=True``) once on the /Pages tree
     node so the decoder's inheritance path (§7.7.3.4) is exercised —
@@ -905,7 +910,16 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
                 else:
                     ops.append(operand + b" '")
             else:
+                if tagged:
+                    # the tagged-PDF shape: every show wrapped in a
+                    # marked-content sequence whose property list
+                    # carries an /ActualText STRING (operand, not a
+                    # show) — office-writer accessibility output
+                    ops.append(b"/P << /MCID %d /ActualText " % j
+                               + operand + b" >> BDC")
                 ops.append(operand + b" Tj")
+                if tagged:
+                    ops.append(b"EMC")
                 # in quote mode the NEXT line's ' / " does the T*
                 # line move itself — an explicit Td too would double
                 # the leading (geometry-visible)
@@ -2371,6 +2385,57 @@ def _decode_codes(bs: bytes, cmap: dict) -> str:
     return "".join(out)
 
 
+def _mask_marked_content_dicts(cdata: bytes) -> bytes:
+    """Space-fill (offset-preserving) every inline dictionary whose
+    next token is the BDC or DP marked-content operator (§14.6):
+    tagged PDFs — the accessibility default every modern office
+    writer emits — carry property lists like
+    `/Span << /ActualText (x) >> BDC` whose STRINGS are operands,
+    not shows. pdfminer ignores marked-content operands entirely;
+    without the mask the wrong-parse guard would quarantine every
+    tagged document over its own tag metadata. The balanced `<<`/`>>`
+    scan skips literal and hex strings inside the dict, so a
+    `)`/`>>` spelling INSIDE an /Alt or /ActualText value cannot
+    end the dict early; a dict that still fails to balance is left
+    unmasked and the existing guards quarantine as before (safe
+    fail: quarantine, never a silent wrong parse). Name-form
+    property lists (`/Tag /Name BDC`) and BMC/MP/EMC carry no
+    strings and need no masking."""
+    out = bytearray(cdata)
+    n = len(cdata)
+    i = 0
+    while True:
+        s = cdata.find(b"<<", i)
+        if s == -1:
+            break
+        depth = 0
+        j = s
+        while j < n:
+            b2 = cdata[j:j + 2]
+            if b2 == b"<<":
+                depth += 1
+                j += 2
+            elif b2 == b">>":
+                depth -= 1
+                j += 2
+                if depth == 0:
+                    break
+            elif cdata[j:j + 1] in (b"(", b"<"):
+                sm = _STR_TOKEN_RE.match(cdata, j)
+                # a stray ( or < that is not a well-formed string
+                # advances one byte; the dict then typically fails to
+                # balance and is left for the guards
+                j = sm.end() if sm is not None else j + 1
+            else:
+                j += 1
+        if depth != 0:
+            break
+        if re.match(rb"\s*(BDC|DP)\b", cdata[j:]) is not None:
+            out[s:j] = b" " * (j - s)
+        i = j
+    return bytes(out)
+
+
 def _walk_content(objs, cdata, xobjs, emit, active,
                   fonts=None, cmap_cache=None) -> None:
     """Interleave BT..ET text blocks and Do XObject paints in STREAM
@@ -2415,6 +2480,12 @@ def _walk_content(objs, cdata, xobjs, emit, active,
         for s, e in inline:
             scan[s:e] = b" " * (e - s)
         cdata = bytes(scan)
+
+    # tagged-PDF marked content: BDC/DP property dicts are operands
+    # (strings included), masked so their /ActualText-style values
+    # never register as shows or trip the unconsumed-string guard
+    if b"BDC" in cdata or b"DP" in cdata:
+        cdata = _mask_marked_content_dicts(cdata)
 
     fonts = fonts or {}
     if cmap_cache is None:

@@ -750,6 +750,21 @@ def write_pdf_payloads(out_dir: str) -> None:
     assert decoded["doc_id"] == rle_id
     rows.append((rle_id, "ok", len(decoded["spans"]), len(payload),
                  geom_digest(decoded["spans"])))
+    # tagged PDF (§14.6 marked content): BDC property lists carry
+    # /ActualText STRINGS that are operands, not shows — the
+    # accessibility shape modern office writers emit by default
+    tg_id = "pdfdoc-00034"
+    payload = build_tiny_pdf(
+        tg_id, [["22. Tagged era", "Accessible body line."]],
+        compress=True, tagged=True)
+    with open(os.path.join(pdir, f"{tg_id}.pdf"), "wb") as fh:
+        fh.write(payload)
+    decoded = decode_tiny_pdf(payload)
+    assert decoded["doc_id"] == tg_id
+    assert [s["text"] for s in decoded["spans"] if s["kind"] == "TextBox"] \
+        == ["22. Tagged era", "Accessible body line."]
+    rows.append((tg_id, "ok", len(decoded["spans"]), len(payload),
+                 geom_digest(decoded["spans"])))
     aes = build_tiny_pdf("encrypted_aes", [["secret body"]],
                          encrypt="aes256-r5")
     with open(os.path.join(pdir, "encrypted_aes.pdf"), "wb") as fh:
@@ -1130,7 +1145,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 25  # 25: /Rotate + RunLength payloads (00032-33)
+FIXTURE_VERSION = 26  # 26: tagged-PDF payload pdfdoc-00034
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

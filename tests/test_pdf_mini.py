@@ -508,13 +508,14 @@ def test_pdf_quote_show_operators_and_guard():
         b"(Body line.) Tj", b"(Body line.) Tz")
     with pytest.raises(ValueError, match="unconsumed string"):
         decode_tiny_pdf(bad)
-    # BDC property list with /ActualText: replacement text the codec
-    # cannot honor -> quarantine
+    # BDC property list with /ActualText: marked-content operands are
+    # masked since round 5 (pdfminer parity — it extracts the shown
+    # glyphs and ignores the replacement text), so the tagged doc
+    # decodes identically to the untagged one instead of quarantining
     bdc = build_tiny_pdf("qdoc", pages).replace(
         b"(Body line.) Tj",
         b"/Span << /ActualText (hidden) >> BDC (Body line.) Tj EMC")
-    with pytest.raises(ValueError, match="unconsumed string"):
-        decode_tiny_pdf(bdc)
+    assert decode_tiny_pdf(bdc) == base
 
 
 def test_pdf_utf16_titles():
@@ -1288,3 +1289,46 @@ def test_text_rise_lifts_the_box():
     ts = [s for s in decode_tiny_pdf(raw)["spans"]
           if s["kind"] == "TextBox"]
     assert all((s["y0"], s["y1"]) == (720.0, 732.0) for s in ts)
+
+
+def test_tagged_pdf_marked_content_masked():
+    """Tagged PDFs (§14.6): BDC/DP property lists — including
+    /ActualText strings that spell show/paint operators — are
+    operands, masked like inline-image bytes, so a tagged document
+    decodes span- and geometry-identically to its untagged twin
+    (pdfminer ignores marked-content operands the same way). A
+    property dict that fails to balance still quarantines via the
+    unconsumed-string guard (safe fail, never a silent wrong
+    parse)."""
+    import pytest
+
+    from pdfspark.sources.pdf_mini import build_tiny_pdf, decode_tiny_pdf
+
+    pages = [["1. Tagged", "Body with (parens) text."], ["2. More"]]
+    plain = decode_tiny_pdf(build_tiny_pdf("t", pages))
+    tagged = build_tiny_pdf("t", pages, tagged=True)
+    assert b"BDC" in tagged  # uncompressed build: operators visible
+    assert decode_tiny_pdf(tagged) == plain
+    # compressed tagged stream (the real writer shape)
+    assert decode_tiny_pdf(
+        build_tiny_pdf("t", pages, tagged=True, compress=True)) == plain
+
+    # adversarial /ActualText: operator spellings inside the property
+    # string must not parse as content; nested dicts and hex strings
+    # must not end the balanced scan early
+    adv = build_tiny_pdf("t", [["Hello."]]).replace(
+        b"(Hello.) Tj",
+        b"/Span << /A (x \\(y BT \\(z) Tj ET) /N << /Alt <FEFF003E> >> "
+        b">> BDC (Hello.) Tj EMC")
+    base = decode_tiny_pdf(build_tiny_pdf("t", [["Hello."]]))
+    assert decode_tiny_pdf(adv) == base
+    # DP (point operator) with a string-bearing dict, outside BT
+    dp = build_tiny_pdf("t", [["Hello."]]).replace(
+        b"BT", b"/Meta << /K (x) >> DP\nBT", 1)
+    assert decode_tiny_pdf(dp) == base
+    # unbalanced dict -> the string operand stays visible -> quarantine
+    bad = build_tiny_pdf("t", [["Hello."]]).replace(
+        b"(Hello.) Tj",
+        b"/Span << /A (x) BDC (Hello.) Tj EMC")
+    with pytest.raises(ValueError):
+        decode_tiny_pdf(bad)

@@ -752,7 +752,9 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
                    encoding: str | None = None,
                    rotate: int | None = None,
                    rotate_on_parent: bool = False,
-                   tagged: bool = False) -> bytes:
+                   tagged: bool = False,
+                   widths: tuple[int, list[float]] | None = None
+                   ) -> bytes:
     """A complete PDF: one content stream per page, one Tj text-show
     per line, doc_id in the Info /Title. ``compress`` selects the
     content-stream filter: True/'flate' (/FlateDecode, the real-world
@@ -793,6 +795,9 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
     (V5/R6 AES-256, the PDF 2.0 default: Algorithm 2.B KDF, /UE
     key wrap, /Perms); 'aes256-r5' writes the deprecated pre-ISO
     /R 5 revision (beyond the slice — must quarantine).
+    ``widths=(first_char, [w, ...])`` declares a simple-font /Widths
+    table (glyph units, §9.6.2.1) so show advances come from real
+    metrics instead of the GLYPH_W model.
     ``tagged=True`` wraps every Tj in a §14.6 marked-content sequence
     (`/P << /MCID n /ActualText (line) >> BDC .. EMC`) — the
     accessibility shape modern office writers emit, whose property
@@ -986,8 +991,14 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
                 for c, code in sorted(diff_codes.items(),
                                       key=lambda kv: kv[1]))
             enc_clause = b" /Encoding << /Differences [ " + ents + b" ] >>"
+        w_clause = b""
+        if widths is not None:
+            first, ws = widths
+            w_clause = (b" /FirstChar %d /Widths [ " % first
+                        + b" ".join(b"%g" % w for w in ws) + b" ]")
         objs[font_obj] = (b"<< /Type /Font /Subtype /Type1 "
-                          b"/BaseFont /Helvetica" + enc_clause + b" >>")
+                          b"/BaseFont /Helvetica" + enc_clause
+                          + w_clause + b" >>")
     if title_utf16:
         thex = (b"\xfe\xff" + doc_id.encode("utf-16-be")
                 ).hex().upper().encode("ascii")
@@ -2324,6 +2335,66 @@ def _font_cmap(objs, fnum: int | None, cache: dict) -> dict | None:
     return cache[fnum]
 
 
+_FIRSTCHAR_RE = re.compile(rb"/FirstChar\s+(\d+)")
+_WIDTHS_ARR_RE = re.compile(rb"/Widths\s*\[([^\]]*)\]")
+_WIDTHS_REF_RE = re.compile(rb"/Widths\s+(\d+)\s+0\s+R")
+_FONTDESC_RE = re.compile(rb"/FontDescriptor\s+(\d+)\s+0\s+R")
+_MISSWIDTH_RE = re.compile(rb"/MissingWidth\s+(" + _NUM + rb")")
+
+
+def _font_widths(objs, fnum: int | None, cache: dict):
+    """Simple-font /Widths table (§9.6.2.1) of font object ``fnum``:
+    ({code: glyph-units}, missing_width) or None when the font
+    declares no /Widths (Type0 /W arrays are CID-keyed, a different
+    structure — CID shows keep the deterministic GLYPH_W model).
+    Codes outside [FirstChar, FirstChar+len) take /MissingWidth from
+    the /FontDescriptor when declared, else the deterministic
+    GLYPH_W glyph (a zero default per spec would emit degenerate
+    zero-area boxes downstream ops cluster on). A /Widths without
+    /FirstChar, or an unresolvable indirect array, raises and the doc
+    quarantines — guessing the base code would misplace every
+    advance. Memoized in the per-decode cache under ('w', fnum)."""
+    if fnum is None:
+        return None
+    key = ("w", fnum)
+    if key not in cache:
+        body = objs.get(fnum)
+        res = None
+        if body is not None:
+            am = _WIDTHS_ARR_RE.search(body)
+            arr = None
+            if am is not None:
+                arr = am.group(1)
+            else:
+                rm = _WIDTHS_REF_RE.search(body)
+                if rm is not None:
+                    wobj = objs.get(int(rm.group(1)))
+                    if wobj is None:
+                        raise ValueError("missing /Widths array object")
+                    aam = re.search(rb"\[([^\]]*)\]", wobj)
+                    if aam is None:
+                        raise ValueError("/Widths ref is not an array")
+                    arr = aam.group(1)
+            if arr is not None:
+                fm = _FIRSTCHAR_RE.search(body)
+                if fm is None:
+                    raise ValueError("/Widths without /FirstChar")
+                first = int(fm.group(1))
+                ws = [float(x) for x in
+                      re.findall(_NUM, arr)]
+                miss = GLYPH_W * 1000.0
+                dm = _FONTDESC_RE.search(body)
+                if dm is not None:
+                    desc = objs.get(int(dm.group(1)))
+                    if desc is not None:
+                        mm = _MISSWIDTH_RE.search(desc)
+                        if mm is not None:
+                            miss = float(mm.group(1))
+                res = ({first + i: w for i, w in enumerate(ws)}, miss)
+        cache[key] = res
+    return cache[key]
+
+
 def _font_encoding(objs, body: bytes | None) -> dict | None:
     """Parse a simple font's /Encoding entry (name, inline dict, or
     indirect dict) into {'enc_map': {byte: char}}; None when the font
@@ -2704,8 +2775,9 @@ def _walk_content(objs, cdata, xobjs, emit, active,
                 continue
             show = t
             consumed.append(show.span())
-            cmap = _font_cmap(objs, fonts.get(_font_at(
-                base + show.start())), cmap_cache)
+            fnum = fonts.get(_font_at(base + show.start()))
+            cmap = _font_cmap(objs, fnum, cmap_cache)
+            widths = _font_widths(objs, fnum, cmap_cache)
             # word spacing applies per byte-32 of SINGLE-BYTE
             # encodings only (§9.3.3) — CID multi-byte codes never
             # trigger it, so spaces are counted on the raw bytes and
@@ -2714,15 +2786,16 @@ def _walk_content(objs, cdata, xobjs, emit, active,
             kern = 0.0  # TJ kerning, thousandths of an em (§9.4.3)
             n_spaces = 0
             if show.group(1) is not None:  # (..) Tj / ' / "
-                raw = _unescape_bytes(show.group(1))
-                n_spaces = raw.count(0x20) if simple else 0
-                text = _show_text(raw, cmap)
+                all_raw = _unescape_bytes(show.group(1))
+                n_spaces = all_raw.count(0x20) if simple else 0
+                text = _show_text(all_raw, cmap)
             elif show.group(2) is not None:  # <hex> Tj / ' / "
-                raw = _hex_bytes(show.group(2))
-                n_spaces = raw.count(0x20) if simple else 0
-                text = _show_text(raw, cmap)
+                all_raw = _hex_bytes(show.group(2))
+                n_spaces = all_raw.count(0x20) if simple else 0
+                text = _show_text(all_raw, cmap)
             else:  # [..] TJ: strings concatenate, numbers kern
                 parts = []
+                raws = []
                 for m2 in _TJ_ELEM_RE.finditer(show.group(3)):
                     if m2.group(3) is not None:
                         kern += float(m2.group(3))
@@ -2731,7 +2804,9 @@ def _walk_content(objs, cdata, xobjs, emit, active,
                            if m2.group(1) is not None
                            else _hex_bytes(m2.group(2)))
                     n_spaces += raw.count(0x20) if simple else 0
+                    raws.append(raw)
                     parts.append(_show_text(raw, cmap))
+                all_raw = b"".join(raws)
                 text = "".join(parts)
             # ' and " move to the next line BEFORE showing; " also
             # SETS word/char spacing from its aw ac operands (§9.4.3)
@@ -2743,16 +2818,26 @@ def _walk_content(objs, cdata, xobjs, emit, active,
                 _td(0.0, -lead)
             elif show.group(0)[-1:] == b"'":
                 _td(0.0, -lead)
-            # text-space advance under the deterministic glyph model
-            # (§9.4.4: per glyph (w0*Tfs + Tc + Tw_if_space) * Tz%);
-            # the box is the text-space rect (0,rise)-(adv,rise+size)
-            # — Ts lifts the baseline in unscaled text space (§9.3.7,
-            # super/subscripts) without entering the line-advance —
-            # with all FOUR corners mapped through Tm (pdfminer's
-            # apply_matrix shape), so rotated/sheared text gets its
-            # true axis-aligned envelope instead of a degenerate
-            # zero-area box
-            adv = ((GLYPH_W * size + tc) * len(text)
+            # text-space advance per §9.4.4 — (w0*Tfs + Tc +
+            # Tw_if_space) * Tz% per glyph. w0 comes from the simple
+            # font's declared /Widths table when one is present
+            # (pdfminer's real-metrics path, per CODE byte), else
+            # from the deterministic GLYPH_W model; the box is the
+            # text-space rect (0,rise)-(adv,rise+size) — Ts lifts the
+            # baseline in unscaled text space (§9.3.7) without
+            # entering the line-advance — with all FOUR corners
+            # mapped through Tm (pdfminer's apply_matrix shape), so
+            # rotated/sheared text gets its true axis-aligned
+            # envelope instead of a degenerate zero-area box
+            if widths is not None and simple:
+                w_map, miss = widths
+                gw = sum(w_map.get(b, miss) for b in all_raw) \
+                    / 1000.0 * size
+                n_glyphs = len(all_raw)
+            else:
+                gw = GLYPH_W * size * len(text)
+                n_glyphs = len(text)
+            adv = (gw + tc * n_glyphs
                    + tw * n_spaces
                    - kern / 1000.0 * size) * (tz / 100.0)
             xs, ys = [], []

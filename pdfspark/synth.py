@@ -765,6 +765,19 @@ def write_pdf_payloads(out_dir: str) -> None:
         == ["22. Tagged era", "Accessible body line."]
     rows.append((tg_id, "ok", len(decoded["spans"]), len(payload),
                  geom_digest(decoded["spans"])))
+    # real font metrics: /FirstChar + /Widths drive the show advance
+    # (pdfminer's real-metrics path) instead of the GLYPH_W model
+    wd_id = "pdfdoc-00035"
+    payload = build_tiny_pdf(
+        wd_id, [["23. Metric era", "Declared-widths body."]],
+        compress=True,
+        widths=(32, [278.0 + (i % 13) * 40 for i in range(95)]))
+    with open(os.path.join(pdir, f"{wd_id}.pdf"), "wb") as fh:
+        fh.write(payload)
+    decoded = decode_tiny_pdf(payload)
+    assert decoded["doc_id"] == wd_id
+    rows.append((wd_id, "ok", len(decoded["spans"]), len(payload),
+                 geom_digest(decoded["spans"])))
     aes = build_tiny_pdf("encrypted_aes", [["secret body"]],
                          encrypt="aes256-r5")
     with open(os.path.join(pdir, "encrypted_aes.pdf"), "wb") as fh:
@@ -1145,7 +1158,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 26  # 26: tagged-PDF payload pdfdoc-00034
+FIXTURE_VERSION = 27  # 27: tagged + /Widths payloads (00034-35)
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

@@ -1332,3 +1332,68 @@ def test_tagged_pdf_marked_content_masked():
         b"/Span << /A (x) BDC (Hello.) Tj EMC")
     with pytest.raises(ValueError):
         decode_tiny_pdf(bad)
+
+
+def test_invisible_text_render_mode_is_extracted():
+    """Tr 3 (invisible text, §9.3.6) — the OCR-layer shape every
+    scanned-and-OCRed PDF uses — extracts exactly like visible text,
+    matching pdfminer (render mode affects painting, not the text
+    the interpreter sees)."""
+    from pdfspark.sources.pdf_mini import build_tiny_pdf, decode_tiny_pdf
+
+    base = decode_tiny_pdf(build_tiny_pdf("t", [["OCR layer text."]]))
+    inv = build_tiny_pdf("t", [["OCR layer text."]]).replace(
+        b"(OCR layer text.) Tj", b"3 Tr (OCR layer text.) Tj 0 Tr")
+    assert decode_tiny_pdf(inv) == base
+
+
+def test_font_widths_drive_the_advance():
+    """A simple font's declared /Widths (§9.6.2.1) replaces the
+    GLYPH_W model per CODE byte: adv = sum(w0)/1000*Tfs + per-glyph
+    Tc + Tw per space, kerning unchanged; out-of-range codes take
+    /MissingWidth from the /FontDescriptor when declared, else the
+    GLYPH_W glyph; /Widths without /FirstChar quarantines; fonts
+    with no /Widths keep the deterministic model bit-identically
+    (every existing fixture digest unchanged)."""
+    import pytest
+
+    from pdfspark.sources.pdf_mini import build_tiny_pdf, decode_tiny_pdf
+
+    def first_tb(payload):
+        return [s for s in decode_tiny_pdf(payload)["spans"]
+                if s["kind"] == "TextBox"][0]
+
+    # size 12: adv = (600+250)/1000*12 = 10.2
+    tb = first_tb(build_tiny_pdf("w", [["AB"]], widths=(65, [600, 250])))
+    assert (tb["x0"], tb["x1"]) == (72.0, 82.2)
+
+    # out-of-range Z falls back to the GLYPH_W glyph (500 units -> 6.0)
+    tb = first_tb(build_tiny_pdf("w", [["AZ"]], widths=(65, [600])))
+    assert tb["x1"] == 72.0 + 7.2 + 6.0
+
+    # declared /MissingWidth wins over the fallback
+    p = build_tiny_pdf("w", [["AZ"]], widths=(65, [600]))
+    p = p.replace(b"/Widths [ 600 ]",
+                  b"/Widths [ 600 ] /FontDescriptor 50 0 R")
+    p = p.replace(b"startxref",
+                  b"50 0 obj\n<< /Type /FontDescriptor "
+                  b"/MissingWidth 100 >>\nendobj\nstartxref")
+    tb = first_tb(p)
+    assert tb["x1"] == 72.0 + 7.2 + 100 / 1000 * 12
+
+    # Tc applies per CODE and Tw per space byte on the widths path
+    p = build_tiny_pdf("w", [["placeholder"]], widths=(32, [200, 300])
+                       ).replace(b"(placeholder) Tj",
+                                 b"2 Tc 5 Tw ( !) Tj")
+    tb = first_tb(p)
+    # adv = (200+300)/1000*12 + 2*2 + 5*1 = 6 + 4 + 5 = 15
+    assert (tb["x0"], tb["x1"]) == (72.0, 87.0)
+
+    # /Widths without /FirstChar: quarantine, not a guessed base code
+    bad = build_tiny_pdf("w", [["AB"]], widths=(65, [600, 250])).replace(
+        b"/FirstChar 65 ", b"")
+    with pytest.raises(ValueError, match="FirstChar"):
+        decode_tiny_pdf(bad)
+
+    # no /Widths -> the deterministic model, unchanged
+    assert first_tb(build_tiny_pdf("w", [["AB"]]))["x1"] == 72.0 + 12.0

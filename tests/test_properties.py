@@ -159,3 +159,56 @@ def test_pdf_codec_encryption_is_span_invariant(pages, opts, mode):
     plain = decode_tiny_pdf(build_tiny_pdf("prop-doc", pages, **opts))
     enc = build_tiny_pdf("prop-doc", pages, encrypt=mode, **opts)
     assert decode_tiny_pdf(enc) == plain
+
+
+# --- round-5 codec kernels: RLE round-trip, PNG predictor inversion --------
+
+@given(st.binary(max_size=2048))
+@settings(max_examples=200, deadline=None)
+def test_rle_round_trip_property(payload):
+    """_rle_encode/_rle_decode (§7.4.5) are inverses for arbitrary
+    byte strings — runs, literals, empty, and 0x80-heavy inputs."""
+    from pdfspark.sources.pdf_mini import _rle_decode, _rle_encode
+
+    assert _rle_decode(_rle_encode(payload)) == payload
+
+
+@given(
+    st.integers(min_value=1, max_value=16),
+    st.data(),
+)
+@settings(max_examples=100, deadline=None)
+def test_png_unpredict_inverts_any_filter_mix(columns, data):
+    """_png_unpredict recovers raw rows under ANY per-row mix of the
+    five RFC 2083 filters, forward-filtered by an independent in-test
+    implementation (bpp=1)."""
+    from pdfspark.sources.pdf_mini import _png_unpredict
+
+    n_rows = data.draw(st.integers(min_value=1, max_value=8))
+    raw_rows = [
+        bytes(data.draw(st.lists(st.integers(0, 255), min_size=columns,
+                                 max_size=columns)))
+        for _ in range(n_rows)
+    ]
+    fts = [data.draw(st.integers(0, 4)) for _ in range(n_rows)]
+
+    def paeth(a, b, c):
+        p = a + b - c
+        pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+        if pa <= pb and pa <= pc:
+            return a
+        return b if pb <= pc else c
+
+    enc = bytearray()
+    prev = bytes(columns)
+    for ft, row in zip(fts, raw_rows):
+        enc.append(ft)
+        for i, x in enumerate(row):
+            left = row[i - 1] if i else 0
+            up = prev[i]
+            ul = prev[i - 1] if i else 0
+            pred = (0, left, up, (left + up) // 2,
+                    paeth(left, up, ul))[ft]
+            enc.append((x - pred) & 0xFF)
+        prev = row
+    assert _png_unpredict(bytes(enc), columns) == b"".join(raw_rows)

@@ -1310,7 +1310,8 @@ def append_incremental_update(pdf: bytes,
 
 
 def build_tiny_pdf_15(doc_id: str, pages: list[list[str]],
-                      outlines: list | None = None) -> bytes:
+                      outlines: list | None = None,
+                      encrypt: str | None = None) -> bytes:
     """A complete PDF 1.5-style file — the structure modern writers
     emit by default: every non-stream object packed into one
     compressed object stream (/Type /ObjStm), content streams
@@ -1318,7 +1319,17 @@ def build_tiny_pdf_15(doc_id: str, pages: list[list[str]],
     (/Type /XRef, /W-packed entries, FlateDecode + PNG Up predictor
     12) instead of an xref table + trailer; /Root and /Info live in
     the xref stream dict. ``outlines`` is a recursive
-    ``[(title, children), ...]`` tree emitted as /Outlines."""
+    ``[(title, children), ...]`` tree emitted as /Outlines.
+
+    ``encrypt='rc4-128'`` layers the standard security handler the
+    way an owner-locked 1.5 writer does (§7.5.7/§7.6.2): streams are
+    encrypted AFTER filter encoding (file bytes = RC4(Flate(data))),
+    the ObjStm stream is encrypted like any other so its packed
+    objects — including the /Info title STRING — travel as plaintext
+    inside it and must NOT be decrypted again on expansion, the
+    /Encrypt dictionary is a TOP-LEVEL object (it may not live in an
+    object stream), and the xref STREAM is never encrypted with
+    /Encrypt + /ID carried in its dict rather than a trailer."""
     n_pages = len(pages)
     page_objs = [3 + i for i in range(n_pages)]
     cont_objs = [3 + n_pages + i for i in range(n_pages)]
@@ -1384,8 +1395,27 @@ def build_tiny_pdf_15(doc_id: str, pages: list[list[str]],
                                           roots[-1]["num"], len(roots))))
         emit_outline(roots, outline_root)
 
-    objstm_obj = counter[0] + 1
+    enc_obj = counter[0] + 1 if encrypt is not None else None
+    objstm_obj = counter[0] + (2 if encrypt is not None else 1)
     xref_obj = objstm_obj + 1
+    file_key = None
+    enc_body = b""
+    id_clause = b""
+    if encrypt is not None:
+        if encrypt != "rc4-128":  # the combined-shape pin needs one arm
+            raise ValueError("build_tiny_pdf_15: only rc4-128 is built")
+        id0 = _md5(b"pdfspark-id15:" + doc_id.encode("utf-8"))
+        v, r, n, p = 2, 3, 16, -44
+        o_val = _std_owner_value(b"fixture-owner", b"", r, n)
+        file_key = _std_file_key(b"", o_val, p, id0, r, n)
+        u_val = _std_user_value(file_key, id0, r)
+        enc_body = (b"<< /Filter /Standard /V %d /R %d /Length %d /P %d "
+                    b"/O <%s> /U <%s> >>"
+                    % (v, r, n * 8, p, o_val.hex().encode("ascii"),
+                       u_val.hex().encode("ascii")))
+        idh = id0.hex().encode("ascii")
+        id_clause = (b"/Encrypt %d 0 R /ID [<%s> <%s>] "
+                     % (enc_obj, idh, idh))
 
     # ObjStm payload: "num off" pairs, then the bodies at /First
     offs, parts, off = [], [], 0
@@ -1397,6 +1427,8 @@ def build_tiny_pdf_15(doc_id: str, pages: list[list[str]],
     payload = header + b"\n".join(parts)
     first = len(header)
     zpayload = zlib.compress(payload)
+    if file_key is not None:  # encrypt AFTER encoding (§7.6.2)
+        zpayload = _rc4(_obj_key(file_key, objstm_obj), zpayload)
     objstm_body = (
         b"<< /Type /ObjStm /N %d /First %d /Length %d "
         b"/Filter /FlateDecode >>\nstream\n"
@@ -1412,11 +1444,16 @@ def build_tiny_pdf_15(doc_id: str, pages: list[list[str]],
             ops.append(b"0 -14 Td")
         ops.append(b"ET")
         z = zlib.compress(b"\n".join(ops))
+        if file_key is not None:
+            z = _rc4(_obj_key(file_key, cobj), z)
         top_offsets[cobj] = len(buf)
         buf += (b"%d 0 obj\n<< /Length %d /Filter /FlateDecode >>\n"
                 b"stream\n" % (cobj, len(z)) + z + b"\nendstream\nendobj\n")
     top_offsets[objstm_obj] = len(buf)
     buf += b"%d 0 obj\n" % objstm_obj + objstm_body + b"\nendobj\n"
+    if enc_obj is not None:  # top-level by spec (§7.5.7), unencrypted
+        top_offsets[enc_obj] = len(buf)
+        buf += b"%d 0 obj\n" % enc_obj + enc_body + b"\nendobj\n"
     xref_at = len(buf)
     top_offsets[xref_obj] = xref_at
 
@@ -1443,11 +1480,12 @@ def build_tiny_pdf_15(doc_id: str, pages: list[list[str]],
         prev = r
     zx = zlib.compress(bytes(pred))
     buf += (b"%d 0 obj\n<< /Type /XRef /Size %d /W [1 3 2] "
-            b"/Root 1 0 R /Info %d 0 R /Filter /FlateDecode "
+            b"/Root 1 0 R /Info %d 0 R " + id_clause
+            + b"/Filter /FlateDecode "
             b"/DecodeParms << /Predictor 12 /Columns 6 >> "
-            b"/Length %d >>\nstream\n"
-            % (xref_obj, xref_obj + 1, info_obj, len(zx))
-            + zx + b"\nendstream\nendobj\n")
+            b"/Length %d >>\nstream\n") % (
+                xref_obj, xref_obj + 1, info_obj, len(zx))
+    buf += zx + b"\nendstream\nendobj\n"
     buf += b"startxref\n%d\n%%%%EOF\n" % xref_at
     return bytes(buf)
 

@@ -778,6 +778,24 @@ def write_pdf_payloads(out_dir: str) -> None:
     assert decoded["doc_id"] == wd_id
     rows.append((wd_id, "ok", len(decoded["spans"]), len(payload),
                  geom_digest(decoded["spans"])))
+    # combined encrypted-1.5 shape: RC4-128 + object stream + xref
+    # STREAM — what an owner-locked modern writer emits. Pins the
+    # §7.6.2 ordering end-to-end: decrypt top-level streams (the
+    # ObjStm among them) BEFORE expansion, never re-decrypt the
+    # packed plaintext, never touch the /Type /XRef stream, and read
+    # /Encrypt + /ID from the xref-stream dict (no trailer exists)
+    e15_id = "pdfdoc-00036"
+    payload = build_tiny_pdf_15(
+        e15_id, [["24. Locked modern", "Encrypted ObjStm body."],
+                 ["Tail page."]],
+        outlines=[("24. Locked modern", [])], encrypt="rc4-128")
+    with open(os.path.join(pdir, f"{e15_id}.pdf"), "wb") as fh:
+        fh.write(payload)
+    decoded = decode_tiny_pdf(payload)
+    assert decoded["doc_id"] == e15_id
+    assert "Encrypted ObjStm body." in [s["text"] for s in decoded["spans"]]
+    rows.append((e15_id, "ok", len(decoded["spans"]), len(payload),
+                 geom_digest(decoded["spans"])))
     aes = build_tiny_pdf("encrypted_aes", [["secret body"]],
                          encrypt="aes256-r5")
     with open(os.path.join(pdir, "encrypted_aes.pdf"), "wb") as fh:
@@ -1158,7 +1176,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 27  # 27: tagged + /Widths payloads (00034-35)
+FIXTURE_VERSION = 28  # 28: encrypted-1.5 combined payload (00036)
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

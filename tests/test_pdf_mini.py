@@ -4,6 +4,7 @@ escape handling, quarantine, and the distributed binaryFile plumbing.
 """
 
 import os
+import re
 
 import pytest
 
@@ -220,6 +221,35 @@ def test_pdf_form_cycle_quarantines():
     new = b"q /Fm1 Do Q".ljust(len(old))
     with pytest.raises(ValueError, match="form XObject cycle"):
         decode_tiny_pdf(pdf.replace(old, new))
+
+
+def test_pdf_encrypted_15_combined_shape_decodes():
+    """RC4-128 + object stream + xref STREAM in one file — the
+    owner-locked modern-writer combination. Pins the §7.6.2 ordering:
+    the ObjStm stream is decrypted like any other top-level stream
+    BEFORE expansion, the objects packed inside it (including the
+    /Info title string) are plaintext that is never decrypted again,
+    the /Type /XRef stream is never decrypted, and /Encrypt + /ID are
+    read from the xref-stream dict (the file has no trailer). The
+    decode must be span-identical to the unencrypted twin."""
+    from pdfspark.sources.pdf_mini import build_tiny_pdf_15
+
+    pages = [["1. Sealed", "ObjStm ciphertext body."], ["Tail."]]
+    outlines = [("1. Sealed", [])]
+    enc = build_tiny_pdf_15("e15", pages, outlines=outlines,
+                            encrypt="rc4-128")
+    plain = build_tiny_pdf_15("e15", pages, outlines=outlines)
+    assert enc != plain  # really ciphertext on disk
+    assert b"ObjStm ciphertext body." not in enc
+    d = decode_tiny_pdf(enc)
+    assert d["doc_id"] == "e15"  # ObjStm-resident /Info string
+    assert d["spans"] == decode_tiny_pdf(plain)["spans"]
+    # a tampered /U must quarantine (password check), not mis-decrypt
+    um = re.search(rb"/U <([0-9a-fA-F]+)>", enc)
+    bad = enc.replace(um.group(0),
+                      b"/U <" + b"00" * (len(um.group(1)) // 2) + b">")
+    with pytest.raises(ValueError, match="password protected"):
+        decode_tiny_pdf(bad)
 
 
 def test_pdf_encrypted_quarantines_both_trailer_forms():

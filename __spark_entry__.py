@@ -102,11 +102,25 @@ def entry(spark: SparkSession) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 def _q_reading_order(spark, sf_dir):
-    from pdfspark.operators.reading_order import with_reading_order
-
-    return with_reading_order(_geom(spark, sf_dir)).select(
-        "doc_id", "page_id", "offset", "rord"
+    """W1 dual-variant row: 'ref' is the reference's flat (-y1, x1)
+    page sort (parse_util.py:454, parity-pinned); 'xycut' is the
+    recursive widest-gap XY-cut segmentation order the north-star
+    names — on the multi-column fixture family the two genuinely
+    disagree (ref interleaves aligned column lines; xycut reads the
+    left column through first), pinned in tests/test_reading_order."""
+    from pdfspark.operators.reading_order import (
+        with_reading_order,
+        with_xy_cut_order,
     )
+
+    geom = _geom(spark, sf_dir)
+    ref = with_reading_order(geom).select(
+        F.lit("ref").alias("variant"),
+        "doc_id", "page_id", "offset", "rord")
+    xy = with_xy_cut_order(geom).select(
+        F.lit("xycut").alias("variant"),
+        "doc_id", "page_id", "offset", "rord")
+    return ref.unionByName(xy)
 
 
 def _q_header_footer(spark, sf_dir):
@@ -1370,10 +1384,18 @@ def oracle_sql() -> dict[str, str]:
             FROM base b LEFT JOIN outs o USING (doc_id)
         """,
         "w1_reading_order": f"""
-            SELECT doc_id, page_id, "offset" AS offset,
+            SELECT 'ref' AS variant, doc_id, page_id,
+                   "offset" AS offset,
                    CAST(row_number() OVER (PARTITION BY doc_id, page_id
                         ORDER BY y1 DESC, x1 ASC, "offset" ASC) AS INT) AS rord
             FROM {GEOM01} WHERE kind = 'TextBox'
+            UNION ALL
+            -- xycut expected = the Spark-free kernel twin sidecar
+            -- (synth.write_xycut_expected), same pattern as the
+            -- payload-decode oracles
+            SELECT 'xycut' AS variant, doc_id, page_id,
+                   "offset" AS offset, rord
+            FROM read_parquet('{FIX01}/xycut_expected.parquet')
         """,
         "a1_header_footer": f"WITH {_HF_CTE} SELECT * FROM hf",
         "f10_f12_margins": f"""

@@ -383,9 +383,45 @@ def write_fixtures(sf_name: str, out_dir: str) -> None:
     )
     pq.write_table(geom_tbl, os.path.join(out_dir, "spans_geom.parquet"),
                    row_group_size=20_000)
+    write_xycut_expected(g, out_dir)
     write_elements(sf_name, out_dir)
     write_oracle_outputs(sf_name, out_dir, docs=docs)
     write_payloads(docs, out_dir)
+
+
+def write_xycut_expected(g: dict, out_dir: str) -> None:
+    """Spark-free expected result for the W1 ``xycut`` variant: the
+    same per-page kernel (operators/reading_order.xy_cut_order) run
+    over the generated geometry in plain Python, written as a sidecar
+    the DuckDB oracle reads — the pattern the payload-decode and
+    transliteration oracles use. Pins the DISTRIBUTED plumbing
+    (grouping, Arrow batching, rank assembly) against a
+    single-process ground truth."""
+    from pdfspark.operators.reading_order import xy_cut_order
+
+    pages: dict[tuple, list] = {}
+    for i in range(len(g["doc_id"])):
+        if g["kind"][i] != "TextBox":
+            continue
+        pages.setdefault((g["doc_id"][i], g["page_id"][i]), []).append(i)
+    out = {"doc_id": [], "page_id": [], "offset": [], "rord": []}
+    for (doc, page), idxs in pages.items():
+        order = xy_cut_order([g["x0"][i] for i in idxs],
+                             [g["y0"][i] for i in idxs],
+                             [g["x1"][i] for i in idxs],
+                             [g["y1"][i] for i in idxs],
+                             [g["offset"][i] for i in idxs])
+        for rank, j in enumerate(order, start=1):
+            out["doc_id"].append(doc)
+            out["page_id"].append(page)
+            out["offset"].append(g["offset"][idxs[j]])
+            out["rord"].append(rank)
+    tbl = pa.table(
+        {"doc_id": pa.array(out["doc_id"], pa.string()),
+         "page_id": pa.array(out["page_id"], pa.int32()),
+         "offset": pa.array(out["offset"], pa.int32()),
+         "rord": pa.array(out["rord"], pa.int32())})
+    pq.write_table(tbl, os.path.join(out_dir, "xycut_expected.parquet"))
 
 
 def write_payloads(docs, out_dir: str) -> None:
@@ -1176,7 +1212,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 28  # 28: encrypted-1.5 combined payload (00036)
+FIXTURE_VERSION = 29  # 29: xycut_expected sidecar (W1 variant)
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

@@ -75,7 +75,10 @@ MAX_EXCHANGES = {
     "s7_json_source": 0, "x19_html_tables": 0, "s15_collated_tables": 1,
     "s1_stream_extract": 0, "ep1_extract_spans": 5,
     "ep1_extract_spans_sql": 3, "ep1_extract_sections": 5,
-    "lineage_metrics": 5, "w1_reading_order": 1, "a1_header_footer": 5,
+    # w1 1 -> 2 (round 5): the dual-variant row unions the ref window
+    # (one exchange) with the XY-cut applyInPandas grouping (one
+    # exchange on the same (doc_id, page_id) keys)
+    "lineage_metrics": 5, "w1_reading_order": 2, "a1_header_footer": 5,
     "f10_f12_margins": 4, "a5_table_stats": 5, "ep3_tables_sql": 5,
     "ep3_tables_doc_scope": 6, "j3_tables_merged": 14,
     "ep3_tables_exact": 5, "j2_table_titles": 14, "j4_toc_skeleton": 1,

@@ -1153,6 +1153,8 @@ def write_aux_fixtures(sf_name: str, out_dir: str) -> None:
         os.path.join(out_dir, "html_snippets.parquet"),
     )
 
+    write_html_pages(out_dir)
+
     # S15/A9 directory-collation fixture (ref file_util.py:160-170 +
     # pdf_test_parse.py:238-303): per-file table fragments whose
     # filenames sort differently under lexical vs natural order
@@ -1208,11 +1210,151 @@ def write_aux_fixtures(sf_name: str, out_dir: str) -> None:
                     fh.write(_json.dumps(r) + "\n")
 
 
+_HTML_WORDS = (
+    "the data model reads documents pipeline spark engine table quality "
+    "language section text block page extract content words measure scale "
+    "shuffle partition join window batch stream corpus clean signal noise "
+    "sample order result value column row feature filter source sink span"
+).split()
+
+
+def _html_sentence(rng, lo: int, hi: int) -> str:
+    n = rng.randint(lo, hi)
+    words = [rng.choice(_HTML_WORDS) for _ in range(n)]
+    return (" ".join(words)).capitalize() + "."
+
+
+def _html_links(rng, n: int) -> str:
+    return " ".join(
+        f'<a href="/{rng.choice(_HTML_WORDS)}{i}">'
+        f"{rng.choice(_HTML_WORDS).capitalize()}"
+        f"{' ' + rng.choice(_HTML_WORDS) if rng.random() < 0.4 else ''}</a>"
+        for i in range(n)
+    )
+
+
+def write_html_pages(out_dir: str) -> None:
+    """Main-content fixture for the north rule's HTML boilerplate
+    strip: deterministic article-shaped pages (header/nav chrome,
+    breadcrumbs, an article of long and short paragraphs, related-link
+    asides, comments, footer) plus degenerate shapes — a link farm, an
+    empty body, bare prose with no wrappers, script/style noise,
+    misnested and implied-close markup, entity references. The
+    expected classification sidecar (html_main_expected.parquet) is
+    the domseg kernel run Spark-free over the same pages — the
+    xycut-sidecar oracle pattern pinning the mapInPandas plumbing."""
+    from pdfspark.functions.domseg import extract_blocks
+
+    pages: list[tuple[int, str]] = []
+
+    # 0: link farm — every block is anchors, nothing survives
+    rng = random.Random("42|htmlpage|farm")
+    pages.append((0, "<body><div class='links'>" + _html_links(rng, 18)
+                  + "</div><ul>" + "".join(
+                      f"<li>{_html_links(rng, 1)}</li>" for _ in range(6))
+                  + "</ul></body>"))
+    # 1: empty body (zero blocks)
+    pages.append((1, "<html><head><title>t</title></head><body>"
+                  "<script>var x=1;</script>   </body></html>"))
+    # 2: bare prose, no semantic wrappers
+    rng = random.Random("42|htmlpage|bare")
+    pages.append((2, "<p>" + _html_sentence(rng, 30, 40) + "</p><p>"
+                  + _html_sentence(rng, 20, 30) + "</p>"))
+    # 3: script/style/noscript noise interleaved with content
+    rng = random.Random("42|htmlpage|noise")
+    pages.append((3, "<body><style>p{color:red}</style><p>"
+                  + _html_sentence(rng, 25, 35)
+                  + "</p><script>if(a&&b){run()}</script><noscript>enable js"
+                  "</noscript><p>" + _html_sentence(rng, 18, 24)
+                  + "</p></body>"))
+    # 4: misnested + implied-close <p> runs + entities
+    rng = random.Random("42|htmlpage|misnest")
+    pages.append((4, "<div><b><i>" + _html_sentence(rng, 20, 26)
+                  + "</b></i><p>" + _html_sentence(rng, 17, 22)
+                  + "<p>R&amp;D &gt; ops " + _html_sentence(rng, 14, 18)
+                  + "</div>"))
+    # 5..29: article-shaped pages
+    for i in range(5, 30):
+        rng = random.Random(f"42|htmlpage|{i}")
+        parts = ["<html><body>"]
+        parts.append(
+            "<header class='site-header'><h1>Portal "
+            f"{rng.choice(_HTML_WORDS).capitalize()}</h1><nav>"
+            + _html_links(rng, rng.randint(3, 6)) + "</nav></header>"
+        )
+        if rng.random() < 0.5:
+            parts.append("<div class='breadcrumbs'>"
+                         + _html_links(rng, 2) + "</div>")
+        parts.append("<article><h1>"
+                     + _html_sentence(rng, 3, 8)[:-1] + "</h1>")
+        for _ in range(rng.randint(3, 7)):
+            if rng.random() < 0.25:
+                parts.append("<p>" + _html_sentence(rng, 3, 8) + "</p>")
+            else:
+                parts.append("<p>" + _html_sentence(rng, 14, 60) + "</p>")
+        if rng.random() < 0.3:
+            parts.append("<blockquote>" + _html_sentence(rng, 10, 20)
+                         + "</blockquote>")
+        if rng.random() < 0.3:
+            parts.append("<ul>" + "".join(
+                "<li>" + _html_sentence(rng, 5, 12) + "</li>"
+                for _ in range(rng.randint(2, 4))) + "</ul>")
+        parts.append("</article>")
+        parts.append("<aside class='related'><h3>Related</h3><ul>"
+                     + "".join(f"<li>{_html_links(rng, 1)}</li>"
+                               for _ in range(rng.randint(2, 4)))
+                     + "</ul></aside>")
+        if rng.random() < 0.4:
+            parts.append("<div class='comments'>" + "".join(
+                "<p>" + _html_sentence(rng, 3, 12) + "</p>"
+                for _ in range(rng.randint(1, 4))) + "</div>")
+        parts.append("<footer><p>Copyright 2026 Example Corp. "
+                     + _html_links(rng, 2) + "</p></footer></body></html>")
+        pages.append((i, "".join(parts)))
+
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array([d for d, _ in pages], pa.int64()),
+             "html": pa.array([h for _, h in pages], pa.string())}
+        ),
+        os.path.join(out_dir, "html_pages.parquet"),
+    )
+
+    exp = {k: [] for k in ("doc_id", "block_id", "tag", "n_words",
+                           "n_link_words", "link_density", "dom_boiler",
+                           "is_content", "text")}
+    for doc_id, html in pages:
+        for b in extract_blocks(html):
+            exp["doc_id"].append(doc_id)
+            exp["block_id"].append(b.block_id)
+            exp["tag"].append(b.tag)
+            exp["n_words"].append(b.n_words)
+            exp["n_link_words"].append(b.n_link_words)
+            exp["link_density"].append(b.link_density)
+            exp["dom_boiler"].append(b.dom_boiler)
+            exp["is_content"].append(b.is_content)
+            exp["text"].append(b.text)
+    pq.write_table(
+        pa.table(
+            {"doc_id": pa.array(exp["doc_id"], pa.int64()),
+             "block_id": pa.array(exp["block_id"], pa.int32()),
+             "tag": pa.array(exp["tag"], pa.string()),
+             "n_words": pa.array(exp["n_words"], pa.int32()),
+             "n_link_words": pa.array(exp["n_link_words"], pa.int32()),
+             "link_density": pa.array(exp["link_density"], pa.float64()),
+             "dom_boiler": pa.array(exp["dom_boiler"], pa.bool_()),
+             "is_content": pa.array(exp["is_content"], pa.bool_()),
+             "text": pa.array(exp["text"], pa.string())}
+        ),
+        os.path.join(out_dir, "html_main_expected.parquet"),
+    )
+
+
 FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixtures")
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 29  # 29: xycut_expected sidecar (W1 variant)
+FIXTURE_VERSION = 30  # 30: html_pages + html_main_expected sidecar
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

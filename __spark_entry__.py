@@ -537,14 +537,15 @@ def _q_langid(spark, sf_dir):
     return language_id(_docs_all(spark, sf_dir))
 
 
-def _q_quality_tokens(spark, sf_dir):
-    # quality scoring + token counting merged into one driver row
-    # (both are narrow per-doc projections over the same table; the
-    # s34 merge set the precedent) to stay within the driver's 50-row
-    # correctness budget while dd_components takes a first-class slot
-    from pdfspark.operators.textstats import quality_token_stats
+def _q_text_profile(spark, sf_dir):
+    # quality + token + winnowing fingerprints merged into ONE
+    # zero-shuffle pass and one driver row (round 5; the r4
+    # quality+token merge set the precedent) — freeing a correctness
+    # slot for the HTML main-content op while all three feature
+    # families stay hash-checked
+    from pdfspark.operators.textstats import text_profile
 
-    return quality_token_stats(_docs_all(spark, sf_dir))
+    return text_profile(_docs_all(spark, sf_dir))
 
 
 def _q_components(spark, sf_dir):
@@ -559,10 +560,19 @@ def _q_curation(spark, sf_dir):
     return curate_documents(_docs_all(spark, sf_dir))
 
 
-def _q_fingerprints(spark, sf_dir):
-    from pdfspark.operators.textstats import fingerprints
+def _q_html_main(spark, sf_dir):
+    """HTML main-content extraction (north rule: boilerplate strip +
+    DOM heuristics): Kohlschuetter WSDM-2010 shallow-text stumps +
+    semantic-container veto over stdlib-parsed text blocks, one
+    zero-shuffle mapInPandas (operators/html_main.py). Oracle = the
+    Spark-free kernel sidecar (synth.write_html_pages), the
+    xycut/payload-decode oracle pattern."""
+    from pdfspark.operators.html_main import main_content_blocks
 
-    return fingerprints(_docs_all(spark, sf_dir))
+    pages = spark.read.parquet(
+        os.path.join(_fixture_dir(sf_dir), "html_pages.parquet")
+    )
+    return main_content_blocks(pages)
 
 
 def _q_ann_topk(spark, sf_dir):
@@ -864,8 +874,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dd_simhash_pairs": _q_simhash_pairs,
         "dd_components": _q_components,
         "ts_langid": _q_langid,
-        "ts_quality_tokens": _q_quality_tokens,
-        "ts_fingerprints": _q_fingerprints,
+        "ts_text_profile": _q_text_profile,
+        "hm1_main_content": _q_html_main,
         "td_curation": _q_curation,
         "sim_ann_topk": _q_ann_topk,
         "sim_ivf_topk": _q_ivf_topk,
@@ -1189,12 +1199,23 @@ def oracle_sql() -> dict[str, str]:
         "dd_simhash_pairs": OP.simhash_pairs_sql(FIX01),
         "dd_components": OP.components_sql(FIX01),
         "ts_langid": OP.langid_sql(FIX01),
-        "ts_quality_tokens": f"""
-            SELECT q.*, t.n_ws_tokens, t.n_bpe_tokens, t.chars_per_token
+        "ts_text_profile": f"""
+            -- LEFT JOIN: docs too short for one winnowing window keep
+            -- their quality/token row with NULL fingerprint columns
+            SELECT q.*, t.n_ws_tokens, t.n_bpe_tokens, t.chars_per_token,
+                   f.n_fingerprints, f.fp_digest
             FROM ({OP.quality_sql(FIX01)}) q
             JOIN ({OP.tokens_sql(FIX01)}) t USING (doc_id)
+            LEFT JOIN ({OP.fingerprints_sql(FIX01)}) f USING (doc_id)
         """,
-        "ts_fingerprints": OP.fingerprints_sql(FIX01),
+        "hm1_main_content": f"""
+            -- expected sidecar = the domseg kernel run Spark-free
+            -- (synth.write_html_pages), same pattern as the xycut and
+            -- payload-decode oracles
+            SELECT doc_id, block_id, tag, n_words, n_link_words,
+                   link_density, dom_boiler, is_content, text
+            FROM read_parquet('{FIX01}/html_main_expected.parquet')
+        """,
         "td_curation": OP.curation_sql(FIX01),
         "sim_ann_topk": OP.ann_cosine_sql(FIX01),
         "sim_ivf_topk": OP.ivf_topk_sql(FIX01),

@@ -60,7 +60,7 @@ TD_GROUP = [
     "dd_components",  # round 4: iterative CC over the verified graph
     "sim_ivf_topk",
     "sim_neardup_lsh",
-    "ts_fingerprints",
+    "ts_text_profile",
     "td_curation",
 ]
 

@@ -316,6 +316,73 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     return base.mapInPandas(run, schema)
 
 
+def text_profile(docs: DataFrame) -> DataFrame:
+    """quality + token + winnowing-fingerprint features as ONE
+    zero-shuffle pass (round 5: merged driver row, freeing a
+    correctness slot for the HTML main-content op while keeping all
+    three feature families first-class and hash-checked).
+
+    Shape: one scan -> mapInPandas (the fingerprints deque kernel,
+    norm in / numeric fp columns + text passthrough out) -> a JVM
+    projection of the quality/token expressions on top. The quality
+    and token features stay whole-stage-codegen expressions — moving
+    them into Python would trade the JVM fast path for nothing — and
+    the single Arrow crossing carries one string column each way.
+    Unlike the standalone `fingerprints`, docs too short for one
+    winnowing window keep their row with NULL fingerprint columns
+    (the quality/token grain is all docs; the oracle twin LEFT JOINs
+    the fingerprint subquery for the same semantics)."""
+    import hashlib
+    from collections import deque
+
+    import pandas as pd
+
+    base = docs.select(
+        "doc_id", "text", normalized_text(F.col("text")).alias("__norm")
+    )
+    mid_schema = T.StructType(
+        [T.StructField("doc_id", docs.schema["doc_id"].dataType),
+         T.StructField("text", T.StringType()),
+         T.StructField("n_fingerprints", T.IntegerType()),
+         T.StructField("fp_digest", T.StringType())]
+    )
+
+    def run(batches):
+        for pdf in batches:
+            n_col, d_col = [], []
+            for norm in pdf["__norm"]:
+                if len(norm) < FP_K + FP_W - 1:
+                    n_col.append(None)
+                    d_col.append(None)
+                    continue
+                sel = set()
+                dq = deque()  # same monotonic-deque kernel as fingerprints
+                for i in range(len(norm) - FP_K + 1):
+                    h = hashlib.md5(norm[i:i + FP_K].encode()).hexdigest()
+                    while dq and dq[-1][1] >= h:
+                        dq.pop()
+                    dq.append((i, h))
+                    if dq[0][0] <= i - FP_W:
+                        dq.popleft()
+                    if i >= FP_W - 1:
+                        sel.add(dq[0][1])
+                n_col.append(len(sel))
+                d_col.append(
+                    hashlib.md5("".join(sorted(sel)).encode()).hexdigest()
+                )
+            yield pd.DataFrame(
+                {"doc_id": pdf["doc_id"], "text": pdf["text"],
+                 "n_fingerprints": pd.array(n_col, dtype="Int32"),
+                 "fp_digest": d_col}
+            )
+
+    text = F.col("text")
+    return base.mapInPandas(run, mid_schema).select(
+        "doc_id", *_quality_cols(text), *_token_cols(text),
+        "n_fingerprints", "fp_digest",
+    )
+
+
 def curate_documents(
     docs: DataFrame, min_quality: float = 0.5, lang: str = "en",
     near_dedup: bool = True, exact_components: bool = False,

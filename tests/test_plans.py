@@ -22,7 +22,7 @@ SF_DIR = "/root/testdata/sf0.001"
 # Queries whose whole pipeline is per-row/per-doc: any Exchange here
 # means a shuffle crept into a narrow op.
 NARROW_ZERO_EXCHANGE = {
-    "ts_langid", "ts_quality_tokens", "ts_fingerprints",
+    "ts_langid", "ts_text_profile", "hm1_main_content",
     "m2_frame_sample", "m4_audio_chunks", "x11_f3_cleanup",
     "s1_binary_decode", "s34_page_scans", "s6_lines_source",
     "s7_json_source", "x19_html_tables", "s1_stream_extract",
@@ -62,7 +62,7 @@ MAX_EXCHANGES = {
     # exchange is the second config's band/group stage, vs +3 for an
     # unshared union
     "dd_simhash_pairs": 6, "dd_components": 4, "ts_langid": 0,
-    "ts_quality_tokens": 0, "ts_fingerprints": 0, "td_curation": 3,
+    "ts_text_profile": 0, "hm1_main_content": 0, "td_curation": 3,
     "sim_ann_topk": 1, "sim_ivf_topk": 2, "j5_topk_euclidean": 1,
     # sim_neardup_lsh 4 -> 5 (round 4): the star-candidate rewrite
     # adds the bucket-representative min-aggregate — one extra

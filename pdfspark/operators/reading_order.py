@@ -99,23 +99,71 @@ def with_xy_cut_order(spans_geom: DataFrame,
     TextBox spans of every page.
 
     One shuffle on (doc_id, page_id) — the same exchange the W1
-    window pays — then the per-page kernel runs inside Arrow batches
-    (many pages per partition; a page never spans partitions, so the
-    recursion state is group-local and the op scales with page count,
-    not corpus size)."""
+    window pays — as an explicit repartition + partition-local sort,
+    then ONE mapInPandas whose batches carry MANY pages: page-group
+    boundaries are numpy change-points over the sorted keys, sliced
+    in-process. The first cut of this op (groupBy.applyInPandas) made
+    every page its own Arrow group — ~60k single-page groups at
+    sf0.1, each paying per-group Arrow + invocation overhead, 37 s vs
+    0.35 s for the flat sort (measured, round 5). Batching pages per
+    Arrow batch removes that overhead class entirely (37 s -> ~1 s)
+    and is the shape that scales: cost tracks page COUNT, not group
+    count. A page group can straddle two Arrow batches of one
+    partition, so the trailing group of every batch is buffered and
+    prepended to the next (flushed at iterator end) — never split,
+    because the partition-local sort made groups contiguous."""
+    import numpy as np
+    import pandas as pd
+
     tb = spans_geom.filter(F.col("kind") == "TextBox").select(
         "doc_id", "page_id", "offset", "x0", "y0", "x1", "y1")
+    part = tb.repartition("doc_id", "page_id").sortWithinPartitions(
+        "doc_id", "page_id")
 
-    def _per_page(pdf):
-        import pandas as pd
+    def _rank_pages(pdf: pd.DataFrame) -> pd.DataFrame:
+        d = pdf["doc_id"].to_numpy()
+        p = pdf["page_id"].to_numpy()
+        change = np.flatnonzero((d[1:] != d[:-1]) | (p[1:] != p[:-1])) + 1
+        bounds = np.concatenate(([0], change, [len(pdf)]))
+        x0 = pdf["x0"].to_numpy()
+        y0 = pdf["y0"].to_numpy()
+        x1 = pdf["x1"].to_numpy()
+        y1 = pdf["y1"].to_numpy()
+        off = pdf["offset"].to_numpy()
+        take: list[int] = []
+        rord = np.empty(len(pdf), dtype=np.int32)
+        pos = 0
+        for lo, hi in zip(bounds[:-1], bounds[1:]):
+            order = xy_cut_order(x0[lo:hi], y0[lo:hi], x1[lo:hi],
+                                 y1[lo:hi], off[lo:hi])
+            take.extend(lo + j for j in order)
+            rord[pos:pos + (hi - lo)] = np.arange(1, hi - lo + 1)
+            pos += hi - lo
+        out = pd.DataFrame(
+            {"doc_id": d[take], "page_id": p[take], "offset": off[take],
+             col_name: rord}
+        )
+        return out
 
-        order = xy_cut_order(pdf["x0"].to_numpy(), pdf["y0"].to_numpy(),
-                             pdf["x1"].to_numpy(), pdf["y1"].to_numpy(),
-                             pdf["offset"].to_numpy())
-        out = pdf.iloc[order][["doc_id", "page_id", "offset"]].copy()
-        out[col_name] = range(1, len(order) + 1)
-        return pd.DataFrame(out)
+    def run(batches):
+        pending: pd.DataFrame | None = None
+        for pdf in batches:
+            if pending is not None:
+                pdf = pd.concat([pending, pdf], ignore_index=True)
+                pending = None
+            if len(pdf) == 0:
+                continue
+            last_d = pdf["doc_id"].iloc[-1]
+            last_p = pdf["page_id"].iloc[-1]
+            tail = (pdf["doc_id"].to_numpy() == last_d) & (
+                pdf["page_id"].to_numpy() == last_p)
+            n_tail = int(tail[::-1].argmin()) if not tail.all() else len(pdf)
+            pending = pdf.iloc[len(pdf) - n_tail:].reset_index(drop=True)
+            head = pdf.iloc[: len(pdf) - n_tail]
+            if len(head):
+                yield _rank_pages(head)
+        if pending is not None and len(pending):
+            yield _rank_pages(pending)
 
-    return tb.groupBy("doc_id", "page_id").applyInPandas(
-        _per_page,
-        f"doc_id string, page_id int, offset int, {col_name} int")
+    return part.mapInPandas(
+        run, f"doc_id string, page_id int, offset int, {col_name} int")

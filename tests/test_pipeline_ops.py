@@ -377,6 +377,35 @@ def test_textstats_shapes(docs_all):
         assert r.n_words > 0
 
 
+def test_text_profile_equals_standalone_ops(docs_all, spark):
+    """The merged single-pass text_profile row must stay bit-identical
+    to quality_token_stats LEFT-JOIN fingerprints (the three families
+    it fused in round 5) — including NULL fingerprint columns for docs
+    below the one-window winnowing threshold, where the standalone
+    fingerprints op emits no row at all."""
+    from pdfspark.operators.textstats import (
+        fingerprints,
+        quality_token_stats,
+        text_profile,
+    )
+
+    short = spark.createDataFrame(
+        [(9_000_001, "tiny doc"), (9_000_002, "abcdefghijk words here")],
+        "doc_id bigint, text string",
+    )
+    docs = docs_all.unionByName(short)
+    got = {r.doc_id: r for r in text_profile(docs).collect()}
+    exp_df = quality_token_stats(docs).join(fingerprints(docs), "doc_id",
+                                            "left")
+    cols = list(next(iter(got.values())).asDict())
+    exp = {r.doc_id: r for r in exp_df.select(*cols).collect()}
+    assert set(got) == set(exp)
+    assert all(got[k] == exp[k] for k in got)
+    assert got[9_000_001].n_fingerprints is None
+    assert got[9_000_001].fp_digest is None
+    assert got[9_000_002].n_fingerprints is not None
+
+
 def test_fingerprints_short_doc_boundary(spark):
     """Winnowing needs >= FP_W k-gram positions (norm length >=
     FP_K + FP_W - 1 = 11): shorter docs emit NO row (matching the

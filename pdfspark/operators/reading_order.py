@@ -134,8 +134,12 @@ def with_xy_cut_order(spans_geom: DataFrame,
         rord = np.empty(len(pdf), dtype=np.int32)
         pos = 0
         for lo, hi in zip(bounds[:-1], bounds[1:]):
-            order = xy_cut_order(x0[lo:hi], y0[lo:hi], x1[lo:hi],
-                                 y1[lo:hi], off[lo:hi])
+            # .tolist() once per page: the kernel indexes elements in
+            # Python loops, and plain-list indexing avoids the ~100 ns
+            # numpy scalar boxing per access (measurable at sf0.1)
+            order = xy_cut_order(x0[lo:hi].tolist(), y0[lo:hi].tolist(),
+                                 x1[lo:hi].tolist(), y1[lo:hi].tolist(),
+                                 off[lo:hi].tolist())
             take.extend(lo + j for j in order)
             rord[pos:pos + (hi - lo)] = np.arange(1, hi - lo + 1)
             pos += hi - lo

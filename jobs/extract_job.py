@@ -17,6 +17,12 @@ Usage:
         --payloads <dir of .pdf/.bin byte payloads> \
         --output <extracted spans table path> [--metrics ...]
 
+    # OR HTML main-content extraction (north rule: boilerplate strip
+    # + DOM heuristics): .html pages in, classified block rows out
+    spark-submit --py-files pdfspark.zip jobs/extract_job.py \
+        --html <dir of .html pages> \
+        --output <blocks table path> [--metrics ...] [--resume]
+
 Behavior (all per SURVEY.md §4 / BASELINE.json north_rule):
  - salted repartition on xxhash64(doc_id) before the Arrow fold
  - skew splitter for documents above --skew-threshold spans
@@ -46,6 +52,75 @@ if REPO not in sys.path:  # not needed when shipped via --py-files
 from pyspark.sql import SparkSession  # noqa: E402
 
 
+def _run_html_mode(spark, args) -> int:
+    """--html: directory of .html pages -> main-content block rows
+    (boilerplate strip + DOM heuristics), with the SAME snapshot
+    commit, --resume exactly-once, crash-reconcile and lineage
+    machinery as the span fold. The op is narrow (one binaryFile scan
+    -> mapInPandas), so block rows inherit the scan's partitions and
+    the lineage partition ids line up between the page and block
+    aggregations without any extra exchange."""
+    from pyspark.sql import functions as F
+
+    from pdfspark.operators.extract import resume_filter
+    from pdfspark.operators.html_main import main_content_blocks
+    from pdfspark.sinks.snapshot import (
+        commit_append,
+        gc_orphans,
+        read_committed,
+        reconcile_aux,
+    )
+
+    pages = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.html")
+        .load(args.html)
+        .select(
+            F.regexp_extract(F.col("path"), r"([^/]+)\.html$", 1)
+            .alias("doc_id"),
+            F.decode("content", "UTF-8").alias("html"),
+            F.length("content").cast("long").alias("bytes_in"),
+        )
+    )
+
+    if args.metrics:
+        reconcile_aux(args.output, [args.metrics])
+    for tgt in [args.output] + ([args.metrics] if args.metrics else []):
+        if os.path.isdir(tgt):
+            gc_orphans(tgt)
+    if args.resume:
+        committed = read_committed(spark, args.output, args.format)
+        if committed is not None:
+            pages = resume_filter(pages, committed)
+
+    pages = pages.persist()
+    blocks = main_content_blocks(pages).persist()
+    n_blocks = blocks.count()
+    aux = None
+    if args.metrics:
+        pm = pages.groupBy(
+            F.spark_partition_id().alias("partition_id")
+        ).agg(
+            F.count("*").cast("long").alias("doc_count"),
+            F.sum("bytes_in").cast("long").alias("bytes_in"),
+        )
+        bm = blocks.groupBy(
+            F.spark_partition_id().alias("partition_id")
+        ).agg(F.count("*").cast("long").alias("spans_out"))
+        metrics = (
+            pm.join(bm, "partition_id", "left")
+            .na.fill({"spans_out": 0})
+            .withColumn("wall_ms", F.lit(None).cast("double"))
+        )
+        aux = [(metrics, args.metrics)]
+    commit_append(blocks, args.output, fmt=args.format, aux=aux,
+                  protocol=args.commit_protocol)
+    pages.unpersist()
+    blocks.unpersist()
+    print(f"extract_job: wrote {n_blocks} blocks to {args.output}")
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", default=None,
@@ -59,6 +134,14 @@ def main(argv=None) -> int:
              "the same frame — the bytes-in -> extraction-out path, "
              "no pre-decoded table required. Quarantined payloads "
              "emit no rows (they have no decodable spans).")
+    ap.add_argument(
+        "--html", default=None,
+        help="directory of .html pages instead of --input/--payloads: "
+             "runs the main-content extraction (boilerplate strip + "
+             "DOM heuristics, operators/html_main.py) and commits the "
+             "classified block rows; doc_id = file name stem. Same "
+             "snapshot commit + --resume exactly-once semantics; "
+             "--metrics records per-partition lineage rows.")
     ap.add_argument("--geom", default=None)
     ap.add_argument("--output", required=True)
     ap.add_argument("--metrics", default=None)
@@ -106,10 +189,14 @@ def main(argv=None) -> int:
         resume_filter,
     )
 
-    if (args.input is None) == (args.payloads is None):
-        ap.error("exactly one of --input / --payloads is required")
+    if sum(x is not None for x in (args.input, args.payloads,
+                                   args.html)) != 1:
+        ap.error("exactly one of --input / --payloads / --html is required")
 
     from pyspark.sql import functions as F
+
+    if args.html:
+        return _run_html_mode(spark, args)
 
     if args.payloads:
         from pdfspark.sources.binary_decode import (

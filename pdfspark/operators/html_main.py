@@ -36,19 +36,23 @@ from pyspark.sql import types as T
 
 from pdfspark.functions.domseg import extract_blocks
 
-BLOCKS_SCHEMA = T.StructType(
-    [
-        T.StructField("doc_id", T.LongType()),
-        T.StructField("block_id", T.IntegerType()),
-        T.StructField("tag", T.StringType()),
-        T.StructField("n_words", T.IntegerType()),
-        T.StructField("n_link_words", T.IntegerType()),
-        T.StructField("link_density", T.DoubleType()),
-        T.StructField("dom_boiler", T.BooleanType()),
-        T.StructField("is_content", T.BooleanType()),
-        T.StructField("text", T.StringType()),
-    ]
-)
+def blocks_schema(doc_id_type: T.DataType) -> T.StructType:
+    """Block-row schema; doc_id follows the input table's type (the
+    fixture table uses bigint ids, the spark-submit --html mode uses
+    filename-stem strings)."""
+    return T.StructType(
+        [
+            T.StructField("doc_id", doc_id_type),
+            T.StructField("block_id", T.IntegerType()),
+            T.StructField("tag", T.StringType()),
+            T.StructField("n_words", T.IntegerType()),
+            T.StructField("n_link_words", T.IntegerType()),
+            T.StructField("link_density", T.DoubleType()),
+            T.StructField("dom_boiler", T.BooleanType()),
+            T.StructField("is_content", T.BooleanType()),
+            T.StructField("text", T.StringType()),
+        ]
+    )
 
 
 def main_content_blocks(pages: DataFrame) -> DataFrame:
@@ -56,6 +60,8 @@ def main_content_blocks(pages: DataFrame) -> DataFrame:
     and the content/boilerplate verdict. Pages that segment to zero
     blocks (empty body, script-only) emit no rows — same pass-through
     semantics as the X19 table parser on tableless docs."""
+
+    schema = blocks_schema(pages.schema["doc_id"].dataType)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -75,9 +81,9 @@ def main_content_blocks(pages: DataFrame) -> DataFrame:
                             b.text,
                         )
                     )
-            yield pd.DataFrame(out, columns=[f.name for f in BLOCKS_SCHEMA])
+            yield pd.DataFrame(out, columns=[f.name for f in schema])
 
-    return pages.select("doc_id", "html").mapInPandas(run, BLOCKS_SCHEMA)
+    return pages.select("doc_id", "html").mapInPandas(run, schema)
 
 
 def main_content_text(pages: DataFrame) -> DataFrame:

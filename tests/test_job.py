@@ -402,3 +402,62 @@ def test_job_payloads_bytes_in_extraction_out(spark, tmp_path):
         assert got[doc_id] == [
             (s["kind"], s["text"], s["media_ref"], s["offset"])
             for s in res["out_spans"]], doc_id
+
+
+def test_job_html_mode_blocks_resume_and_metrics(spark, tmp_path):
+    """--html mode: a directory of .html pages in, snapshot-committed
+    classified block rows out, doc_id = filename stem. Block verdicts
+    must equal the Spark-free domseg kernel; --resume must be
+    exactly-once (new file only); metrics rows carry doc/byte/block
+    counts."""
+    import os as _os
+
+    from pdfspark.functions.domseg import extract_blocks
+
+    hdir = str(tmp_path / "html")
+    _os.makedirs(hdir)
+    pages = {
+        "page-a": ("<nav><a href='/'>Home</a> <a href='/b'>B</a></nav>"
+                   "<p>" + " ".join(f"w{i}" for i in range(25)) + "</p>"),
+        "page-b": ("<article><h1>Title Words Here</h1><p>"
+                   + " ".join(f"x{i}" for i in range(30))
+                   + "</p></article><footer><p>legal legal legal legal "
+                   "legal legal</p></footer>"),
+    }
+    for name, html in pages.items():
+        with open(_os.path.join(hdir, f"{name}.html"), "w") as fh:
+            fh.write(html)
+    with open(_os.path.join(hdir, "notes.txt"), "w") as fh:
+        fh.write("not html, must be glob-filtered out")
+
+    out = str(tmp_path / "blocks_out")
+    met = str(tmp_path / "blocks_metrics")
+    rc = main(["--html", hdir, "--output", out, "--metrics", met])
+    assert rc == 0
+
+    got = {}
+    for r in _read_out(spark, out).collect():
+        got.setdefault(r.doc_id, []).append(r)
+    assert set(got) == set(pages)
+    for doc_id, html in pages.items():
+        exp = extract_blocks(html)
+        rows = sorted(got[doc_id], key=lambda r: r.block_id)
+        assert [(r.tag, r.n_words, r.is_content, r.text) for r in rows] \
+            == [(b.tag, b.n_words, b.is_content, b.text) for b in exp]
+
+    m = _read_out(spark, met).collect()
+    n_blocks = sum(len(v) for v in got.values())
+    assert sum(r.doc_count for r in m) == 2
+    assert sum(r.spans_out for r in m) == n_blocks
+    assert sum(r.bytes_in for r in m) == sum(
+        len(h.encode()) for h in pages.values())
+
+    # resume: add one page, rerun — only the new doc's blocks append
+    with open(_os.path.join(hdir, "page-c.html"), "w") as fh:
+        fh.write("<p>" + " ".join(f"y{i}" for i in range(20)) + "</p>")
+    rc = main(["--html", hdir, "--output", out, "--metrics", met,
+               "--resume"])
+    assert rc == 0
+    after = _read_out(spark, out).collect()
+    assert len(after) == n_blocks + 1
+    assert sum(1 for r in after if r.doc_id == "page-c") == 1

@@ -212,3 +212,77 @@ def test_png_unpredict_inverts_any_filter_mix(columns, data):
             enc.append((x - pred) & 0xFF)
         prev = row
     assert _png_unpredict(bytes(enc), columns) == b"".join(raw_rows)
+
+
+# --- domseg (HTML main-content) parser invariants -------------------------
+
+_words_st = st.lists(
+    st.text(alphabet="abcdefg", min_size=1, max_size=6),
+    min_size=0, max_size=12,
+)
+_block_tag = st.sampled_from(["p", "div", "li", "h2", "blockquote", "td"])
+_inline_tag = st.sampled_from(["b", "i", "em", "span", "a"])
+
+
+@st.composite
+def _html_doc(draw):
+    """Random well-formed-enough HTML: block elements containing plain
+    words, inline-wrapped words, and anchor words; plus optional
+    script noise. Returns (html, total_words, link_words)."""
+    parts, total, linked = [], 0, 0
+    for _ in range(draw(st.integers(0, 6))):
+        btag = draw(_block_tag)
+        seg = []
+        for _ in range(draw(st.integers(0, 4))):
+            ws = draw(_words_st)
+            kind = draw(st.sampled_from(["plain", "inline", "anchor"]))
+            if not ws:
+                continue
+            text = " ".join(ws)
+            if kind == "plain":
+                seg.append(text)
+            elif kind == "inline":
+                it = draw(_inline_tag)
+                if it == "a":
+                    linked += len(ws)
+                seg.append(f"<{it}>{text}</{it}>")
+            else:
+                linked += len(ws)
+                seg.append(f'<a href="/x">{text}</a>')
+            total += len(ws)
+        if draw(st.booleans()):
+            parts.append("<script>var x = 1 && 2;</script>")
+        parts.append(f"<{btag}>" + " ".join(seg) + f"</{btag}>")
+    return "".join(parts), total, linked
+
+
+@given(_html_doc())
+@settings(max_examples=120, deadline=None)
+def test_domseg_conserves_words_and_bounds_features(doc):
+    from pdfspark.functions.domseg import extract_blocks
+
+    html, total, linked = doc
+    blocks = extract_blocks(html)
+    assert sum(b.n_words for b in blocks) == total
+    assert sum(b.n_link_words for b in blocks) == linked
+    for b in blocks:
+        assert 1 <= b.n_words  # empty blocks are never emitted
+        assert 0 <= b.n_link_words <= b.n_words
+        assert 0.0 <= b.link_density <= 1.0
+        assert b.text == " ".join(b.text.split())  # normalized
+        if b.link_density > 0.333333:
+            assert not b.is_content  # the stump's hard veto
+
+
+@given(_words_st.filter(lambda ws: len(ws) > 0))
+@settings(max_examples=60, deadline=None)
+def test_domseg_plain_text_single_block(ws):
+    """Tagless text is exactly one body block, words preserved in
+    order, and never dom_boiler."""
+    from pdfspark.functions.domseg import extract_blocks
+
+    blocks = extract_blocks(" ".join(ws))
+    assert len(blocks) == 1
+    assert blocks[0].text == " ".join(ws)
+    assert blocks[0].tag == "body"
+    assert not blocks[0].dom_boiler

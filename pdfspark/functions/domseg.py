@@ -50,9 +50,13 @@ INLINE_TAGS = frozenset(
 # not care, and determinism does).
 SOFT_BREAK_TAGS = frozenset({"br"})
 
-# Subtrees whose character data is never text content.
+# Subtrees whose character data is never text content. <head> is NOT
+# depth-counted with these: real pages routinely leave it unclosed
+# (browsers imply </head> at <body> or the first flow content), so it
+# gets a dedicated flag cleared by </head> OR an implied close — a
+# blanket depth counter would swallow the whole document.
 IGNORE_TAGS = frozenset(
-    "head iframe noscript object script style svg template title".split()
+    "iframe noscript object script style svg template title".split()
 )
 
 # Semantic containers that mark every enclosed block as boilerplate.
@@ -124,6 +128,7 @@ class _BlockParser(HTMLParser):
         self._seg = _Seg()
         self._anchor_depth = 0
         self._ignore_depth = 0
+        self._in_head = False
         # (tag, was_boiler) for every open block-level element, so a
         # close tag unwinds exactly the context its start established
         self._open: list[tuple[str, bool]] = []
@@ -149,11 +154,21 @@ class _BlockParser(HTMLParser):
     # -- parser events ----------------------------------------------------
 
     def handle_starttag(self, tag, attrs):
+        if tag == "head":
+            self._in_head = True
+            return
         if tag in IGNORE_TAGS:
             self._ignore_depth += 1
             return
         if self._ignore_depth:
             return
+        if self._in_head:
+            if tag in ("meta", "link", "base"):
+                return
+            # implied </head>: the HTML5 tree builder closes head at
+            # any flow-content start tag (unclosed <head> is common in
+            # the wild and must not swallow the document)
+            self._in_head = False
         if tag in SOFT_BREAK_TAGS:
             return
         if tag in INLINE_TAGS:
@@ -179,10 +194,13 @@ class _BlockParser(HTMLParser):
             self._flush()
 
     def handle_endtag(self, tag):
+        if tag == "head":
+            self._in_head = False
+            return
         if tag in IGNORE_TAGS:
             self._ignore_depth = max(0, self._ignore_depth - 1)
             return
-        if self._ignore_depth:
+        if self._ignore_depth or self._in_head:
             return
         if tag in SOFT_BREAK_TAGS or tag in VOID_TAGS:
             return
@@ -204,7 +222,7 @@ class _BlockParser(HTMLParser):
         self._seg.tag = self._open[-1][0] if self._open else "body"
 
     def handle_data(self, data):
-        if self._ignore_depth:
+        if self._ignore_depth or self._in_head:
             return
         words = data.split()
         if not words:

@@ -179,3 +179,20 @@ def test_doc_rollup_strips_boilerplate(spark, fixture_dir):
     art = rows[7]
     assert art.n_content_blocks >= 2
     assert 0.0 < art.boiler_word_ratio < 1.0
+
+
+def test_unclosed_head_is_implied_closed():
+    # no </head>: the HTML5 tree builder implies it at flow content;
+    # a blanket ignore-depth would swallow the whole page
+    b = segment_blocks(
+        "<html><head><title>skip</title><meta charset='x'>"
+        f"<p>{_words(18)}</p><body><p>{_words(5, 'y')}</p>"
+    )
+    assert [x.text for x in b] == [_words(18), _words(5, "y")]
+
+
+def test_head_content_still_ignored_when_closed():
+    b = segment_blocks(
+        "<head><title>t</title>stray head text</head><p>kept words</p>"
+    )
+    assert [x.text for x in b] == ["kept words"]

@@ -196,3 +196,14 @@ def test_head_content_still_ignored_when_closed():
         "<head><title>t</title>stray head text</head><p>kept words</p>"
     )
     assert [x.text for x in b] == ["kept words"]
+
+
+def test_doc_rollup_deterministic_under_repartition(spark, fixture_dir):
+    # main_text is assembled from collect_list: the block_id sort key
+    # must make it partition-layout-independent
+    from pdfspark.operators.html_main import main_content_text
+
+    pages = spark.read.parquet(os.path.join(fixture_dir, "html_pages.parquet"))
+    a = sorted(main_content_text(pages).collect())
+    b = sorted(main_content_text(pages.repartition(7)).collect())
+    assert a == b

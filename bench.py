@@ -95,7 +95,17 @@ def _scaling_job(spark, sf_dir: str, k: int):
     """The flagship job on a K-times-replicated input: BOTH inputs
     (span documents and layout geometry, from which header/footer
     boilerplate is derived) are replicated with distinct doc_ids, so
-    every stage's work grows with K — same job, bigger input."""
+    every stage's work grows with K — same job, bigger input.
+
+    The BASE inputs are repartitioned to a FIXED 64 slices (same at
+    every level) BEFORE the replicating crossJoin: each sf0.1
+    fixture is ONE parquet split, so the crossJoin output — K× the
+    bytes — would otherwise be produced by a single task, and the
+    write side of the first downstream exchange would serialize
+    ~K×corpus through one core at every level: an Amdahl artifact of
+    the replication harness, not of the job (a real corpus arrives
+    as thousands of splits). Base-first order keeps the one serial
+    exchange at 1× data and multiplies across 64 parallel tasks."""
     from pyspark.sql import functions as F
 
     from pdfspark.operators.boilerplate import header_footer
@@ -104,16 +114,61 @@ def _scaling_job(spark, sf_dir: str, k: int):
     reps = spark.range(k).select(F.col("id").cast("string").alias("rep"))
     rep_id = F.concat_ws("#", "rep", "doc_id").alias("doc_id")
 
-    geom = E._geom(spark, sf_dir)
-    geom_k = geom.crossJoin(reps).select(
+    geom = E._geom(spark, sf_dir).repartition(64)
+    geom_k = geom.crossJoin(F.broadcast(reps)).select(
         rep_id, *[c for c in geom.columns if c != "doc_id"]
     )
     hf_k = header_footer(geom_k)
 
-    docs = E._docs_in(spark, sf_dir)
-    docs_k = docs.crossJoin(reps).select(rep_id, "spans")
+    docs = E._docs_in(spark, sf_dir).repartition(64)
+    docs_k = docs.crossJoin(F.broadcast(reps)).select(rep_id, "spans")
     return extract_spans_split(docs_k, hf_k, skew_threshold=2000,
                                spans_per_chunk=512)
+
+
+def _scaling_job_sql(spark, sf_dir: str, k: int):
+    """The flagship's pure-JVM relational fast path
+    (extract_spans_relational — zero Python, whole-stage codegen; the
+    recommended shape at 100 TB under the default quirk config) on
+    the SAME K-replicated span input as the fold job, run as a THIRD
+    control point on the one-box bandwidth curve.
+
+    What it measures (and the surprise it pinned): with zero Python
+    workers and zero Arrow crossings, this job scales WORSE than the
+    Python fold on this host — ~0.46 raw on 2->8 on an idle box vs
+    the fold's 0.6-0.78, and it goes FLAT or negative on 8->32 —
+    because codegen leaves almost no compute per byte: the job is
+    pure parquet-decode + string traffic, i.e. memory bandwidth,
+    which one box shares across every core. Efficiency here orders
+    by arithmetic intensity, not by JVM-vs-Python: md5 CPU control
+    (~pure ALU) ~1.0 > Python fold (heavy per-byte compute) >
+    SQL codegen (light per-byte compute) >= zero-compute Arrow
+    passthrough (~0.41). That ordering is the ceiling argument made
+    with a JVM-only witness: the wall is the host memory subsystem,
+    not the Python exchange design — so the normalized reading below
+    is against the ARROW (bandwidth) control, where the SQL path
+    sits at ~1.0, exactly like the fold.
+
+    Input shaping: the BASE input is repartitioned to a FIXED 64
+    slices (same at every level) BEFORE the replicating crossJoin —
+    the sf0.1 fixture is one parquet split, so without it the scan
+    stage runs on one core at every level and the comparison
+    measures nothing (measured flat: 25.9/24.0/26.3 s at 2/8/32);
+    repartitioning AFTER the crossJoin leaves the single scan task
+    writing K× bytes into the exchange serially. Base-first order
+    makes the one serial exchange carry 1× data and the K×
+    multiplication happen across 64 parallel tasks. (The fold job
+    needs no such step: extract_spans_split repartitions internally
+    as part of its skew routing.)"""
+    from pyspark.sql import functions as F
+
+    from pdfspark.operators.extract import extract_spans_relational
+
+    reps = spark.range(k).select(F.col("id").cast("string").alias("rep"))
+    rep_id = F.concat_ws("#", "rep", "doc_id").alias("doc_id")
+    docs = E._docs_in(spark, sf_dir).repartition(64)
+    docs_k = docs.crossJoin(F.broadcast(reps)).select(rep_id, "spans")
+    return extract_spans_relational(docs_k)
 
 
 LEVELS = [2, 8, 32]
@@ -149,9 +204,12 @@ def _arrow_control(spark, sf_dir: str, k: int):
 
     reps = spark.range(k).select(F.col("id").cast("string").alias("rep"))
     rep_id = F.concat_ws("#", "rep", "doc_id").alias("doc_id")
-    docs = E._docs_in(spark, sf_dir)
-    docs_k = docs.crossJoin(reps).select(rep_id, "spans").repartition(
-        F.xxhash64("doc_id"))
+    # base-first repartition for the same reason as _scaling_job: the
+    # measured hash exchange must be written by parallel tasks, not
+    # the single fixture-split scan task carrying K× bytes
+    docs = E._docs_in(spark, sf_dir).repartition(64)
+    docs_k = docs.crossJoin(F.broadcast(reps)).select(
+        rep_id, "spans").repartition(F.xxhash64("doc_id"))
 
     def passthru(batches):
         yield from batches
@@ -166,6 +224,7 @@ def _scaling_report() -> dict:
     JVM gateway carries JIT state across sessions, so a single ordered
     pair would be biased."""
     job_t: dict[int, float] = {}
+    sql_t: dict[int, float] = {}
     ctl_t: dict[int, float] = {}
     arr_t: dict[int, float] = {}
     # local[2] runs ~3x longer than the other levels combined; one rep
@@ -187,6 +246,12 @@ def _scaling_report() -> dict:
                     _force(_scaling_job(spark, SF_DIR, REPLICATE))
                     d = time.time() - t0
                     job_t[lvl] = min(job_t.get(lvl, d), d)
+                # pure-JVM fast path: warm once (fraction of the
+                # cost), then one timed rep per level per cycle
+                _force(_scaling_job_sql(spark, SF_DIR, 1))
+                t0 = time.time()
+                _force(_scaling_job_sql(spark, SF_DIR, REPLICATE))
+                sql_t[lvl] = min(sql_t.get(lvl, 9e9), time.time() - t0)
                 _cpu_control(spark).collect()
                 t0 = time.time()
                 _cpu_control(spark).collect()
@@ -219,6 +284,9 @@ def _scaling_report() -> dict:
     def ceff(a, b, f):
         return round((ctl_t[a] / ctl_t[b]) / f, 3)
 
+    def seff(a, b, f):
+        return round((sql_t[a] / sql_t[b]) / f, 3)
+
     def aeff(a, b, f):
         return round((arr_t[a] / arr_t[b]) / f, 3)
 
@@ -229,6 +297,8 @@ def _scaling_report() -> dict:
             str(lvl): {
                 "sec": round(job_t[lvl], 3),
                 "docs_per_sec": round(nd / job_t[lvl], 1),
+                "sql_sec": round(sql_t[lvl], 3),
+                "sql_docs_per_sec": round(nd / sql_t[lvl], 1),
                 "cpu_control_sec": round(ctl_t[lvl], 3),
                 "arrow_control_sec": round(arr_t[lvl], 3),
             }
@@ -237,6 +307,13 @@ def _scaling_report() -> dict:
         "efficiency_n_to_4n": {
             "2_to_8": eff(2, 8, 4.0),
             "8_to_32": eff(8, 32, 4.0),
+        },
+        # the pure-JVM relational flagship on the same input: zero
+        # Python yet bandwidth-bound, so read against the ARROW
+        # control (see _scaling_job_sql)
+        "sql_efficiency_n_to_4n": {
+            "2_to_8": seff(2, 8, 4.0),
+            "8_to_32": seff(8, 32, 4.0),
         },
         "hw_ceiling_n_to_4n": {
             "2_to_8": ceff(2, 8, 4.0),
@@ -263,6 +340,16 @@ def _scaling_report() -> dict:
                 eff(2, 8, 4.0) / max(aeff(2, 8, 4.0), 1e-9), 3)),
             "8_to_32": min(1.0, round(
                 eff(8, 32, 4.0) / max(aeff(8, 32, 4.0), 1e-9), 3)),
+        },
+        # vs the ARROW (memory-bandwidth) control, not the CPU one:
+        # codegen leaves ~no compute per byte, so the SQL path rides
+        # the same bandwidth ceiling the zero-compute passthrough
+        # measures (see _scaling_job_sql docstring)
+        "sql_normalized_vs_arrow": {
+            "2_to_8": min(1.0, round(
+                seff(2, 8, 4.0) / max(aeff(2, 8, 4.0), 1e-9), 3)),
+            "8_to_32": min(1.0, round(
+                seff(8, 32, 4.0) / max(aeff(8, 32, 4.0), 1e-9), 3)),
         },
         "clean_window_record": _clean_window_record(),
     }

@@ -75,10 +75,15 @@ def main() -> int:
         }
         ctl = rep["hw_ceiling_n_to_4n"]["2_to_8"]
         job = rep["efficiency_n_to_4n"]["2_to_8"]
-        print(f"attempt {i}: control 2->8 {ctl}, job 2->8 {job}",
-              flush=True)
+        sql = rep.get("sql_efficiency_n_to_4n", {}).get("2_to_8")
+        print(f"attempt {i}: control 2->8 {ctl}, job 2->8 {job}, "
+              f"sql job 2->8 {sql}", flush=True)
         # best window per _score: control-clean, then min job-vs-arrow
         # normalization across ranges, then raw 2->8 job efficiency
+        # the report embeds the previously recorded clean window
+        # (bench JSON self-containment); drop it here so the record
+        # file does not nest recursively round over round
+        rep.pop("clean_window_record", None)
         if best is None or _score(rep) > _score(best):
             best = rep
         if ctl >= 0.95 and job >= 0.8:

@@ -753,7 +753,8 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
                    rotate: int | None = None,
                    rotate_on_parent: bool = False,
                    tagged: bool = False,
-                   widths: tuple[int, list[float]] | None = None
+                   widths: tuple[int, list[float]] | None = None,
+                   type3_unit: float = 0.01
                    ) -> bytes:
     """A complete PDF: one content stream per page, one Tj text-show
     per line, doc_id in the Info /Title. ``compress`` selects the
@@ -814,7 +815,16 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
     /Encoding dict whose /Differences remaps every non-ASCII char of
     the document to codes 128+ under AGL glyph names (the embedded-
     subset Type1 shape) — in both, a latin-1 identity decode emits
-    garbage and only the /Encoding path recovers the text."""
+    garbage and only the /Encoding path recovers the text; 'type3'
+    builds a /Subtype /Type3 font (§9.6.5 — the TeX/dvi-writer
+    shape): /FontMatrix [u 0 0 u 0 0] with ``u = type3_unit``,
+    /CharProcs glyph streams, uniform /Widths of GLYPH_W/u glyph
+    units (so the geometry matches the deterministic model and any
+    /1000 width assumption is geometry-visible), and an /Encoding
+    /Differences that remaps EVERY character — space to code 32
+    (word-spacing semantics intact), the rest to 33+ in sorted
+    order, so codes are arbitrary like a real glyph-proc font and
+    only the /Differences path recovers the text."""
     n_pages = len(pages)
     images = images or [0] * n_pages
     # object numbering: 1 catalog, 2 pages, 3..2+n page objs,
@@ -833,6 +843,9 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
     if form_obj is not None:
         nxt += 1
     tounicode_obj = nxt if cid else None
+    type3 = encoding == "type3" and not cid
+    charprocs_obj = nxt if type3 else None
+    glyphproc_obj = nxt + 1 if type3 else None
     # deterministic CID alphabet: code 0x0100 + index of the char in
     # the document's sorted distinct-char list
     cid_codes: dict[str, int] = {}
@@ -848,6 +861,16 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
                                                            or "")
                                                if ord(c) > 126})
         diff_codes = {c: 128 + i for i, c in enumerate(specials)}
+    type3_codes: dict[str, int] = {}
+    if type3:
+        alpha = sorted({c for pg in pages for ln in pg for c in ln}
+                       | set(form_header or ""))
+        rest = [c for c in alpha if c != " "]
+        if len(rest) > 222:
+            raise ValueError("type3 fixture alphabet too large")
+        type3_codes = {c: 33 + i for i, c in enumerate(rest)}
+        if " " in alpha:
+            type3_codes[" "] = 32
 
     def _show_operand(line: str) -> bytes:
         if cid:
@@ -862,6 +885,9 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
         if encoding == "differences":
             remapped = "".join(chr(diff_codes.get(c, ord(c)))
                                for c in line)
+            return b"(" + _escape(remapped) + b")"
+        if type3:
+            remapped = "".join(chr(type3_codes[c]) for c in line)
             return b"(" + _escape(remapped) + b")"
         if hex_show:
             return (b"<" + line.encode("latin-1", "replace")
@@ -978,6 +1004,42 @@ def build_tiny_pdf(doc_id: str, pages: list[list[str]],
               + b"\nendcmap\nend\nend")
         objs[tounicode_obj] = (b"<< /Length %d >>\nstream\n" % len(cm)
                                + cm + b"\nendstream")
+    elif type3:
+        # §9.6.5 Type3: glyph space is /FontMatrix-defined (NOT
+        # thousandths), /CharProcs holds the glyph programs, and
+        # /Encoding /Differences is the ONLY code→name mapping.
+        # Uniform widths of GLYPH_W/unit glyph units keep the
+        # geometry identical to the deterministic-model twin, so a
+        # decoder that assumed /1000 scaling is geometry-visible.
+        rev = {}
+        for k in sorted(_AGL):
+            rev.setdefault(_AGL[k], k)
+        by_code = sorted(type3_codes.items(), key=lambda kv: kv[1])
+        ents = b" ".join(b"%d /%s" % (code, rev[c].encode("ascii"))
+                         for c, code in by_code)
+        first = by_code[0][1]
+        last = by_code[-1][1]
+        gw_units = GLYPH_W / type3_unit
+        proc = b"%g 0 d0 0 0 %g %g re f" % (gw_units, gw_units,
+                                            gw_units)
+        objs[glyphproc_obj] = (b"<< /Length %d >>\nstream\n"
+                               % len(proc) + proc + b"\nendstream")
+        objs[charprocs_obj] = (
+            b"<< " + b" ".join(b"/%s %d 0 R"
+                               % (rev[c].encode("ascii"),
+                                  glyphproc_obj)
+                               for c, _ in by_code) + b" >>")
+        objs[font_obj] = (
+            b"<< /Type /Font /Subtype /Type3 "
+            b"/FontBBox [0 0 %g %g] " % (gw_units, gw_units)
+            + b"/FontMatrix [%g 0 0 %g 0 0] "
+            % (type3_unit, type3_unit)
+            + b"/CharProcs %d 0 R " % charprocs_obj
+            + b"/Encoding << /Differences [ " + ents + b" ] >> "
+            + b"/FirstChar %d /LastChar %d " % (first, last)
+            + b"/Widths [ " + b" ".join(
+                b"%g" % gw_units for _ in range(first, last + 1))
+            + b" ] >>")
     else:
         enc_clause = b""
         if encoding == "macroman":
@@ -2357,7 +2419,11 @@ def _font_cmap(objs, fnum: int | None, cache: dict) -> dict | None:
     when present, it IS the text mapping); a simple-font /Encoding
     ({'enc_map'}: WinAnsi / MacRoman base + /Differences overlay,
     §9.6.6); or None — fonts with neither keep the latin-1 identity
-    (their string bytes ARE the character codes)."""
+    (their string bytes ARE the character codes). EXCEPT Type3: its
+    codes index user-defined /CharProcs glyphs, so a Type3 without
+    /Encoding or /ToUnicode has no text mapping at all — identity
+    decode would be silent garbage, quarantine instead (§9.6.5
+    requires /Encoding on Type3)."""
     if fnum is None:
         return None
     if fnum not in cache:
@@ -2369,7 +2435,11 @@ def _font_cmap(objs, fnum: int | None, cache: dict) -> dict | None:
                 raise ValueError("missing ToUnicode stream object")
             cache[fnum] = _parse_tounicode(_content_stream(tu))
         else:
-            cache[fnum] = _font_encoding(objs, body)
+            enc = _font_encoding(objs, body)
+            if (enc is None and body is not None
+                    and _TYPE3_RE.search(body) is not None):
+                raise ValueError("Type3 font without /Encoding")
+            cache[fnum] = enc
     return cache[fnum]
 
 
@@ -2378,14 +2448,39 @@ _WIDTHS_ARR_RE = re.compile(rb"/Widths\s*\[([^\]]*)\]")
 _WIDTHS_REF_RE = re.compile(rb"/Widths\s+(\d+)\s+0\s+R")
 _FONTDESC_RE = re.compile(rb"/FontDescriptor\s+(\d+)\s+0\s+R")
 _MISSWIDTH_RE = re.compile(rb"/MissingWidth\s+(" + _NUM + rb")")
+_TYPE3_RE = re.compile(rb"/Subtype\s*/Type3\b")
+_FONTMATRIX_RE = re.compile(rb"/FontMatrix\s*\[([^\]]*)\]")
+
+
+def _font_wscale(body: bytes) -> float:
+    """Glyph-space → text-space width scale of a font dict: 1/1000
+    for every non-Type3 font (§9.2.4: glyph space IS thousandths of
+    text space there), the /FontMatrix x-image of (1,1) for Type3
+    (§9.6.5: glyph space is user-defined; pdfminer PDFType3Font maps
+    widths through apply_matrix_norm(matrix, (1,1)) — a + c — and
+    this codec follows its metrics path). A Type3 without the
+    spec-required /FontMatrix quarantines: every advance would be
+    a guess."""
+    if _TYPE3_RE.search(body) is None:
+        return 0.001
+    mm = _FONTMATRIX_RE.search(body)
+    if mm is None:
+        raise ValueError("Type3 font without /FontMatrix")
+    nums = [float(x) for x in re.findall(_NUM, mm.group(1))]
+    if len(nums) != 6:
+        raise ValueError("malformed /FontMatrix")
+    return nums[0] + nums[2]
 
 
 def _font_widths(objs, fnum: int | None, cache: dict):
-    """Simple-font /Widths table (§9.6.2.1) of font object ``fnum``:
-    ({code: glyph-units}, missing_width) or None when the font
-    declares no /Widths (Type0 /W arrays are CID-keyed, a different
-    structure — CID shows keep the deterministic GLYPH_W model).
-    Codes outside [FirstChar, FirstChar+len) take /MissingWidth from
+    """Declared width table of font object ``fnum``:
+    ({code: glyph-units}, missing_width, wscale) or None when the
+    font declares no /Widths (Type0 /W arrays are CID-keyed, a
+    different structure — CID shows keep the deterministic GLYPH_W
+    model). ``wscale`` converts glyph units to text space —
+    1/1000 for simple fonts (§9.6.2.1), the /FontMatrix x-scale for
+    Type3 (§9.6.5, pdfminer's PDFType3Font hscale). Codes outside
+    [FirstChar, FirstChar+len) take /MissingWidth from
     the /FontDescriptor when declared, else the deterministic
     GLYPH_W glyph (a zero default per spec would emit degenerate
     zero-area boxes downstream ops cluster on). A /Widths without
@@ -2420,7 +2515,10 @@ def _font_widths(objs, fnum: int | None, cache: dict):
                 first = int(fm.group(1))
                 ws = [float(x) for x in
                       re.findall(_NUM, arr)]
-                miss = GLYPH_W * 1000.0
+                wscale = _font_wscale(body)
+                # missing-width fallback stays the GLYPH_W glyph in
+                # TEXT space whatever the glyph-space unit is
+                miss = GLYPH_W / wscale
                 dm = _FONTDESC_RE.search(body)
                 if dm is not None:
                     desc = objs.get(int(dm.group(1)))
@@ -2428,7 +2526,8 @@ def _font_widths(objs, fnum: int | None, cache: dict):
                         mm = _MISSWIDTH_RE.search(desc)
                         if mm is not None:
                             miss = float(mm.group(1))
-                res = ({first + i: w for i, w in enumerate(ws)}, miss)
+                res = ({first + i: w for i, w in enumerate(ws)},
+                       miss, wscale)
         cache[key] = res
     return cache[key]
 
@@ -2859,7 +2958,9 @@ def _walk_content(objs, cdata, xobjs, emit, active,
             # text-space advance per §9.4.4 — (w0*Tfs + Tc +
             # Tw_if_space) * Tz% per glyph. w0 comes from the simple
             # font's declared /Widths table when one is present
-            # (pdfminer's real-metrics path, per CODE byte), else
+            # (pdfminer's real-metrics path, per CODE byte; glyph
+            # units scale by 1/1000, or by the /FontMatrix x-scale
+            # for Type3 — pdfminer PDFType3Font hscale), else
             # from the deterministic GLYPH_W model; the box is the
             # text-space rect (0,rise)-(adv,rise+size) — Ts lifts the
             # baseline in unscaled text space (§9.3.7) without
@@ -2868,13 +2969,18 @@ def _walk_content(objs, cdata, xobjs, emit, active,
             # rotated/sheared text gets its true axis-aligned
             # envelope instead of a degenerate zero-area box
             if widths is not None and simple:
-                w_map, miss = widths
+                w_map, miss, wscale = widths
                 gw = sum(w_map.get(b, miss) for b in all_raw) \
-                    / 1000.0 * size
+                    * wscale * size
                 n_glyphs = len(all_raw)
             else:
                 gw = GLYPH_W * size * len(text)
                 n_glyphs = len(text)
+            # TJ kern stays thousandths even under Type3: pdfminer's
+            # render_string scales TJ numbers by a fixed 0.001
+            # whatever the font class, and this codec follows its
+            # metrics path (§9.4.3 note: the spec says glyph space,
+            # pdfminer does not special-case it)
             adv = (gw + tc * n_glyphs
                    + tw * n_spaces
                    - kern / 1000.0 * size) * (tz / 100.0)

@@ -832,6 +832,22 @@ def write_pdf_payloads(out_dir: str) -> None:
     assert "Encrypted ObjStm body." in [s["text"] for s in decoded["spans"]]
     rows.append((e15_id, "ok", len(decoded["spans"]), len(payload),
                  geom_digest(decoded["spans"])))
+    # Type3 glyph-proc font (§9.6.5, the TeX/dvi-writer shape):
+    # codes are arbitrary /CharProcs indices decoded ONLY through
+    # /Encoding /Differences, widths in /FontMatrix glyph space
+    # (pdfminer PDFType3Font a+c scale, not /1000)
+    t3_id = "pdfdoc-00037"
+    payload = build_tiny_pdf(
+        t3_id, [["25. Glyph-proc era", "Type3 metafont body."]],
+        compress=True, encoding="type3")
+    with open(os.path.join(pdir, f"{t3_id}.pdf"), "wb") as fh:
+        fh.write(payload)
+    decoded = decode_tiny_pdf(payload)
+    assert decoded["doc_id"] == t3_id
+    assert "Type3 metafont body." in [
+        s["text"] for s in decoded["spans"]]
+    rows.append((t3_id, "ok", len(decoded["spans"]), len(payload),
+                 geom_digest(decoded["spans"])))
     aes = build_tiny_pdf("encrypted_aes", [["secret body"]],
                          encrypt="aes256-r5")
     with open(os.path.join(pdir, "encrypted_aes.pdf"), "wb") as fh:
@@ -1354,7 +1370,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 30  # 30: html_pages + html_main_expected sidecar
+FIXTURE_VERSION = 31  # 31: Type3 glyph-proc payload (pdfdoc-00037)
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

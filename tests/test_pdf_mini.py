@@ -1427,3 +1427,68 @@ def test_font_widths_drive_the_advance():
 
     # no /Widths -> the deterministic model, unchanged
     assert first_tb(build_tiny_pdf("w", [["AB"]]))["x1"] == 72.0 + 12.0
+
+
+def test_type3_font_round_trip_and_fontmatrix_scale():
+    """§9.6.5 Type3 fonts (the TeX/dvi-writer shape): codes are
+    arbitrary /CharProcs indices, so text comes ONLY from /Encoding
+    /Differences, and widths are in /FontMatrix-defined glyph space —
+    NOT thousandths (pdfminer PDFType3Font scales by the matrix image
+    of (1,1), a + c). The builder's uniform GLYPH_W/unit widths make
+    the geometry identical to the deterministic-model twin whatever
+    the unit, so a /1000 width assumption is geometry-visible."""
+    pages = [["3. Type3 era", "Glyph-proc body line."],
+             ["Second page text."]]
+    flat = [ln for pg in pages for ln in pg]
+
+    def geom(payload):
+        return [(s["kind"], s["text"], round(s["x0"], 9),
+                 round(s["y0"], 9), round(s["x1"], 9),
+                 round(s["y1"], 9))
+                for s in decode_tiny_pdf(payload)["spans"]]
+
+    twin = geom(build_tiny_pdf("t3", pages))
+    p3 = build_tiny_pdf("t3", pages, encoding="type3")
+    assert geom(p3) == twin
+    # show operands are remapped glyph codes — a latin-1 identity
+    # decode would emit garbage; only the /Differences path recovers
+    assert b"Glyph-proc body line." not in p3
+    # a different /FontMatrix unit scales the widths the other way:
+    # geometry must stay bit-identical (widths are glyph-space)
+    assert geom(build_tiny_pdf("t3", pages, encoding="type3",
+                               type3_unit=0.025)) == twin
+    # composes with the real-world stream filter
+    assert geom(build_tiny_pdf("t3", pages, encoding="type3",
+                               compress=True)) == twin
+
+    # direct FontMatrix-vs-/1000 witness: doubling the matrix unit
+    # under unchanged /Widths doubles every advance
+    doubled = p3.replace(b"/FontMatrix [0.01 0 0 0.01 0 0]",
+                         b"/FontMatrix [0.02 0 0 0.02 0 0]")
+    assert doubled != p3
+    tb = [s for s in decode_tiny_pdf(doubled)["spans"]
+          if s["kind"] == "TextBox"][0]
+    assert tb["x1"] == 72.0 + 2 * 0.5 * 12 * len(flat[0])
+    # pdfminer's apply_matrix_norm((1,1)) includes the shear term:
+    # wscale = a + c
+    sheared = p3.replace(b"/FontMatrix [0.01 0 0 0.01 0 0]",
+                         b"/FontMatrix [0.01 0 0.005 0.01 0 0]")
+    tb = [s for s in decode_tiny_pdf(sheared)["spans"]
+          if s["kind"] == "TextBox"][0]
+    assert abs(tb["x1"] - (72.0 + 50 * 0.015 * 12 * len(flat[0]))) < 1e-9
+
+
+def test_type3_font_quarantines():
+    """Wrong-parse guards for the Type3 slice: a Type3 without the
+    spec-required /FontMatrix (every advance would be a guess),
+    a malformed matrix, and a Type3 without /Encoding (codes index
+    user-defined glyph programs — identity decode is silent garbage)
+    all quarantine."""
+    p3 = build_tiny_pdf("t3q", [["body"]], encoding="type3")
+    with pytest.raises(ValueError, match="without /FontMatrix"):
+        decode_tiny_pdf(p3.replace(b"/FontMatrix", b"/FauxMatrix"))
+    with pytest.raises(ValueError, match="malformed /FontMatrix"):
+        decode_tiny_pdf(p3.replace(b"/FontMatrix [0.01 0 0 0.01 0 0]",
+                                   b"/FontMatrix [0.01 0 0 0.01]"))
+    with pytest.raises(ValueError, match="Type3 font without /Encoding"):
+        decode_tiny_pdf(p3.replace(b"/Encoding", b"/Encazing"))

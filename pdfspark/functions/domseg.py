@@ -129,6 +129,12 @@ class _BlockParser(HTMLParser):
         self._anchor_depth = 0
         self._ignore_depth = 0
         self._in_head = False
+        # head can open at most once, and only before flow content:
+        # the HTML5 tree builder ignores a <head> token after head
+        # has closed (explicitly or implied) or once body content
+        # has started — without this, a stray second <head> (or one
+        # inside an ignored subtree) would swallow the document tail
+        self._head_done = False
         # (tag, was_boiler) for every open block-level element, so a
         # close tag unwinds exactly the context its start established
         self._open: list[tuple[str, bool]] = []
@@ -154,13 +160,14 @@ class _BlockParser(HTMLParser):
     # -- parser events ----------------------------------------------------
 
     def handle_starttag(self, tag, attrs):
-        if tag == "head":
-            self._in_head = True
-            return
         if tag in IGNORE_TAGS:
             self._ignore_depth += 1
             return
         if self._ignore_depth:
+            return
+        if tag == "head":
+            if not self._head_done:
+                self._in_head = True
             return
         if self._in_head:
             if tag in ("meta", "link", "base"):
@@ -169,6 +176,7 @@ class _BlockParser(HTMLParser):
             # any flow-content start tag (unclosed <head> is common in
             # the wild and must not swallow the document)
             self._in_head = False
+        self._head_done = True
         if tag in SOFT_BREAK_TAGS:
             return
         if tag in INLINE_TAGS:
@@ -187,20 +195,30 @@ class _BlockParser(HTMLParser):
 
     def handle_startendtag(self, tag, attrs):
         # self-closing: a block-level one still breaks the block but
-        # opens no context (e.g. <hr/>)
+        # opens no context (e.g. <hr/>); a flow one inside an
+        # unclosed head implies </head> exactly like its non-self-
+        # closing spelling
         if tag in IGNORE_TAGS or self._ignore_depth:
             return
+        if self._in_head:
+            if tag in ("meta", "link", "base"):
+                return
+            self._in_head = False
+        self._head_done = True
         if tag not in INLINE_TAGS and tag not in SOFT_BREAK_TAGS:
             self._flush()
 
     def handle_endtag(self, tag):
-        if tag == "head":
-            self._in_head = False
-            return
         if tag in IGNORE_TAGS:
             self._ignore_depth = max(0, self._ignore_depth - 1)
             return
-        if self._ignore_depth or self._in_head:
+        if self._ignore_depth:
+            return
+        if tag == "head":
+            self._in_head = False
+            self._head_done = True
+            return
+        if self._in_head:
             return
         if tag in SOFT_BREAK_TAGS or tag in VOID_TAGS:
             return
@@ -222,11 +240,17 @@ class _BlockParser(HTMLParser):
         self._seg.tag = self._open[-1][0] if self._open else "body"
 
     def handle_data(self, data):
-        if self._ignore_depth or self._in_head:
+        if self._ignore_depth:
             return
         words = data.split()
         if not words:
             return
+        if self._in_head:
+            # implied </head>: the tree builder closes head at any
+            # non-whitespace character token too, not only at flow
+            # tags — bare prose after an unclosed <head> is body text
+            self._in_head = False
+        self._head_done = True
         in_link = self._anchor_depth > 0
         self._seg.words.extend(words)
         self._seg.link_flags.extend([in_link] * len(words))

@@ -67,6 +67,11 @@ def main_content_blocks(pages: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, html in zip(pdf["doc_id"], pdf["html"]):
+                # NULL html (outer-join misses, unscraped rows) is a
+                # degenerate page: zero blocks, same pass-through as
+                # an empty body — not a task-killing TypeError
+                if not isinstance(html, str):
+                    continue
                 for b in extract_blocks(html):
                     out.append(
                         (

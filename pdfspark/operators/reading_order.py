@@ -8,6 +8,7 @@ but the (doc_id, page_id) hash.
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def reading_order_window(per_page: bool = True) -> Window:
@@ -169,5 +170,11 @@ def with_xy_cut_order(spans_geom: DataFrame,
         if pending is not None and len(pending):
             yield _rank_pages(pending)
 
-    return part.mapInPandas(
-        run, f"doc_id string, page_id int, offset int, {col_name} int")
+    # key-column types come from the INPUT frame (bigint doc_ids,
+    # long offsets, ...) — a hardcoded string/int schema would fail
+    # Arrow conversion on any frame the window variant handles fine
+    out_schema = T.StructType(
+        [T.StructField(n, spans_geom.schema[n].dataType)
+         for n in ("doc_id", "page_id", "offset")]
+        + [T.StructField(col_name, T.IntegerType())])
+    return part.mapInPandas(run, out_schema)

@@ -1370,7 +1370,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 31  # 31: Type3 glyph-proc payload (pdfdoc-00037)
+FIXTURE_VERSION = 32  # 32: HTML5 head-mode fixes in the domseg kernel
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

@@ -191,11 +191,48 @@ def test_unclosed_head_is_implied_closed():
     assert [x.text for x in b] == [_words(18), _words(5, "y")]
 
 
-def test_head_content_still_ignored_when_closed():
+def test_head_text_implies_close_like_flow_tags():
+    # HTML5 "in head" anything-else: a non-whitespace character token
+    # pops head and reprocesses in body — browsers RENDER stray head
+    # text, so it must become a block (title/script/style stay
+    # swallowed as RCDATA/ignored subtrees)
     b = segment_blocks(
         "<head><title>t</title>stray head text</head><p>kept words</p>"
     )
-    assert [x.text for x in b] == ["kept words"]
+    assert [x.text for x in b] == ["stray head text", "kept words"]
+    # bare prose directly after an unclosed head (the 'no wrappers'
+    # page shape): nothing may swallow it
+    b = segment_blocks(
+        "<html><head><meta charset='utf-8'><title>T</title> "
+        + _words(30)
+    )
+    assert [x.text for x in b] == [_words(30)]
+
+
+def test_head_state_never_leaks_from_ignored_or_stray_heads():
+    # a <head> inside an ignored subtree never reaches the tree
+    # builder; head mode must not leak past </iframe>
+    b = segment_blocks(
+        "<p>before</p><iframe><head><meta></iframe> after words "
+        "<p>tagged</p>"
+    )
+    assert [x.text for x in b] == ["before", "after words", "tagged"]
+    # a stray second <head> after flow content is ignored (the tree
+    # builder drops <head> tokens once head is done)
+    b = segment_blocks(
+        "<head><title>T</title></head><p>para</p><head><meta></head>"
+        " tail text"
+    )
+    assert [x.text for x in b] == ["para", "tail text"]
+
+
+def test_self_closing_flow_tag_implies_head_close():
+    # XHTML-style <hr/> in an unclosed head implies </head> exactly
+    # like its non-self-closing spelling; <meta/> stays head-y
+    b = segment_blocks("<head><hr/>text after hr <p>para</p>")
+    assert [x.text for x in b] == ["text after hr", "para"]
+    b = segment_blocks("<head><meta/><title>T</title></head><p>body</p>")
+    assert [x.text for x in b] == ["body"]
 
 
 def test_doc_rollup_deterministic_under_repartition(spark, fixture_dir):
@@ -207,3 +244,15 @@ def test_doc_rollup_deterministic_under_repartition(spark, fixture_dir):
     a = sorted(main_content_text(pages).collect())
     b = sorted(main_content_text(pages.repartition(7)).collect())
     assert a == b
+
+
+def test_null_html_rows_pass_through_as_zero_blocks(spark):
+    # NULL html (outer-join misses, unscraped rows) is a degenerate
+    # page — zero block rows, not a TypeError that kills the stage
+    from pdfspark.operators.html_main import main_content_blocks
+
+    pages = spark.createDataFrame(
+        [(1, "<p>" + _words(20) + "</p>"), (2, None)],
+        "doc_id bigint, html string")
+    rows = main_content_blocks(pages).collect()
+    assert {r.doc_id for r in rows} == {1}

@@ -111,3 +111,25 @@ def test_distributed_xycut_matches_kernel_and_sidecar(
         j["doc_id"].str.contains("multi").any()) else j
     assert (mc["rord"] != mc["ref_rord"]).any(), (
         "xycut must reorder at least the multi-column family")
+
+
+def test_xycut_output_schema_follows_input_types(spark):
+    # the window variant is type-agnostic; the xycut twin must be
+    # too — bigint doc_ids / long offsets must not die at Arrow
+    # conversion against a hardcoded string/int schema
+    from pdfspark.operators.reading_order import (
+        with_reading_order, with_xy_cut_order)
+
+    geom = spark.createDataFrame(
+        [(7, 1, i, "TextBox", 72.0 + 200.0 * (i % 2), 700.0 - 14 * i,
+          172.0 + 200.0 * (i % 2), 712.0 - 14 * i)
+         for i in range(6)],
+        "doc_id bigint, page_id bigint, offset bigint, kind string,"
+        " x0 double, y0 double, x1 double, y1 double")
+    got = with_xy_cut_order(geom)
+    assert dict((f.name, f.dataType.simpleString())
+                for f in got.schema.fields) == {
+        "doc_id": "bigint", "page_id": "bigint",
+        "offset": "bigint", "rord": "int"}
+    ref = with_reading_order(geom)
+    assert got.count() == ref.count() == 6

@@ -21,6 +21,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import sys
 import time
 
@@ -273,9 +274,16 @@ def _scaling_report() -> dict:
         load-contaminated (the r3-r5 norm on this shared host)."""
         pat = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "fixtures")
-        recs = sorted(f for f in os.listdir(pat)
-                      if f.startswith("scaling_r")
-                      and f.endswith("_clean_window.json"))
+        # order by ROUND NUMBER, not filename: lexicographic sort
+        # would put r10 before r9 and silently attach stale evidence
+        def _round_no(f):
+            m = re.search(r"scaling_r(\d+)", f)
+            return (int(m.group(1)) if m else -1, f)
+
+        recs = sorted((f for f in os.listdir(pat)
+                       if f.startswith("scaling_r")
+                       and f.endswith("_clean_window.json")),
+                      key=_round_no)
         if not recs:
             return None
         with open(os.path.join(pat, recs[-1])) as fh:
@@ -401,13 +409,18 @@ def _stream_dedup_report() -> dict:
                 "keepers_total": spark.read.parquet(out_path).count(),
                 "band_rows_total": spark.read.parquet(bands_path).count(),
             })
-        first, last = waves[0]["sec"], waves[-1]["sec"]
+        # O(batch) evidence: wave 0 has NO accumulated state (the
+        # cross-batch stage is skipped entirely), so it is not a
+        # like-for-like baseline — compare the last wave against the
+        # FIRST STATEFUL wave (index 1) when one exists
+        base_idx = 1 if len(waves) > 1 else 0
+        base, last = waves[base_idx]["sec"], waves[-1]["sec"]
         return {
             "job": f"neardup_stream, {n_waves} waves of sf corpus",
             "waves": waves,
-            # O(batch) evidence: last-wave/first-wave wall ratio with
-            # state ~(N-1)/N of the corpus accumulated (1.0 = flat)
-            "last_over_first_wall": round(last / max(first, 1e-9), 3),
+            "flatness_baseline_wave": base_idx,
+            "last_over_first_stateful_wall": round(
+                last / max(base, 1e-9), 3),
         }
     finally:
         spark.stop()

@@ -167,11 +167,16 @@ def minhash_signatures(docs: DataFrame, shingles: DataFrame | None = None,
 
 def lsh_bands(sigs: DataFrame) -> DataFrame:
     """Long-form (doc_id, band, band_key): band_key = md5 of its
-    ROWS_PER_BAND concatenated signature mins."""
+    ROWS_PER_BAND '|'-joined signature mins. The separator matters:
+    bare concatenation would alias distinct tuples whose decimal
+    digit streams align ((1,234) vs (12,34)) into one bucket —
+    spurious candidates the verifier then pays for (same '|' idiom
+    as sig_key below; the DuckDB oracle twin mirrors it)."""
     bands = F.array(
         *[
             F.md5(
-                F.concat(
+                F.concat_ws(
+                    "|",
                     *[F.col(f"sig{b * ROWS_PER_BAND + r}").cast("string")
                       for r in range(ROWS_PER_BAND)]
                 )
@@ -565,10 +570,29 @@ def simhash_candidates(docs: DataFrame, bits: int = SIMHASH_HEX,
         )
         for h in range(bits // 32)
     )
+    # width guard: a signature narrower than ``bits`` (e.g. default
+    # 32-bit precomputed_sigs injected into the 64-bit tight variant)
+    # would make the out-of-range substring '' and conv('') NULL —
+    # every hamming NULL, every pair silently dropped by max_hamming.
+    # assert_true raises with a clear message instead; it returns
+    # NULL on pass, so coalesce folds it into the hamming sum as 0.
+    guard = F.coalesce(
+        F.assert_true(
+            (F.length("sh_a") == bits) & (F.length("sh_b") == bits),
+            F.lit(f"simhash signature width != bits={bits}: inject "
+                  "precomputed_sigs from simhash_signatures(docs, "
+                  "bits=<the same bits>)"),
+        ).cast("int"),
+        F.lit(0),
+    )
     # both full signatures ride along: the candidate pairs then verify
     # the signature op end-to-end (not just the banded prefix)
+    # guard FIRST: binary-op codegen short-circuits when the left
+    # side is NULL, and NULL hamming is precisely the failure the
+    # guard exists to catch
     out = pairs.select(
-        "doc_a", "doc_b", "sh_a", "sh_b", ham.cast("int").alias("hamming")
+        "doc_a", "doc_b", "sh_a", "sh_b",
+        (guard + ham.cast("int")).alias("hamming")
     )
     if max_hamming is not None:
         out = out.filter(F.col("hamming") <= max_hamming)

@@ -71,7 +71,9 @@ def _minhash_cte() -> str:
     band_rows = "\n  UNION ALL\n  ".join(
         "SELECT doc_id, {b} AS band, md5({k}) AS band_key FROM sigs".format(
             b=b,
-            k=" || ".join(
+            # '|'-separated like the engine's lsh_bands: bare ||
+            # would alias (1,234) and (12,34) into one band bucket
+            k=" || '|' || ".join(
                 f"CAST(sig{b * ROWS_PER_BAND + r} AS VARCHAR)"
                 for r in range(ROWS_PER_BAND)
             ),

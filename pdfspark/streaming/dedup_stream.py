@@ -76,7 +76,16 @@ def dedup_stream(
         except AnalysisException:
             seen = None  # first batch ever: no keeper table yet
         if seen is not None:
-            firsts = firsts.join(seen, "content_hash", "left_anti")
+            # null-safe: md5(NULL text) is NULL, and a plain anti-join
+            # on NULL never matches — every null-text batch would
+            # append another NULL-hash keeper, while groupBy above
+            # collapses them into ONE group. eqNullSafe keeps the
+            # cross-batch gate consistent with the within-batch one.
+            firsts = firsts.alias("f").join(
+                seen.alias("s"),
+                F.col("f.content_hash").eqNullSafe(
+                    F.col("s.content_hash")),
+                "left_anti")
         (firsts.select("content_hash", "doc_id", "text")
          .write.mode("append").parquet(out_path))
 
@@ -163,8 +172,12 @@ def neardup_stream(
         except AnalysisException:
             keepers = None
         if keepers is not None:
-            firsts = firsts.join(
-                keepers.select("content_hash"), "content_hash",
+            # null-safe for the same reason as dedup_stream's exact
+            # gate: one NULL-hash keeper ever, not one per batch
+            firsts = firsts.alias("f").join(
+                keepers.select("content_hash").alias("s"),
+                F.col("f.content_hash").eqNullSafe(
+                    F.col("s.content_hash")),
                 "left_anti")
         # 2. batch-internal near stage: linear doc_b-drop over the
         # batch's own verified pairs (curate_documents' contract)
@@ -212,14 +225,30 @@ def neardup_stream(
                 .join(n_a, "doc_a")
                 .join(n_b.withColumnRenamed("doc_id", "doc_b"), "doc_b")
                 .filter(
-                    F.col("n_inter")
-                    / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+                    # round exactly like minhash_verified: keep/drop
+                    # of a boundary pair must not depend on whether
+                    # its partner arrived in the same batch (batch-
+                    # internal stage) or an earlier one (this stage)
+                    F.round(
+                        F.col("n_inter")
+                        / (F.col("n_a") + F.col("n_b")
+                           - F.col("n_inter")),
+                        4,
+                    )
                     >= threshold
                 )
                 .select(F.col("doc_b").alias("doc_id"))
                 .distinct()
             )
-            surv = surv.join(hits, "doc_id", "left_anti")
+            # materialize the verified survivors ONCE: both publishes
+            # below scan this frame, and without the checkpoint each
+            # would re-execute the whole cross-batch verification
+            # subplan (keeper re-shingle, shingle-intersection join,
+            # Jaccard, anti-join) — doubling the dominant per-batch
+            # cost the O(batch + candidate-touched keepers) design
+            # claims and bench.py measures
+            surv = surv.join(hits, "doc_id", "left_anti") \
+                .localCheckpoint(eager=True)
             bands_b = bands_b.join(
                 surv.select("doc_id"), "doc_id", "left_semi")
         # 4. publish: band index FIRST (see idempotence note above)

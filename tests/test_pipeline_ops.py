@@ -1066,3 +1066,45 @@ def test_simhash32_is_prefix_of_simhash64(spark):
     for d, s in s32.items():
         assert len(s) == 32 and len(s64[d]) == 64
         assert s64[d][:32] == s
+
+
+def test_lsh_band_key_separator_prevents_aliasing(spark):
+    """band_key joins its ROWS_PER_BAND mins with '|': bare
+    concatenation would alias distinct tuples whose digit streams
+    align — (1, 234, ...) vs (12, 34, ...) — into one bucket,
+    emitting spurious candidates the verifier then pays for."""
+    from pdfspark.operators.dedup import NUM_PERM, lsh_bands
+
+    a = [1, 234] + [9] * (NUM_PERM - 2)
+    b = [12, 34] + [9] * (NUM_PERM - 2)
+    assert "".join(map(str, a[:2])) == "".join(map(str, b[:2]))
+    sigs = spark.createDataFrame(
+        [tuple([1] + a), tuple([2] + b)],
+        ["doc_id"] + [f"sig{i}" for i in range(NUM_PERM)])
+    rows = lsh_bands(sigs).collect()
+    k = {(r.doc_id, r.band): r.band_key for r in rows}
+    assert k[(1, 0)] != k[(2, 0)], \
+        "digit-aligned tuples must hash to different band keys"
+    # identical tuples still share every band key
+    sigs2 = spark.createDataFrame(
+        [tuple([1] + a), tuple([2] + a)],
+        ["doc_id"] + [f"sig{i}" for i in range(NUM_PERM)])
+    k2 = {(r.doc_id, r.band): r.band_key
+          for r in lsh_bands(sigs2).collect()}
+    assert all(k2[(1, bd)] == k2[(2, bd)]
+               for bd in {b_ for _, b_ in k2})
+
+
+def test_simhash_width_mismatch_fails_fast(spark, docs_all):
+    """Injecting default 32-bit signatures into the 64-bit tight
+    variant used to NULL every hamming (conv('') is NULL) and
+    silently drop all pairs; now it raises with a clear message."""
+    from pdfspark.operators.dedup import (
+        simhash_candidates, simhash_signatures)
+
+    docs = docs_all.limit(40)
+    sigs32 = simhash_signatures(docs)  # default 32-bit
+    bad = simhash_candidates(docs, bits=64, bands=4,
+                             max_hamming=3, precomputed_sigs=sigs32)
+    with pytest.raises(Exception, match="signature width"):
+        bad.collect()

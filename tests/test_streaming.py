@@ -349,3 +349,51 @@ def test_neardup_stream_cross_batch_keep_first(spark, tmp_path):
     assert {r.doc_id for r in spark.read.parquet(out).collect()} == kept
     # the band index only carries keepers
     assert {r.doc_id for r in spark.read.parquet(bands).collect()} == kept
+
+
+def test_dedup_streams_null_text_single_keeper(spark, tmp_path):
+    """md5(NULL text) is NULL and a plain anti-join on NULL never
+    matches — before the null-safe gate, EVERY null-bearing batch
+    appended another NULL-hash keeper. Contract: one NULL-hash
+    keeper ever (matching groupBy's one-NULL-group semantics), in
+    both the exact and the near-dup stream."""
+    import glob
+    import shutil
+
+    from pdfspark.streaming.dedup_stream import (
+        dedup_stream, neardup_stream)
+
+    def wave(docs_dir, name, rows):
+        spark.createDataFrame(rows, "doc_id long, text string").coalesce(
+            1).write.mode("overwrite").parquet(str(tmp_path / ("t_" + name)))
+        src = glob.glob(str(tmp_path / ("t_" + name) / "*.parquet"))[0]
+        shutil.copy(src, os.path.join(docs_dir, name + ".parquet"))
+
+    docs = str(tmp_path / "d1")
+    out = str(tmp_path / "k1")
+    os.makedirs(docs)
+    wave(docs, "0001", [(10, None), (11, None), (20, "real text here")])
+    dedup_stream(spark, docs, out, str(tmp_path / "c1"))
+    wave(docs, "0002", [(30, None), (40, "more real text")])
+    dedup_stream(spark, docs, out, str(tmp_path / "c1"))
+    rows = spark.read.parquet(out).collect()
+    nulls = [r for r in rows if r.content_hash is None]
+    assert len(nulls) == 1 and nulls[0].doc_id == 10
+    assert {r.doc_id for r in rows} == {10, 20, 40}
+
+    docs2 = str(tmp_path / "d2")
+    out2 = str(tmp_path / "k2")
+    os.makedirs(docs2)
+    long_a = ("risk management governance framework model data "
+              "system process control measure impact trust safety")
+    wave(docs2, "0001", [(10, None), (20, long_a)])
+    neardup_stream(spark, docs2, out2, str(tmp_path / "b2"),
+                   str(tmp_path / "c2"))
+    wave(docs2, "0002", [(30, None), (40, "different words entirely "
+                                          "alpha beta gamma delta")])
+    neardup_stream(spark, docs2, out2, str(tmp_path / "b2"),
+                   str(tmp_path / "c2"))
+    rows = spark.read.parquet(out2).collect()
+    nulls = [r for r in rows if r.content_hash is None]
+    assert len(nulls) == 1 and nulls[0].doc_id == 10
+    assert {r.doc_id for r in rows} == {10, 20, 40}

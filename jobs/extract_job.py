@@ -52,6 +52,40 @@ if REPO not in sys.path:  # not needed when shipped via --py-files
 from pyspark.sql import SparkSession  # noqa: E402
 
 
+def _prepare_output(spark, args, frame):
+    """The shared crash-recovery preamble every mode runs before its
+    write: republish metrics manifests a prior run left uncommitted
+    (reconcile_aux), reclaim unmanifested crash debris (gc_orphans),
+    and under --resume anti-join the input against doc_ids in
+    MANIFESTED snapshots only. One copy — the protocol's ordering is
+    load-bearing and must not drift between modes."""
+    from pdfspark.sinks.snapshot import (
+        gc_orphans,
+        read_committed,
+        reconcile_aux,
+    )
+    from pdfspark.operators.extract import resume_filter
+
+    if args.metrics:
+        # a prior run may have died between the data commit and the
+        # metrics commit — republish those metrics manifests first
+        reconcile_aux(args.output, [args.metrics])
+    # reclaim unmanifested crash debris (never visible to resume, but
+    # it would otherwise accumulate disk forever); the grace period
+    # protects any concurrent writer's in-flight commit
+    for tgt in [args.output] + ([args.metrics] if args.metrics else []):
+        if os.path.isdir(tgt):
+            gc_orphans(tgt)
+    if args.resume:
+        # only MANIFESTED snapshots count as committed: a crash that
+        # left partial data (staging or an unmanifested snapshot dir)
+        # re-emits those documents instead of losing them
+        committed = read_committed(spark, args.output, args.format)
+        if committed is not None:
+            frame = resume_filter(frame, committed)
+    return frame
+
+
 def _run_html_mode(spark, args) -> int:
     """--html: directory of .html pages -> main-content block rows
     (boilerplate strip + DOM heuristics), with the SAME snapshot
@@ -62,14 +96,8 @@ def _run_html_mode(spark, args) -> int:
     aggregations without any extra exchange."""
     from pyspark.sql import functions as F
 
-    from pdfspark.operators.extract import resume_filter
     from pdfspark.operators.html_main import main_content_blocks
-    from pdfspark.sinks.snapshot import (
-        commit_append,
-        gc_orphans,
-        read_committed,
-        reconcile_aux,
-    )
+    from pdfspark.sinks.snapshot import commit_append
 
     pages = (
         spark.read.format("binaryFile")
@@ -78,23 +106,45 @@ def _run_html_mode(spark, args) -> int:
         .select(
             F.regexp_extract(F.col("path"), r"([^/]+)\.html$", 1)
             .alias("doc_id"),
-            F.decode("content", "UTF-8").alias("html"),
+            # F4 quarantine, not a stage kill: bare decode() throws
+            # MALFORMED_CHARACTER_CODING under Spark 4 ANSI on the
+            # first latin-1 page — gate it so malformed bytes become
+            # NULL html, which the operator passes through as zero
+            # blocks and the sentinel below commits as '_empty'
+            F.when(
+                F.expr("is_valid_utf8(cast(content as string))"),
+                F.decode("content", "UTF-8"),
+            ).alias("html"),
             F.length("content").cast("long").alias("bytes_in"),
         )
     )
 
-    if args.metrics:
-        reconcile_aux(args.output, [args.metrics])
-    for tgt in [args.output] + ([args.metrics] if args.metrics else []):
-        if os.path.isdir(tgt):
-            gc_orphans(tgt)
-    if args.resume:
-        committed = read_committed(spark, args.output, args.format)
-        if committed is not None:
-            pages = resume_filter(pages, committed)
+    pages = _prepare_output(spark, args, pages)
 
     pages = pages.persist()
-    blocks = main_content_blocks(pages).persist()
+    blocks = main_content_blocks(pages)
+    # zero-block pages (empty body, script-only, undecodable bytes)
+    # MUST still commit a row: resume anti-joins committed doc_ids,
+    # so an uncommitted page would be re-scanned — and its lineage
+    # re-appended to --metrics — on every --resume run forever
+    sentinel = (
+        pages.join(blocks.select("doc_id").distinct(),
+                   "doc_id", "left_anti")
+        .select(
+            "doc_id",
+            F.lit(-1).alias("block_id"),
+            F.lit("_empty").alias("tag"),
+            F.lit(0).alias("n_words"),
+            F.lit(0).alias("n_link_words"),
+            F.lit(0.0).alias("link_density"),
+            F.lit(False).alias("dom_boiler"),
+            F.lit(False).alias("is_content"),
+            F.lit("").alias("text"),
+        )
+    )
+    blocks = blocks.unionByName(
+        sentinel.select(*[f.name for f in blocks.schema.fields])
+    ).persist()
     n_blocks = blocks.count()
     aux = None
     if args.metrics:
@@ -113,8 +163,18 @@ def _run_html_mode(spark, args) -> int:
             .withColumn("wall_ms", F.lit(None).cast("double"))
         )
         aux = [(metrics, args.metrics)]
-    commit_append(blocks, args.output, fmt=args.format, aux=aux,
-                  protocol=args.commit_protocol)
+    if args.buckets > 0:
+        # same bucket transform as the span path — the flag must not
+        # silently no-op in one mode
+        blocks_out = blocks.withColumn(
+            "bucket", F.pmod(F.xxhash64("doc_id"), F.lit(args.buckets))
+        )
+        commit_append(blocks_out, args.output, fmt=args.format,
+                      partition_by="bucket", aux=aux,
+                      protocol=args.commit_protocol)
+    else:
+        commit_append(blocks, args.output, fmt=args.format, aux=aux,
+                      protocol=args.commit_protocol)
     pages.unpersist()
     blocks.unpersist()
     print(f"extract_job: wrote {n_blocks} blocks to {args.output}")
@@ -186,7 +246,6 @@ def main(argv=None) -> int:
         extract_documents,
         extract_documents_split,
         lineage_table,
-        resume_filter,
     )
 
     if sum(x is not None for x in (args.input, args.payloads,
@@ -232,31 +291,9 @@ def main(argv=None) -> int:
         hf = header_footer(spark.read.parquet(args.geom)) \
             if args.geom else None
 
-    from pdfspark.sinks.snapshot import (
-        commit_append,
-        gc_orphans,
-        read_committed,
-        reconcile_aux,
-    )
+    from pdfspark.sinks.snapshot import commit_append
 
-    if args.metrics:
-        # a prior run may have died between the data commit and the
-        # metrics commit — republish those metrics manifests first
-        reconcile_aux(args.output, [args.metrics])
-    # reclaim unmanifested crash debris (never visible to resume, but
-    # it would otherwise accumulate disk forever); the grace period
-    # protects any concurrent writer's in-flight commit
-    for tgt in [args.output] + ([args.metrics] if args.metrics else []):
-        if os.path.isdir(tgt):
-            gc_orphans(tgt)
-
-    if args.resume:
-        # only MANIFESTED snapshots count as committed: a crash that
-        # left partial data (staging or an unmanifested snapshot dir)
-        # re-emits those documents instead of losing them
-        committed = read_committed(spark, args.output, args.format)
-        if committed is not None:
-            docs = resume_filter(docs, committed)
+    docs = _prepare_output(spark, args, docs)
 
     # probe-routed skew splitter (same shape as extract_spans_auto):
     # the plain salted fold unless a doc crosses --skew-threshold

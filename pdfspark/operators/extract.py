@@ -303,7 +303,10 @@ def _toc_lines(big: DataFrame) -> DataFrame:
         .agg(
             F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "s"))),
-                lambda x: x["s"]["text"],
+                # NULL-text TOC spans coerce to '' exactly like the
+                # sequential fold (fold.py `s['text'] or ''`) — a bare
+                # None would crash clean_toc_line's re.sub in replay
+                lambda x: F.coalesce(x["s"]["text"], F.lit("")),
             ).alias("toc_lines")
         )
     )
@@ -325,8 +328,15 @@ def _split_inputs(documents_in, header_footer_df, skew_threshold):
     Persisting the flagged frame instead would pin the whole fat
     table in executor memory — wrong trade at that scale."""
     df = _with_hf(documents_in, header_footer_df)
-    is_big = F.size("spans") > F.lit(skew_threshold)
-    is_bad = F.exists("spans", lambda s: s["kind"] == "DecodeError")
+    # size(NULL) is NULL under ANSI: without the coalesce a NULL-spans
+    # doc falls out of ALL THREE branches and silently vanishes from
+    # the split path, while the sequential fold emits status='empty'
+    # for it — coalesce to 0 routes it to the small branch, whose
+    # fold already handles spans-less rows
+    is_big = F.coalesce(F.size("spans"), F.lit(0)) > F.lit(skew_threshold)
+    is_bad = F.coalesce(
+        F.exists("spans", lambda s: s["kind"] == "DecodeError"),
+        F.lit(False))
     return (
         df.filter(~is_big),
         df.filter(is_big & ~is_bad),

@@ -538,3 +538,39 @@ def test_fold_arrow_twin_matches_pandas(spark, fixture_dir):
             X.EXTRACT_SPANS_ONLY).collect())
     assert pd_rows == ar_rows
     assert pd_rows
+
+
+def test_split_path_null_spans_and_null_toc_text_parity(spark):
+    """Two ANSI NULL edges the skew path used to diverge on: a doc
+    with spans=NULL (size(NULL) is NULL -> fell out of all three
+    _split_inputs branches and VANISHED, vs. the sequential fold's
+    status='empty' row) and a skew-routed doc with a NULL-text TOC
+    span (replay's clean_toc_line crashed on re.sub(None) while the
+    fold coerces `text or ''`). Both must now match the sequential
+    output doc-for-doc."""
+    from pdfspark.operators.extract import (
+        extract_documents,
+        extract_documents_split,
+    )
+
+    span_t = ("array<struct<kind:string,text:string,"
+              "media_ref:string,offset:int>>")
+    big = ([("TOC", None, None, 0)]
+           + [("TOC", "1. Intro ... 1", None, 1)]
+           + [("NarrativeText", f"body line {i}", None, i + 2)
+              for i in range(30)])
+    docs = spark.createDataFrame(
+        [("nullspans", None), ("tocnull", big),
+         ("plain", [("NarrativeText", "hello", None, 0)])],
+        f"doc_id string, spans {span_t}")
+
+    seq = {r.doc_id: (r.status, [t.asDict() for t in r.spans])
+           for r in extract_documents(docs, None).collect()}
+    spl = {r.doc_id: (r.status, [t.asDict() for t in r.spans])
+           for r in extract_documents_split(
+               docs, None, skew_threshold=10,
+               spans_per_chunk=8).collect()}
+    assert set(spl) == set(seq) == {"nullspans", "tocnull", "plain"}
+    for d in seq:
+        assert spl[d] == seq[d], d
+    assert seq["nullspans"][0] == "empty"

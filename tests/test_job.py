@@ -461,3 +461,52 @@ def test_job_html_mode_blocks_resume_and_metrics(spark, tmp_path):
     after = _read_out(spark, out).collect()
     assert len(after) == n_blocks + 1
     assert sum(1 for r in after if r.doc_id == "page-c") == 1
+
+
+def test_job_html_mode_quarantine_and_zero_block_resume(spark, tmp_path):
+    """F4 semantics for --html: a non-UTF-8 page must not kill the
+    stage (Spark 4 ANSI decode would) and a zero-block page must
+    still COMMIT a sentinel row — otherwise --resume re-admits it
+    forever and its lineage double-counts in --metrics on every
+    rerun. --buckets must partition this mode too."""
+    import os as _os
+
+    hdir = str(tmp_path / "html")
+    _os.makedirs(hdir)
+    with open(_os.path.join(hdir, "good.html"), "w") as fh:
+        fh.write("<p>" + " ".join(f"w{i}" for i in range(25)) + "</p>")
+    # latin-1 bytes: invalid UTF-8 -> NULL html -> zero blocks
+    with open(_os.path.join(hdir, "latin1.html"), "wb") as fh:
+        fh.write(b"<p>caf\xe9 r\xe9sum\xe9</p>")
+    # valid UTF-8 but script-only body: segments to zero blocks
+    with open(_os.path.join(hdir, "empty.html"), "w") as fh:
+        fh.write("<script>var x = 1;</script>")
+
+    out = str(tmp_path / "q_out")
+    met = str(tmp_path / "q_met")
+    rc = main(["--html", hdir, "--output", out, "--metrics", met,
+               "--buckets", "4"])
+    assert rc == 0
+
+    rows = _read_out(spark, out).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == {"good", "latin1", "empty"}
+    # the degenerate pages committed exactly one sentinel row each
+    for d in ("latin1", "empty"):
+        (s,) = by_doc[d]
+        assert (s.block_id, s.tag, s.n_words, s.is_content) \
+            == (-1, "_empty", 0, False)
+    assert all(r.bucket is not None for r in rows)
+
+    m1_docs = sum(r.doc_count for r in _read_out(spark, met).collect())
+    assert m1_docs == 3
+
+    # resume with nothing new: no re-scan, no metrics double count
+    rc = main(["--html", hdir, "--output", out, "--metrics", met,
+               "--buckets", "4", "--resume"])
+    assert rc == 0
+    assert len(_read_out(spark, out).collect()) == len(rows)
+    m2_docs = sum(r.doc_count for r in _read_out(spark, met).collect())
+    assert m2_docs == 3, "zero-block pages must not re-admit on resume"

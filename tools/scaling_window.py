@@ -54,7 +54,9 @@ def _score(rep: dict) -> tuple:
 
 def main() -> int:
     rnd = sys.argv[1] if len(sys.argv) > 1 else "5"
-    attempts = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    # at least one attempt: 0/negative would leave best=None and
+    # either crash _score or clobber the record file with 'null'
+    attempts = max(1, int(sys.argv[2])) if len(sys.argv) > 2 else 4
     idle_max = float(os.environ.get("PDFSPARK_IDLE_MAX", "1.5"))
 
     import bench
@@ -92,6 +94,14 @@ def main() -> int:
 
     out = os.path.join(REPO, "fixtures",
                        f"scaling_r{rnd}_clean_window.json")
+    # the filename MEANS control-clean: if every attempt was load-
+    # contaminated (control < 0.95) and there is no prior record,
+    # refuse to publish a dirty window as clean evidence — print it
+    # for the log and exit nonzero so the caller retries later
+    if _score(best)[0] == 0 and not os.path.exists(out):
+        print("no control-clean window found; NOT writing record")
+        print(json.dumps(best))
+        return 1
     # never regress a previously recorded window: keep whichever
     # ranks higher under _score
     if os.path.exists(out):

@@ -149,6 +149,7 @@ def decode_payloads_geom(bin_df: DataFrame, decoder=None) -> DataFrame:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
+                stem = os.path.splitext(os.path.basename(r.path))[0]
                 try:
                     body = decode(bytes(r.content))
                 except Exception:
@@ -156,7 +157,11 @@ def decode_payloads_geom(bin_df: DataFrame, decoder=None) -> DataFrame:
                 for s in body["spans"]:
                     pid = s.get("page_id")
                     rows.append(dict(
-                        doc_id=body["doc_id"],
+                        # SAME doc_id rule as decode_payloads: a PDF
+                        # without an Info /Title falls back to the
+                        # filename stem — a None here could never
+                        # join the document rows it belongs to
+                        doc_id=body["doc_id"] or stem,
                         page_id=pid,
                         page_number=None if pid is None
                         else max(0, pid - 1),

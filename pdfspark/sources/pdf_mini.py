@@ -90,6 +90,7 @@ standard escapes.
 from __future__ import annotations
 
 import base64
+import bisect
 import re
 import zlib
 
@@ -105,7 +106,13 @@ _TITLE_RE = re.compile(rb"/Title\s*\(((?:[^()\\]|\\.)*)\)")
 # hex-string /Title — the form writers use for UTF-16BE titles
 # (<FEFF...>); (?!<) keeps dict-open `<<` from matching
 _TITLE_HEX_RE = re.compile(rb"/Title\s*<(?!<)([0-9A-Fa-f\s]*)>")
-_BT_RE = re.compile(rb"BT(.*?)ET", re.DOTALL)
+# token-boundary BT/ET (the q/Q idiom): 'ET' inside a longer token
+# (a font name like /NETFont in a Tf) must not terminate the block.
+# String contents are excluded by matching on the string-masked scan
+# copy, not here — '(NET income) Tj' was the round-5 truncation bug.
+_BT_RE = re.compile(
+    rb"(?<![A-Za-z])BT(?![A-Za-z])(.*?)(?<![A-Za-z])ET(?![A-Za-z])",
+    re.DOTALL)
 # show-text operators: Tj, the move-and-show pair ' and " (older
 # word-processor writers emit one (line) ' per line instead of
 # Td/Tj), and TJ arrays. The positioning side effects of ' / " (T*,
@@ -127,7 +134,9 @@ _STREAM_START_RE = re.compile(rb"stream(\r\n|\n)")
 # (?![0-9]) pins the full number first — without it, backtracking lets
 # a multi-digit indirect length like "/Length 50 0 R" match a truncated
 # "5" ("0 0 R" fails the lookahead's \s+, so the prefix sneaks through)
-_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+0\s+R)")
+# the reference guard must cover ANY generation number ("7 1 R"),
+# not just gen 0 — same pattern as _FIRST_OFF_RE below
+_LENGTH_RE = re.compile(rb"/Length\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
 _FILTER_RE = re.compile(rb"/Filter\s*(\[[^\]]*\]|/\w+)")
 _STARTXREF_RE = re.compile(rb"startxref\s+(\d+)")
 _PREV_RE = re.compile(rb"/Prev\s+(\d+)(?![0-9])")
@@ -144,9 +153,17 @@ _ROOT_RE = re.compile(rb"/Root\s+(\d+)\s+\d+\s+R")
 _SIZE_VAL_RE = re.compile(rb"/Size\s+(\d+)")
 _TRAILER_DICT_RE = re.compile(rb"trailer\s*<<(.*?)>>", re.DOTALL)
 _ENCRYPT_RE = re.compile(rb"/Encrypt\s*(\d+\s+\d+\s+R|<<)")
+_RES_REF_RE = re.compile(rb"/Resources\s+(\d+)\s+\d+\s+R")
 _XOBJ_DICT_RE = re.compile(rb"/XObject\s*<<(.*?)>>", re.DOTALL)
-_XOBJ_NAME_RE = re.compile(rb"/(\w+)\s+(\d+)\s+0\s+R")
-_DO_RE = re.compile(rb"/(\w+)\s+Do\b")
+# PDF names are not \w-limited: real writers emit /Image-1, /F#23oo
+# (§7.3.5 regular characters incl. '#' escapes). The name class below
+# is shared by the resource-dict parse, the paint scan and Tf so a
+# hyphenated name binds on both sides instead of silently skipping
+# the paint (the documented unresolvable-XObject quarantine relies on
+# the Do matching in the first place).
+_NAME_CLS = rb"[^\s/<>\[\]()%{}]+"
+_XOBJ_NAME_RE = re.compile(rb"/(" + _NAME_CLS + rb")\s+(\d+)\s+0\s+R")
+_DO_RE = re.compile(rb"/(" + _NAME_CLS + rb")\s+Do(?![A-Za-z])")
 # inline image segment: BI <dict entries> ID <one ws byte><binary> EI.
 # The EI delimiter is the standard whitespace-EI-token-boundary
 # heuristic (what pdfminer's get_inline_data implements): raw sample
@@ -157,7 +174,7 @@ _INLINE_RE = re.compile(
 )
 _SUBTYPE_IMG_RE = re.compile(rb"/Subtype\s*/Image\b")
 _FONT_DICT_RE = re.compile(rb"/Font\s*<<(.*?)>>", re.DOTALL)
-_TF_RE = re.compile(rb"/(\w+)\s+([\d.+-]+)\s+Tf")
+_TF_RE = re.compile(rb"/(" + _NAME_CLS + rb")\s+([\d.+-]+)\s+Tf")
 # text-state operators (PDF 32000-1 §9.4.2) for the geometry slice:
 # Td/TD line moves, Tm matrix set, T* next-line, TL leading. Scanned
 # over a string-masked copy of the stream so operand-shaped bytes
@@ -254,7 +271,9 @@ def _unescape_bytes(raw: bytes) -> bytes:
     i, n = 0, len(raw)
     while i < n:
         c = raw[i:i + 1]
-        if c == b"\\" and i + 1 < n:
+        if c == b"\\" and i + 1 >= n:
+            break  # trailing lone backslash: disregarded (§7.3.4.2)
+        if c == b"\\":
             nxt = raw[i + 1:i + 2]
             if nxt in b"\r\n":
                 # line continuation (PDF 7.3.4.2): the reverse solidus
@@ -1905,10 +1924,7 @@ def _title_of(body: bytes) -> str | None:
         return _text_string(_unescape_bytes(m.group(1)))
     m = _TITLE_HEX_RE.search(body)
     if m is not None:
-        h = re.sub(rb"\s+", b"", m.group(1))
-        if len(h) % 2:
-            h += b"0"
-        return _text_string(bytes.fromhex(h.decode("ascii")))
+        return _text_string(_hex_bytes(m.group(1)))
     return None
 
 
@@ -2047,33 +2063,68 @@ def decode_tiny_pdf(content: bytes) -> dict:
                       for m in _XOBJ_NAME_RE.finditer(rm.group(1))})
         return layer
 
-    page_list: list[tuple[int, dict, dict]] = []
+    def _res_text(body: bytes) -> bytes:
+        # '/Resources 9 0 R' (the common real-writer shape) holds
+        # the /Font and /XObject dicts in a SEPARATE object — append
+        # its body so the dict regexes see them; without this the
+        # font map comes up empty and CID shows silently decode as
+        # latin-1 garbage
+        rm = _RES_REF_RE.search(body)
+        if rm is None:
+            return body
+        ref = objs.get(int(rm.group(1)))
+        if ref is None:
+            raise ValueError("missing /Resources object")
+        return body + b"\n" + ref
 
-    def _collect_pages(kid_ids, seen, inh_xobj, inh_font) -> None:
+    def _inh_rot_mb(body: bytes, inh_rot, inh_mb):
+        # /Rotate and /MediaBox are inheritable page attributes
+        # (§7.7.3.4): the NEAREST ancestor value applies, so each
+        # tree node overrides what it inherited — checking only the
+        # leaf and the root (the pre-round-5 shape) silently ignored
+        # a rotation on an intermediate /Pages node
+        rm = _ROTATE_RE.search(body)
+        mm = _MEDIABOX_RE.search(body)
+        return (
+            int(rm.group(1)) if rm is not None else inh_rot,
+            tuple(float(mm.group(i)) for i in range(1, 5))
+            if mm is not None else inh_mb,
+        )
+
+    page_list: list[tuple[int, dict, dict, int | None, tuple | None]] \
+        = []
+
+    def _collect_pages(kid_ids, seen, inh_xobj, inh_font,
+                       inh_rot, inh_mb) -> None:
         for kid in kid_ids:
             if kid in seen:
                 raise ValueError("page tree cycle")
             body = objs.get(kid)
             if body is None:
                 raise ValueError(f"missing page-tree object {kid}")
-            xl = _res_layer(_XOBJ_DICT_RE, body, inh_xobj)
-            fl = _res_layer(_FONT_DICT_RE, body, inh_font)
+            rbody = _res_text(body)
+            xl = _res_layer(_XOBJ_DICT_RE, rbody, inh_xobj)
+            fl = _res_layer(_FONT_DICT_RE, rbody, inh_font)
+            rot, mbox = _inh_rot_mb(body, inh_rot, inh_mb)
             km = _KIDS_RE.search(body)
             if km is not None and _PAGES_TYPE_RE.search(body):
                 _collect_pages(
                     [int(m.group(1))
                      for m in _REF_RE.finditer(km.group(1))],
                     seen | {kid},
-                    xl, fl,
+                    xl, fl, rot, mbox,
                 )
             else:
-                page_list.append((kid, xl, fl))
+                page_list.append((kid, xl, fl, rot, mbox))
 
+    root_res = _res_text(pages_obj)
+    root_rot, root_mb = _inh_rot_mb(pages_obj, None, None)
     _collect_pages(
         [int(m.group(1)) for m in _REF_RE.finditer(kids_m.group(1))],
         frozenset(),
-        _res_layer(_XOBJ_DICT_RE, pages_obj, {}),
-        _res_layer(_FONT_DICT_RE, pages_obj, {}),
+        _res_layer(_XOBJ_DICT_RE, root_res, {}),
+        _res_layer(_FONT_DICT_RE, root_res, {}),
+        root_rot, root_mb,
     )
     if not page_list:
         raise ValueError("empty /Kids")
@@ -2129,7 +2180,8 @@ def decode_tiny_pdf(content: bytes) -> dict:
         emit("TOC", t)
 
     cmap_cache: dict = {}
-    for page_no, (pid, xobjs, fonts) in enumerate(page_list, start=1):
+    for page_no, (pid, xobjs, fonts, inh_rot, inh_mb) in enumerate(
+            page_list, start=1):
         page_ctx[0] = page_no
         body = objs.get(pid)
         if body is None:
@@ -2144,8 +2196,10 @@ def decode_tiny_pdf(content: bytes) -> dict:
         else:
             cm = _CONTENTS_RE.search(body)
             cnums = [int(cm.group(1))] if cm is not None else []
-        if not cnums:
-            raise ValueError("page without /Contents")
+        # /Contents is OPTIONAL (§7.7.3.3): a page without it is a
+        # legal BLANK page — pdfminer iterates it as empty, so emit
+        # its PageStart and nothing else rather than quarantining
+        # the whole document over an intentionally empty page
         parts = []
         for cnum in cnums:
             cbody = objs.get(cnum)
@@ -2157,9 +2211,9 @@ def decode_tiny_pdf(content: bytes) -> dict:
         # object, else the page-tree root (inheritable, §7.7.3.4),
         # else US Letter — downstream margin operators key header/
         # footer bands off this span's y1 (synth._hf_local shape)
-        mb = _MEDIABOX_RE.search(body) or _MEDIABOX_RE.search(pages_obj)
-        box = (tuple(float(mb.group(i)) for i in range(1, 5))
-               if mb is not None else (0.0, 0.0, 612.0, 792.0))
+        # inherited through the page-tree WALK (nearest ancestor,
+        # §7.7.3.4) — the leaf's own value already overrode it there
+        box = inh_mb if inh_mb is not None else (0.0, 0.0, 612.0, 792.0)
         # /Rotate (inheritable, §7.7.3.4): the page's base CTM is
         # exactly pdfminer's process_page matrix — 90/180/270 rotate
         # the user space into the displayed orientation and every
@@ -2171,8 +2225,8 @@ def decode_tiny_pdf(content: bytes) -> dict:
         # For the overwhelmingly common unrotated zero-origin page the
         # matrix is the identity and every bbox is byte-identical to
         # the pre-/Rotate decode.
-        rm = _ROTATE_RE.search(body) or _ROTATE_RE.search(pages_obj)
-        rot = (int(rm.group(1)) % 360 + 360) % 360 if rm else 0
+        rot = ((inh_rot % 360 + 360) % 360
+               if inh_rot is not None else 0)
         bx0, by0, bx1, by1 = box
         if rot == 90:
             base = (0.0, -1.0, 1.0, 0.0, -by0, bx1)
@@ -2729,13 +2783,14 @@ def _walk_content(objs, cdata, xobjs, emit, active,
                                        sscan)]
     gs_events.sort(key=lambda e: e[0])
 
+    # positions are sorted: every at-position lookup is a bisect, not
+    # a rescan from stream start — _font_at runs once per SHOW, so a
+    # linear scan made the walk O(shows x events) on big streams
+    tf_pos = [p for p, _nm, _sz in tf_events]
+
     def _font_at(pos: int):
-        name = None
-        for p, nm, _sz in tf_events:
-            if p >= pos:
-                break
-            name = nm
-        return name
+        i = bisect.bisect_left(tf_pos, pos)
+        return tf_events[i - 1][1] if i else None
 
     tc_events = [(t.start(), float(t.group(1)))
                  for t in _TC_RE.finditer(sscan)]
@@ -2746,47 +2801,53 @@ def _walk_content(objs, cdata, xobjs, emit, active,
     ts_events = [(t.start(), float(t.group(1)))
                  for t in _TS_RE.finditer(sscan)]
 
-    def _last_before(events, pos: int, default: float) -> float:
-        val = default
-        for p, v in events:
-            if p >= pos:
-                break
-            val = v
-        return val
+    def _stepper(events, default: float):
+        ps = [p for p, _v in events]
+
+        def at(pos: int) -> float:
+            i = bisect.bisect_left(ps, pos)
+            return events[i - 1][1] if i else default
+
+        return at
+
+    tl_at = _stepper(tl_events, 0.0)
+    tc_at = _stepper(tc_events, 0.0)
+    tw_at = _stepper(tw_events, 0.0)
+    tz_at = _stepper(tz_events, 100.0)
+    ts_at = _stepper(ts_events, 0.0)
 
     def _state_at(pos: int):
-        size = 12.0
-        for p, _nm, sz in tf_events:
-            if p >= pos:
-                break
-            size = sz
-        return (size,
-                _last_before(tl_events, pos, 0.0),
-                _last_before(tc_events, pos, 0.0),
-                _last_before(tw_events, pos, 0.0),
-                _last_before(tz_events, pos, 100.0),
-                _last_before(ts_events, pos, 0.0))
+        i = bisect.bisect_left(tf_pos, pos)
+        size = tf_events[i - 1][2] if i else 12.0
+        return (size, tl_at(pos), tc_at(pos), tw_at(pos),
+                tz_at(pos), ts_at(pos))
+
+    # the q/Q/cm replay carries a STACK, so it cannot bisect — but
+    # paint sites arrive in position order (the event loop below is
+    # sorted), so the replay is INCREMENTAL: each call advances the
+    # cursor from the previous paint instead of rescanning from 0
+    _ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
+    _gs = {"i": 0, "ctm": _ident, "any": False}
+    _gs_stack: list[tuple] = []
 
     def _cm_box(pos: int):
-        ident = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
-        ctm = ident
-        stack: list[tuple] = []
-        any_cm = False
-        for p, op, mat in gs_events:
-            if p >= pos:
-                break
+        i, ctm = _gs["i"], _gs["ctm"]
+        while i < len(gs_events) and gs_events[i][0] < pos:
+            _p, op, mat = gs_events[i]
             if op == "q":
-                stack.append(ctm)
+                _gs_stack.append(ctm)
             elif op == "Q":
-                ctm = stack.pop() if stack else ident
+                ctm = _gs_stack.pop() if _gs_stack else _ident
             else:
-                any_cm = True
+                _gs["any"] = True
                 a1, b1, c1, d1, e1, f1 = mat
                 a2, b2, c2, d2, e2, f2 = ctm
                 ctm = (a1 * a2 + b1 * c2, a1 * b2 + b1 * d2,
                        c1 * a2 + d1 * c2, c1 * b2 + d1 * d2,
                        e1 * a2 + f1 * c2 + e2, e1 * b2 + f1 * d2 + f2)
-        if not any_cm and ctm == ident:
+            i += 1
+        _gs["i"], _gs["ctm"] = i, ctm
+        if not _gs["any"] and ctm == _ident:
             return None
         a2, b2, c2, d2, e2, f2 = ctm
         xs = [e2, e2 + a2, e2 + c2, e2 + a2 + c2]
@@ -2800,14 +2861,18 @@ def _walk_content(objs, cdata, xobjs, emit, active,
             return _decode_simple(raw_bytes, cmap["enc_map"])
         return _decode_codes(raw_bytes, cmap)
 
-    bts = [(m.start(), m) for m in _BT_RE.finditer(cdata)]
+    # BT..ET matched on the STRING-MASKED copy: show operands
+    # containing operator spellings ('(NET income)', '(x ET y)')
+    # must not terminate the text block — offsets line up with the
+    # real stream, whose bytes are sliced per block below
+    bts = [(m.start(), m) for m in _BT_RE.finditer(sscan)]
     spans_bt = [(m.start(), m.end()) for _p, m in bts]
     events: list[tuple[int, str, object]] = [
         (p, "bt", m) for p, m in bts
     ]
     for s, _e in inline:
         events.append((s, "inline", s))
-    for dm in _DO_RE.finditer(cdata):
+    for dm in _DO_RE.finditer(sscan):
         if any(s <= dm.start() < e for s, e in spans_bt):
             continue
         events.append((dm.start(), "do", dm))
@@ -2831,6 +2896,15 @@ def _walk_content(objs, cdata, xobjs, emit, active,
             elif _SUBTYPE_FORM_RE.search(head):
                 if onum in active:
                     raise ValueError("form XObject cycle")
+                # forms carry indirect '/Resources N 0 R' too —
+                # append the referenced body so the dict scans below
+                # see the form's own fonts/xobjects
+                rrm = _RES_REF_RE.search(head)
+                if rrm is not None:
+                    rref = objs.get(int(rrm.group(1)))
+                    if rref is None:
+                        raise ValueError("missing /Resources object")
+                    head = head + b"\n" + rref
                 fx = dict(xobjs)
                 fm = _XOBJ_DICT_RE.search(head)
                 if fm is not None:
@@ -2849,8 +2923,10 @@ def _walk_content(objs, cdata, xobjs, emit, active,
             else:
                 raise ValueError("unsupported XObject subtype paint")
             continue
-        body = m.group(1)
+        # the match ran on sscan; take the REAL bytes (string
+        # contents intact) from the same offsets
         base = m.start(1)
+        body = cdata[base:m.end(1)]
         sbody = sscan[base:base + len(body)]
         # text-state machine (§9.4.2): BT resets Tm = Tlm = identity;
         # Td premultiplies a translation onto Tlm; TD also sets

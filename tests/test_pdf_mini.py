@@ -1492,3 +1492,81 @@ def test_type3_font_quarantines():
                                    b"/FontMatrix [0.01 0 0 0.01]"))
     with pytest.raises(ValueError, match="Type3 font without /Encoding"):
         decode_tiny_pdf(p3.replace(b"/Encoding", b"/Encazing"))
+
+
+def test_operator_spellings_inside_shows_do_not_truncate_blocks():
+    """'ET' bytes inside a show string ('(NET income) Tj') used to
+    terminate the BT..ET match on the raw stream and silently drop
+    every following TextBox on the page; BT/ET now match on the
+    string-masked scan with token boundaries (a /NETFont Tf name
+    must not end the block either)."""
+    for lines in (["NET income", "second line"], ["BUDGET report"],
+                  ["x ET y", "BT fake"], ["assets BETWEEN budgets"]):
+        out = decode_tiny_pdf(build_tiny_pdf("d", [lines]))
+        got = [s["text"] for s in out["spans"] if s["kind"] == "TextBox"]
+        assert got == lines, (lines, got)
+    # a font NAME carrying 'ET' must not terminate the block
+    p = build_tiny_pdf("d", [["alpha", "beta"]]).replace(
+        b"/F1 12 Tf", b"/NETF1 12 Tf").replace(
+        b"/F1 ", b"/NETF1 ")
+    got = [s["text"] for s in decode_tiny_pdf(p)["spans"]
+           if s["kind"] == "TextBox"]
+    assert got == ["alpha", "beta"]
+
+
+def test_indirect_resources_and_intermediate_inheritance():
+    """'/Resources 9 0 R' (the common real-writer shape) must resolve
+    through the reference — before, the font map came up empty and
+    CID shows silently decoded as latin-1 garbage. /Rotate (and
+    /MediaBox) inherit from INTERMEDIATE /Pages nodes per §7.7.3.4,
+    not only leaf-or-root."""
+    p = build_tiny_pdf("d", [["hello cid text"]], cid=True)
+    m = re.search(
+        rb"/Resources (<< /Font << /F1 \d+ 0 R >> >>)", p)
+    assert m is not None
+    p2 = p.replace(b"/Resources " + m.group(1), b"/Resources 90 0 R")
+    p2 = p2.replace(b"startxref",
+                    b"90 0 obj\n" + m.group(1) + b"\nendobj\nstartxref")
+    got = [s["text"] for s in decode_tiny_pdf(p2)["spans"]
+           if s["kind"] == "TextBox"]
+    assert got == ["hello cid text"]
+
+    from pdfspark.sources.pdf_mini import build_nested_pdf
+
+    pn = build_nested_pdf("d", [["rotated nested"]])
+    mm = re.search(rb"<< /Type /Pages ([^>]*?)/Parent", pn)
+    assert mm is not None
+    pn2 = pn.replace(
+        mm.group(0),
+        b"<< /Type /Pages /Rotate 90 " + mm.group(1) + b"/Parent")
+    ps = [s for s in decode_tiny_pdf(pn2)["spans"]
+          if s["kind"] == "PageStart"][0]
+    assert (ps["x1"], ps["y1"]) == (792.0, 612.0)
+
+
+def test_codec_small_conformance_edges():
+    """Grab-bag of spec edges: non-\\w XObject names bind on both
+    sides of the paint; a page with NO /Contents is a legal blank
+    page (PageStart only), not a whole-document quarantine; a
+    trailing lone backslash in a literal string is disregarded
+    (§7.3.4.2); '/Length N g R' with a nonzero generation is still
+    an indirect reference, not a direct length."""
+    p = build_tiny_pdf("d", [["img page"]], images=[1]).replace(
+        b"/Im1", b"/Im-1")
+    out = decode_tiny_pdf(p)
+    assert any(s["kind"] == "Image" and "Im-1" in s["media_ref"]
+               for s in out["spans"])
+
+    # blank page: strip the /Contents entry from page 2 of 2
+    p = build_tiny_pdf("d", [["page one text"], ["gone"]])
+    m = re.findall(rb" /Contents \d+ 0 R", p)
+    p2 = p.replace(m[1], b"", 1)
+    out = decode_tiny_pdf(p2)
+    assert [s["text"] for s in out["spans"]
+            if s["kind"] == "TextBox"] == ["page one text"]
+    assert sum(1 for s in out["spans"] if s["kind"] == "PageStart") == 2
+
+    from pdfspark.sources.pdf_mini import _LENGTH_RE, _unescape_bytes
+    assert _unescape_bytes(b"abc\\") == b"abc"
+    assert _LENGTH_RE.search(b"/Length 7 1 R") is None
+    assert _LENGTH_RE.search(b"/Length 7 >>").group(1) == b"7"

@@ -78,16 +78,23 @@ def cosine_topk_hof(
 ) -> DataFrame:
     """Interpreted HOF twin of cosine_topk — the 1:1 transliteration
     of the DuckDB oracle SQL; kept for parity tests only (the
-    production kernel below is pinned bit-equal to it)."""
+    production kernel below is pinned bit-equal to it).
+
+    Zero-norm embeddings (a failed embedder's all-zero vector) are
+    EXCLUDED on both sides — cosine against them is 0/0, which Spark
+    ANSI raises on, DuckDB turns into NaN (ranked first under DESC!)
+    and NumPy sorts last: three different answers. Undefined
+    similarity is a quarantine, not a ranking (the F4 idiom); the
+    production kernel applies the same mask."""
     e = emb.select(
         F.col("vec_id"), _as_double(F.col("embedding")).alias("v"),
         _norm(_as_double(F.col("embedding"))).alias("nv"),
-    )
+    ).filter(F.col("nv") > 0)
     q = queries.select(
         F.col("vec_id").alias("query_id"),
         _as_double(F.col("embedding")).alias("qv"),
         _norm(_as_double(F.col("embedding"))).alias("nq"),
-    )
+    ).filter(F.col("nq") > 0)
     sim = F.round(_dot(F.col("qv"), F.col("v")) / (F.col("nq") * F.col("nv")), 4)
     scored = (
         e.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
@@ -128,6 +135,11 @@ def _topk_fold(emb: DataFrame, queries: DataFrame, k: int,
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     qm = np.array([r.embedding for r in q_rows], dtype=np.float64)
     qn = np.sqrt(_fold_rows(qm * qm))
+    if metric == "cosine":
+        # zero-norm queries have undefined cosine — excluded, the
+        # same mask as the HOF twin (see cosine_topk_hof docstring)
+        qmask = qn > 0
+        q_ids, qm, qn = q_ids[qmask], qm[qmask], qn[qmask]
 
     out_schema = T.StructType(
         [
@@ -145,6 +157,11 @@ def _topk_fold(emb: DataFrame, queries: DataFrame, k: int,
             m = _mat(pdf["embedding"])
             if metric == "cosine":
                 nv = np.sqrt(_fold_rows(m * m))
+                vmask = nv > 0  # zero-norm candidates excluded
+                if not vmask.all():
+                    ids, m, nv = ids[vmask], m[vmask], nv[vmask]
+                if not len(ids):
+                    continue
             rows = []
             for j, qid in enumerate(q_ids):
                 if metric == "cosine":
@@ -158,8 +175,17 @@ def _topk_fold(emb: DataFrame, queries: DataFrame, k: int,
                 cids, cs = ids[mask], col[mask]
                 if not len(cids):
                     continue
-                # partial top-k per batch (order by score, vec_id)
-                order = np.lexsort((cids, cs if asc else -cs))[:k]
+                # partial top-k per batch (order by score, vec_id).
+                # NaN scores (zero-norm embeddings) must rank where
+                # the FINAL Spark window ranks them — Spark treats
+                # NaN as the LARGEST double (first under desc, last
+                # under asc) while np.lexsort always sorts NaN last,
+                # which would silently drop rows the window ranks #1
+                key = cs if asc else -cs
+                if np.isnan(cs).any():
+                    key = np.where(np.isnan(cs),
+                                   np.inf if asc else -np.inf, key)
+                order = np.lexsort((cids, key))[:k]
                 rows.extend(
                     (int(qid), int(cids[i]), float(cs[i])) for i in order
                 )
@@ -228,6 +254,9 @@ def cosine_topk_np(
     q_ids = np.array([r.vec_id for r in q_rows], dtype=np.int64)
     qm = np.array([r.embedding for r in q_rows], dtype=np.float64)
     qn = np.linalg.norm(qm, axis=1)
+    # zero-norm mask — the cosine_topk_hof quarantine semantics
+    qmask = qn > 0
+    q_ids, qm, qn = q_ids[qmask], qm[qmask], qn[qmask]
 
     out_schema = T.StructType(
         [
@@ -244,6 +273,11 @@ def cosine_topk_np(
             ids = pdf["vec_id"].to_numpy(dtype=np.int64)
             m = np.array(list(pdf["embedding"]), dtype=np.float64)
             nrm = np.linalg.norm(m, axis=1)
+            vmask = nrm > 0  # zero-norm candidates excluded
+            if not vmask.all():
+                ids, m, nrm = ids[vmask], m[vmask], nrm[vmask]
+            if not len(ids):
+                continue
             sims = np.round((m @ qm.T) / np.outer(nrm, qn), 4)
             rows = []
             for j, qid in enumerate(q_ids):
@@ -410,10 +444,12 @@ def neardup_lsh(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
     regression test covering the bucket-collision scenario
     (tests/test_pipeline_ops.py)."""
     w = NUM_PLANES // PLANE_BANDS
-    sigs = hyperplane_signature(emb)
-    # checkpoint across the group-aggregate/join diamond: the
-    # NUM_PLANES (128) hyperplane dot products per vector must not be
-    # recomputed once per consumer
+    # checkpoint SIGS itself across the group-aggregate/join diamond:
+    # the NUM_PLANES (128) hyperplane dot products per vector must not
+    # be recomputed once per consumer — checkpointing only the groups
+    # aggregate (the pre-review shape) still re-ran the signature scan
+    # for the intra join below
+    sigs = hyperplane_signature(emb).localCheckpoint(eager=False)
     groups = sigs.groupBy("sig").agg(
         F.min("vec_id").alias("rep_id")
     ).localCheckpoint(eager=False)
@@ -589,6 +625,11 @@ def fit_ivf_centroids(
     centroids table and read by ivf_topk_* via the `centroids`
     parameter.
     """
+    if init is None and k > len(CENTROIDS):
+        raise ValueError(
+            f"k={k} exceeds the {len(CENTROIDS)} constant seeds — "
+            "pass an explicit init for a larger quantizer (silently "
+            "fitting fewer cells would degrade recall with no signal)")
     cents = [list(c) for c in (init if init is not None else CENTROIDS[:k])]
     e = emb.select(_as_double(F.col("embedding")).alias("v"))
     e.persist()
@@ -636,7 +677,11 @@ def save_centroids(spark, cents, path: str) -> None:
 
 def load_centroids(spark, path: str) -> list[list[float]]:
     rows = spark.read.parquet(path).orderBy("cell").collect()
-    assert [r.cell for r in rows] == list(range(len(rows)))
+    # a real error, not an assert: under python -O a missing or
+    # duplicated cell row would silently misalign every IVF lookup
+    if [r.cell for r in rows] != list(range(len(rows))):
+        raise ValueError(f"centroid table at {path} is not a dense "
+                         "0..k-1 cell range")
     return [list(r.centroid) for r in rows]
 
 

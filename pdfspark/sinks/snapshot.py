@@ -67,7 +67,20 @@ def _publish(output: str, snap: str, files: list[str] | None = None) -> None:
         fh.write(snap + "\n")
         for f in files or []:
             fh.write(f + "\n")
+        # durability before visibility: without the fsync a power
+        # loss after os.replace can surface an EMPTY or torn
+        # manifest — a "committed" snapshot whose file list is gone,
+        # the one crash shape the protocol docs promise cannot happen
+        fh.flush()
+        os.fsync(fh.fileno())
     os.replace(tmp, os.path.join(mdir, f"{snap}.manifest"))
+    # fsync the directory too: the rename itself must survive power
+    # loss (POSIX does not order metadata without it)
+    dfd = os.open(mdir, os.O_RDONLY)
+    try:
+        os.fsync(dfd)
+    finally:
+        os.close(dfd)
 
 
 def _manifest_files(output: str, snap: str) -> list[str]:
@@ -75,7 +88,29 @@ def _manifest_files(output: str, snap: str) -> list[str]:
     the data lives under <output>/<snap>)."""
     p = os.path.join(output, MANIFEST_DIR, f"{snap}.manifest")
     with open(p, encoding="utf-8") as fh:
-        return [ln for ln in fh.read().splitlines()[1:] if ln]
+        lines = fh.read().splitlines()
+    # torn-write guard (belt to _publish's fsync braces): line 1 must
+    # echo the snapshot id, else the manifest is corrupt — refuse to
+    # read it as an empty (rename-protocol) list, which would point
+    # the reader at a snapshot directory that never existed
+    if not lines or lines[0] != snap:
+        raise ValueError(f"corrupt manifest for snapshot {snap} "
+                         f"under {output}")
+    return [ln for ln in lines[1:] if ln]
+
+
+def _list_data_files(base: str, relative_to: str) -> list[str]:
+    """The protocol's single definition of 'data file': every
+    non-hidden, non-marker file under ``base``, as paths relative to
+    ``relative_to``. Shared by the commit path (_stage_snapshot) and
+    the crash-recovery path (reconcile_aux) so the two can never
+    drift on what a manifest lists."""
+    return sorted(
+        os.path.relpath(os.path.join(d, fn), relative_to)
+        for d, _sub, fns in os.walk(base)
+        for fn in fns
+        if fn and not fn.startswith(("_", "."))
+    )
 
 
 def _stage_snapshot(
@@ -93,12 +128,7 @@ def _stage_snapshot(
     if partition_by:
         w = w.partitionBy(partition_by)
     w.save(staging)
-    files = sorted(
-        os.path.relpath(os.path.join(d, fn), output)
-        for d, _sub, fns in os.walk(staging)
-        for fn in fns
-        if fn and not fn.startswith(("_", "."))
-    )
+    files = _list_data_files(staging, output)
     if not files:
         shutil.rmtree(staging, ignore_errors=True)
         return None
@@ -175,12 +205,7 @@ def reconcile_aux(output: str, aux_outputs: list[str]) -> int:
                 _publish(aux_output, snap)
                 n += 1
             elif os.path.isdir(staged):
-                files = sorted(
-                    os.path.relpath(os.path.join(d, fn), aux_output)
-                    for d, _sub, fns in os.walk(staged)
-                    for fn in fns
-                    if fn and not fn.startswith(("_", "."))
-                )
+                files = _list_data_files(staged, aux_output)
                 if files:
                     _publish(aux_output, snap, files)
                     n += 1
@@ -227,6 +252,22 @@ def gc_orphans(output: str, grace_s: float = 3600.0) -> int:
     # manifest-only committed snapshots keep their data under
     # _staging/<snap> forever — `committed` excludes them from sweep
     n += sweep(os.path.join(output, STAGING_DIR))
+    # a crash inside _publish (between opening .{snap}.tmp and the
+    # os.replace) leaves a hidden tmp manifest no other path ever
+    # touches — sweep those too, same grace period
+    mdir = os.path.join(output, MANIFEST_DIR)
+    if os.path.isdir(mdir):
+        for name in os.listdir(mdir):
+            if not (name.startswith(".") and name.endswith(".tmp")):
+                continue
+            p = os.path.join(mdir, name)
+            try:
+                if now - os.path.getmtime(p) < grace_s:
+                    continue
+                os.remove(p)
+                n += 1
+            except OSError:
+                continue
     return n
 
 

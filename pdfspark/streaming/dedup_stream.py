@@ -56,7 +56,7 @@ def dedup_stream(
         spark.readStream.schema(DOCS_SCHEMA)
         .option("pathGlobFilter", "*.parquet")
     )
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
         reader = reader.option(
             "maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(docs_dir)
@@ -150,7 +150,7 @@ def neardup_stream(
         spark.readStream.schema(DOCS_SCHEMA)
         .option("pathGlobFilter", "*.parquet")
     )
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
         reader = reader.option(
             "maxFilesPerTrigger", str(max_files_per_trigger))
     stream = reader.parquet(docs_dir)

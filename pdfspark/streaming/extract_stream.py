@@ -58,11 +58,13 @@ def extract_payload_stream(
                 "length long, content binary")
         .option("pathGlobFilter", "*.bin")
     )
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
+        # NOT a truthiness test: an explicit 0 must reach Spark
+        # (which rejects it) rather than silently meaning "no limit"
+        # — the opposite of the throttle the caller asked for
         reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
     bin_stream = reader.load(payload_dir)
 
-    decoded = decode_payloads(bin_stream)
     # a payload that failed decode carries an empty span list; give it
     # the DecodeError marker span so the fold lands it in the same F4
     # quarantine state the batch path uses (status='quarantined')
@@ -76,20 +78,6 @@ def extract_payload_stream(
     )
     from pdfspark.operators.extract import _with_hf, lineage_table
 
-    # the stream has no geometry side input: _with_hf(df, None) is the
-    # batch fold's own empty-header/footer defaulting seam, reused so
-    # the two paths cannot drift
-    docs = _with_hf(
-        decoded.withColumn(
-            "spans",
-            F.when(F.col("status") == "ok", F.col("spans")).otherwise(err_span),
-        ),
-        None,
-    )
-    folded = docs.repartition(F.xxhash64("doc_id")).mapInPandas(
-        _fold_batches(cfg), EXTRACT_FULL
-    )
-
     # BOTH modes sink through foreachBatch plain appends. The earlier
     # split — streaming file sink without metrics, foreachBatch with —
     # wrote incompatible layouts to the same out_path: the file sink's
@@ -100,24 +88,56 @@ def extract_payload_stream(
     # crash-during-write either way (input stays exactly-once per file
     # via the source checkpoint) — dedupe by doc_id downstream or let
     # the batch job's resume anti-join reconcile.
+    #
+    # Decode + fold run INSIDE foreachBatch, on the raw binary batch:
+    # lineage bytes_in must report the PAYLOAD size for quarantined
+    # docs (not len('corrupt payload')), which needs the decoded
+    # frame's bytes_len joined back to the folded rows — as a
+    # streaming-plan self-join that would be a watermark-requiring
+    # stream-stream join; batch-side it is a plain equi-join.
     def sink(batch_df, epoch_id: int) -> None:
+        decoded = decode_payloads(batch_df).localCheckpoint(eager=True)
+        # the stream has no geometry side input: _with_hf(df, None)
+        # is the batch fold's own empty-header/footer defaulting
+        # seam, reused so the two paths cannot drift
+        docs = _with_hf(
+            decoded.withColumn(
+                "spans",
+                F.when(F.col("status") == "ok",
+                       F.col("spans")).otherwise(err_span),
+            ),
+            None,
+        )
+        folded = docs.repartition(F.xxhash64("doc_id")).mapInPandas(
+            _fold_batches(cfg), EXTRACT_FULL
+        )
+        folded = folded.join(
+            decoded.select("doc_id",
+                           F.col("bytes_len").cast("long")
+                           .alias("payload_bytes")),
+            "doc_id",
+        ).withColumn(
+            "bytes_in",
+            F.when(F.col("status") == "quarantined",
+                   F.col("payload_bytes")).otherwise(F.col("bytes_in")),
+        ).drop("payload_bytes")
         write_metrics = metrics_path is not None
         if write_metrics:
-            batch_df.persist()
+            folded.persist()
         try:
-            (batch_df.select("doc_id", "status", "spans", "spans_in",
-                             "spans_out")
+            (folded.select("doc_id", "status", "spans", "spans_in",
+                           "spans_out")
              .write.mode("append").parquet(out_path))
             if write_metrics:
-                (lineage_table(batch_df)
+                (lineage_table(folded)
                  .withColumn("epoch_id", F.lit(epoch_id).cast("long"))
                  .write.mode("append").parquet(metrics_path))
         finally:
             if write_metrics:
-                batch_df.unpersist()
+                folded.unpersist()
 
     q = (
-        folded.writeStream.foreachBatch(sink)
+        bin_stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
         .start()

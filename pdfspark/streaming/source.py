@@ -40,7 +40,7 @@ def parquet_stream(
             (path_glob or os.path.basename(events_path)),
         )
     reader = spark.readStream.schema(schema).option("pathGlobFilter", glob)
-    if max_files_per_trigger:
+    if max_files_per_trigger is not None:
         reader = reader.option(
             "maxFilesPerTrigger", str(max_files_per_trigger)
         )

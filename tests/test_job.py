@@ -510,3 +510,39 @@ def test_job_html_mode_quarantine_and_zero_block_resume(spark, tmp_path):
     assert len(_read_out(spark, out).collect()) == len(rows)
     m2_docs = sum(r.doc_count for r in _read_out(spark, met).collect())
     assert m2_docs == 3, "zero-block pages must not re-admit on resume"
+
+
+def test_manifest_torn_write_guard_and_tmp_gc(spark, job_paths, tmp_path):
+    """A power loss can surface an empty/truncated manifest (before
+    the fsync fix) — reading one must raise loudly, never parse as an
+    empty rename-protocol list pointing at a snapshot dir that does
+    not exist. gc_orphans must also sweep the hidden .tmp manifest a
+    crash inside _publish leaves behind."""
+    import os as _os
+    import time as _time
+
+    from pdfspark.sinks.snapshot import (
+        _manifest_files, committed_snapshots, gc_orphans)
+
+    out = job_paths["output"]
+    snaps = committed_snapshots(out)
+    assert snaps
+    mdir = _os.path.join(out, "_manifests")
+    # torn manifest: truncate to zero bytes
+    torn = _os.path.join(mdir, "snap-torn.manifest")
+    with open(torn, "w"):
+        pass
+    with pytest.raises(ValueError, match="corrupt manifest"):
+        _manifest_files(out, "snap-torn")
+    _os.remove(torn)
+    # a real manifest still parses
+    assert _manifest_files(out, snaps[0]) is not None
+
+    # crash-orphaned tmp manifest: swept once past the grace period
+    tmp = _os.path.join(mdir, ".snap-crash.tmp")
+    with open(tmp, "w") as fh:
+        fh.write("snap-crash\n")
+    old = _time.time() - 7200
+    _os.utime(tmp, (old, old))
+    n = gc_orphans(out, grace_s=3600)
+    assert not _os.path.exists(tmp) and n >= 1

@@ -1108,3 +1108,33 @@ def test_simhash_width_mismatch_fails_fast(spark, docs_all):
                              max_hamming=3, precomputed_sigs=sigs32)
     with pytest.raises(Exception, match="signature width"):
         bad.collect()
+
+
+def test_topk_zero_norm_embeddings_are_excluded_everywhere(spark):
+    """A zero-norm embedding (failed embedder) has UNDEFINED cosine:
+    0/0 raises under Spark ANSI, is NaN-ranked-FIRST in DuckDB DESC,
+    and NaN-sorted-LAST by bare np.lexsort — three different answers.
+    The contract: zero-norm vectors are excluded as candidates AND as
+    queries in every variant (HOF twin, fold kernel, matmul kernel),
+    and all three agree row-for-row on a corpus containing one."""
+    from pdfspark.operators.similarity import (
+        cosine_topk, cosine_topk_hof, cosine_topk_np)
+
+    rows = [(i, [float(i + 1), float(2 * i + 1), 1.0]) for i in range(8)]
+    rows.append((99, [0.0, 0.0, 0.0]))  # zero-norm
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.filter(F.col("vec_id").isin(0, 1, 99))
+
+    def key(df):
+        out = {}
+        for r in df.collect():
+            out.setdefault(r.query_id, []).append(
+                (r.rank, r.vec_id, str(r.sim)))
+        return {q: sorted(v) for q, v in out.items()}
+
+    exp = key(cosine_topk_hof(emb, queries, k=3))
+    assert set(exp) == {0, 1}, "zero-norm query must be excluded"
+    assert all(all(v != 99 for _, v, _s in ranks)
+               for ranks in exp.values()), "zero-norm candidate excluded"
+    assert key(cosine_topk(emb, queries, k=3)) == exp
+    assert key(cosine_topk_np(emb, queries, k=3)) == exp

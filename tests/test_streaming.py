@@ -397,3 +397,25 @@ def test_dedup_streams_null_text_single_keeper(spark, tmp_path):
     nulls = [r for r in rows if r.content_hash is None]
     assert len(nulls) == 1 and nulls[0].doc_id == 10
     assert {r.doc_id for r in rows} == {10, 20, 40}
+
+
+def test_stream_lineage_bytes_in_reports_payload_size(spark, tmp_path):
+    """A quarantined payload's lineage bytes_in must be the PAYLOAD
+    size, not len('corrupt payload') — before the fix a 50 MB corrupt
+    file under-reported ingest bytes by its full size exactly when a
+    bad-input burst hits the dashboards."""
+    from pdfspark.streaming.extract_stream import extract_payload_stream
+
+    pdir = str(tmp_path / "payloads")
+    os.makedirs(pdir)
+    big_garbage = b"\xff\x00GARBAGE" * 4096  # 32 KiB, undecodable
+    with open(os.path.join(pdir, "bad.bin"), "wb") as fh:
+        fh.write(big_garbage)
+    out = str(tmp_path / "out")
+    met = str(tmp_path / "met")
+    extract_payload_stream(spark, pdir, out, str(tmp_path / "cp"),
+                           metrics_path=met)
+    (row,) = spark.read.parquet(out).collect()
+    assert row.status == "quarantined"
+    total = sum(r.bytes_in for r in spark.read.parquet(met).collect())
+    assert total == len(big_garbage)

@@ -1167,11 +1167,11 @@ surv AS (
     CASE
       WHEN kind IN ('TextLine', 'Line', 'Rectangle') THEN kind
       WHEN kind IN ('Figure', 'Image') THEN 'media'
-      WHEN trim(first_line) <> ''
-           OR regexp_matches(first_line, '{_SECTION_NOGRP}')
-        THEN 'heading'
-      WHEN regexp_matches(first_line, '{_APPENDIX}') THEN 'appendix'
-      WHEN regexp_matches(first_line, '{_FIGURE}') THEN 'figure_caption'
+      -- matcher_always_fires quirk: ANY non-blank first line is a
+      -- heading, so a TextBox can only ever be heading|paragraph —
+      -- no appendix/figure_caption arm can fire (a section/appendix/
+      -- figure match implies a non-blank line, already caught here)
+      WHEN trim(first_line) <> '' THEN 'heading'
       ELSE 'paragraph'
     END AS kind_out,
     CASE WHEN kind = 'TextBox' THEN content ELSE '' END AS text,

@@ -500,6 +500,15 @@ def neardup_lsh(emb: DataFrame, threshold: float = 0.99) -> DataFrame:
             a, b = _mat(pdf["va"]), _mat(pdf["vb"])
             na = np.sqrt(_fold_rows(a * a))
             nb = np.sqrt(_fold_rows(b * b))
+            # zero-norm exclusion (cosine undefined — quarantine
+            # semantics, cosine_topk_hof docstring); NaN would pass
+            # the >= threshold filter in BOTH Spark and DuckDB
+            ok = (na > 0) & (nb > 0)
+            if not ok.all():
+                a, b, na, nb = a[ok], b[ok], na[ok], nb[ok]
+                pdf = pdf[ok].reset_index(drop=True)
+            if not len(pdf):
+                continue
             cos = np.round(_fold_rows(a * b) / (na * nb), 4)
             yield pd.DataFrame(
                 {"vec_a": pdf["vec_a"].to_numpy(dtype=np.int64),
@@ -801,6 +810,15 @@ def ivf_topk_cosine(
             qm, m = _mat(pdf["qv"]), _mat(pdf["v"])
             nq = np.sqrt(_fold_rows(qm * qm))
             nv = np.sqrt(_fold_rows(m * m))
+            # zero-norm exclusion — cosine_topk_hof's quarantine
+            # semantics; without the mask NaN sims rank FIRST in the
+            # final desc window
+            ok = (nq > 0) & (nv > 0)
+            if not ok.all():
+                qm, m, nq, nv = qm[ok], m[ok], nq[ok], nv[ok]
+                pdf = pdf[ok].reset_index(drop=True)
+            if not len(pdf):
+                continue
             s = np.round(_fold_rows(qm * m) / (nq * nv), 4)
             yield pd.DataFrame(
                 {"query_id": pdf["query_id"].to_numpy(dtype=np.int64),

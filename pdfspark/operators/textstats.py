@@ -209,6 +209,36 @@ def _quality_cols(text):
     ]
 
 
+def _winnow(norm):
+    """THE winnowing kernel — shared by `fingerprints` and
+    `text_profile` so the two cannot drift: char FP_K-gram md5s, a
+    monotonic-deque sliding min over FP_W positions (live state is
+    <= FP_W hashes plus the selected set, never the full per-position
+    list — a skewed multi-MB doc must not cost 32 hex bytes per
+    character inside one Arrow batch), distinct selected hashes.
+    Returns (n_fingerprints, fp_digest), or (None, None) for a NULL
+    text or a doc too short to fill one window — the NULL-row
+    semantics text_profile's LEFT-JOIN oracle twin pins."""
+    import hashlib
+    from collections import deque
+
+    if not isinstance(norm, str) or len(norm) < FP_K + FP_W - 1:
+        return None, None
+    sel = set()
+    dq = deque()  # (pos, hash), hashes strictly increasing
+    for i in range(len(norm) - FP_K + 1):
+        h = hashlib.md5(norm[i:i + FP_K].encode()).hexdigest()
+        while dq and dq[-1][1] >= h:
+            dq.pop()
+        dq.append((i, h))
+        if dq[0][0] <= i - FP_W:
+            dq.popleft()
+        if i >= FP_W - 1:
+            sel.add(dq[0][1])
+    return (len(sel),
+            hashlib.md5("".join(sorted(sel)).encode()).hexdigest())
+
+
 def quality_scores(docs: DataFrame) -> DataFrame:
     """Length / punctuation / stopword / digit ratio features and a
     composite quality score (pure arithmetic — engine-portable)."""
@@ -217,9 +247,12 @@ def quality_scores(docs: DataFrame) -> DataFrame:
 
 def _token_cols(text):
     """Aliased token-count expressions (shared like _quality_cols)."""
-    ws = F.when(F.trim(text) == "", 0).otherwise(
-        F.size(F.split(F.trim(text), r"\s+"))
-    )
+    # count \S+ runs, NOT size(split(trim(text))): F.trim strips
+    # ASCII spaces only, so '\tfoo bar' would split to ['', 'foo',
+    # 'bar'] and count 3 while the DuckDB twin's empty-token filter
+    # counts 2 — the \S+ scan equals the filtered count by
+    # construction and stays in whole-stage codegen
+    ws = F.size(F.regexp_extract_all(text, F.lit(r"\S+"), 0))
     bpe = F.size(F.regexp_extract_all(text, F.lit(BPE_TOKEN_RE), 0))
     return [
         ws.cast("int").alias("n_ws_tokens"),
@@ -267,9 +300,6 @@ def fingerprints(docs: DataFrame) -> DataFrame:
     Spark/DuckDB md5, so the values are bit-identical to the unchanged
     explode+window DuckDB oracle twin (pinned by selfcheck hash).
     """
-    import hashlib
-    from collections import deque
-
     import pandas as pd
 
     # a doc needs >= FP_W k-gram positions to fill one winnowing window
@@ -289,26 +319,10 @@ def fingerprints(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             out = []
             for doc_id, norm in zip(pdf["doc_id"], pdf["norm"]):
-                # sliding-window min via a monotonic deque: live state is
-                # <= FP_W hashes plus the selected set (~2/FP_W of the
-                # positions), never the full per-position hash list — a
-                # skewed multi-MB doc must not cost 32 bytes of hex per
-                # character inside one Arrow batch. Tie handling is
-                # irrelevant to the result: only the min VALUE enters the
-                # set, so this equals min(hs[i:i+FP_W]) per window.
-                sel = set()
-                dq = deque()  # (pos, hash), hashes strictly increasing
-                for i in range(len(norm) - FP_K + 1):
-                    h = hashlib.md5(norm[i:i + FP_K].encode()).hexdigest()
-                    while dq and dq[-1][1] >= h:
-                        dq.pop()
-                    dq.append((i, h))
-                    if dq[0][0] <= i - FP_W:
-                        dq.popleft()
-                    if i >= FP_W - 1:
-                        sel.add(dq[0][1])
-                dig = hashlib.md5("".join(sorted(sel)).encode()).hexdigest()
-                out.append((doc_id, len(sel), dig))
+                n, dig = _winnow(norm)  # tie handling is irrelevant:
+                # only the min VALUE enters the set, so the deque
+                # equals min(hs[i:i+FP_W]) per window
+                out.append((doc_id, n, dig))
             yield pd.DataFrame(
                 out, columns=["doc_id", "n_fingerprints", "fp_digest"]
             )
@@ -332,9 +346,6 @@ def text_profile(docs: DataFrame) -> DataFrame:
     winnowing window keep their row with NULL fingerprint columns
     (the quality/token grain is all docs; the oracle twin LEFT JOINs
     the fingerprint subquery for the same semantics)."""
-    import hashlib
-    from collections import deque
-
     import pandas as pd
 
     base = docs.select(
@@ -351,25 +362,13 @@ def text_profile(docs: DataFrame) -> DataFrame:
         for pdf in batches:
             n_col, d_col = [], []
             for norm in pdf["__norm"]:
-                if len(norm) < FP_K + FP_W - 1:
-                    n_col.append(None)
-                    d_col.append(None)
-                    continue
-                sel = set()
-                dq = deque()  # same monotonic-deque kernel as fingerprints
-                for i in range(len(norm) - FP_K + 1):
-                    h = hashlib.md5(norm[i:i + FP_K].encode()).hexdigest()
-                    while dq and dq[-1][1] >= h:
-                        dq.pop()
-                    dq.append((i, h))
-                    if dq[0][0] <= i - FP_W:
-                        dq.popleft()
-                    if i >= FP_W - 1:
-                        sel.add(dq[0][1])
-                n_col.append(len(sel))
-                d_col.append(
-                    hashlib.md5("".join(sorted(sel)).encode()).hexdigest()
-                )
+                # _winnow handles NULL text (None norm) and short
+                # docs with a (None, None) row — the LEFT-JOIN
+                # semantics the oracle twin pins; len(None) here
+                # used to kill the whole stage
+                n, dig = _winnow(norm)
+                n_col.append(n)
+                d_col.append(dig)
             yield pd.DataFrame(
                 {"doc_id": pdf["doc_id"], "text": pdf["text"],
                  "n_fingerprints": pd.array(n_col, dtype="Int32"),

@@ -491,13 +491,18 @@ def _dot(a: str, b: str) -> str:
 
 
 def ann_cosine_sql(fix: str, k: int = 5) -> str:
+    # nv/nq > 0: zero-norm embeddings are EXCLUDED on both sides,
+    # the engine's quarantine semantics (similarity.cosine_topk_hof)
+    # — without the filter DuckDB computes 0/0 = NaN and ranks it
+    # FIRST under DESC, a false mismatch against a correct engine
     return f"""
 WITH {_emb_all(fix)},
-q AS (SELECT vec_id AS query_id, v AS qv, nv AS nq FROM en WHERE {_Q_PRED}),
+q AS (SELECT vec_id AS query_id, v AS qv, nv AS nq FROM en
+      WHERE {_Q_PRED} AND nv > 0),
 scored AS (
   SELECT q.query_id, e.vec_id,
          round({_dot("q.qv", "e.v")} / (q.nq * e.nv), 4) AS sim
-  FROM en e, q WHERE e.vec_id <> q.query_id),
+  FROM en e, q WHERE e.vec_id <> q.query_id AND e.nv > 0),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY sim DESC, vec_id) AS rank
@@ -561,35 +566,43 @@ crossp AS (
 cands AS (
   SELECT * FROM intra UNION ALL SELECT * FROM crossp),
 cos AS (
+  -- nv > 0 on both sides: zero-norm exclusion, the engine's
+  -- quarantine semantics (NaN would PASS >= threshold here)
   SELECT c.vec_a, c.vec_b,
          round({_dot("ea.v", "eb.v")} / (ea.nv * eb.nv), 4) AS cosine
   FROM cands c
-  JOIN en ea ON ea.vec_id = c.vec_a
-  JOIN en eb ON eb.vec_id = c.vec_b)
+  JOIN en ea ON ea.vec_id = c.vec_a AND ea.nv > 0
+  JOIN en eb ON eb.vec_id = c.vec_b AND eb.nv > 0)
 SELECT vec_a, vec_b, cosine FROM cos WHERE cosine >= {threshold}
 """
 
 
-def ivf_topk_sql(fix: str, k: int = 5) -> str:
+def _ivf_cell_pairs() -> str:
+    """The list_sort argmin literal both IVF oracles assign cells
+    with — ONE definition, because the cosine and euclidean oracles
+    must agree with the shared engine `with_cells` path or probe
+    different cells. 'd' is only ever an ordering key inside
+    list_sort (the cell argmin / NPROBE prefix); list_distance is the
+    monotone sqrt of the squared-diff fold it replaced, so the
+    selected cells are unchanged (cell-assignment parity re-verified
+    at sf0.01 for all vectors) and the interpreted NUM_CELLS-lambda
+    scan goes native."""
     from pdfspark.operators.similarity import (
-        NPROBE,
         NUM_CELLS,
         centroid_sql_literal,
     )
 
-    def sqd(c: int) -> str:
-        # 'd' is only ever an ordering key inside list_sort (the cell
-        # argmin / NPROBE prefix); list_distance is the monotone sqrt
-        # of the squared-diff fold it replaced, so the selected cells
-        # are unchanged (cell-assignment parity re-verified at sf0.01
-        # for all vectors) and the interpreted NUM_CELLS-lambda scan
-        # goes native.
-        lit = f"({centroid_sql_literal(c)}::DOUBLE[])"
-        return f"list_distance(v, {lit})"
-
-    pairs = ", ".join(
-        f"{{'d': {sqd(c)}, 'c': {c}}}" for c in range(NUM_CELLS)
+    return ", ".join(
+        "{{'d': list_distance(v, ({lit}::DOUBLE[])), 'c': {c}}}"
+        .format(lit=centroid_sql_literal(c), c=c)
+        for c in range(NUM_CELLS)
     )
+
+
+def ivf_topk_sql(fix: str, k: int = 5) -> str:
+    from pdfspark.operators.similarity import NPROBE
+
+    pairs = _ivf_cell_pairs()
     return f"""
 WITH {_emb_all(fix)},
 cellified AS (
@@ -602,10 +615,12 @@ qc AS (
                 s -> s['c'])) AS cell
   FROM en WHERE {_Q_PRED}),
 scored AS (
+  -- nv/nq > 0: zero-norm exclusion (engine's score kernel masks the
+  -- same pairs; NaN would rank first under DESC otherwise)
   SELECT q.query_id, e.vec_id,
          round({_dot("q.qv", "e.v")} / (q.nq * e.nv), 4) AS sim
   FROM cellified e JOIN qc q USING (cell)
-  WHERE e.vec_id <> q.query_id),
+  WHERE e.vec_id <> q.query_id AND e.nv > 0 AND q.nq > 0),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
                                ORDER BY sim DESC, vec_id) AS rank
@@ -616,25 +631,9 @@ FROM ranked WHERE rank <= {k}
 
 
 def ivf_euclidean_sql(fix: str, k: int = 5) -> str:
-    from pdfspark.operators.similarity import (
-        NPROBE,
-        NUM_CELLS,
-        centroid_sql_literal,
-    )
+    from pdfspark.operators.similarity import NPROBE
 
-    def sqd(c: int) -> str:
-        # 'd' is only ever an ordering key inside list_sort (the cell
-        # argmin / NPROBE prefix); list_distance is the monotone sqrt
-        # of the squared-diff fold it replaced, so the selected cells
-        # are unchanged (cell-assignment parity re-verified at sf0.01
-        # for all vectors) and the interpreted NUM_CELLS-lambda scan
-        # goes native.
-        lit = f"({centroid_sql_literal(c)}::DOUBLE[])"
-        return f"list_distance(v, {lit})"
-
-    pairs = ", ".join(
-        f"{{'d': {sqd(c)}, 'c': {c}}}" for c in range(NUM_CELLS)
-    )
+    pairs = _ivf_cell_pairs()
     dq = "list_distance(q.qv, e.v)"
     return f"""
 WITH {_emb_all(fix)},

@@ -1138,3 +1138,25 @@ def test_topk_zero_norm_embeddings_are_excluded_everywhere(spark):
                for ranks in exp.values()), "zero-norm candidate excluded"
     assert key(cosine_topk(emb, queries, k=3)) == exp
     assert key(cosine_topk_np(emb, queries, k=3)) == exp
+
+
+def test_text_profile_null_text_and_edge_whitespace(spark):
+    """Two latent ts_text_profile seams: a NULL-text doc must emit
+    the NULL-fingerprint row the LEFT-JOIN oracle pins (len(None)
+    used to kill the stage), and n_ws_tokens must count non-empty
+    tokens only — '\\tfoo bar' is 2 tokens, not the 3 that
+    size(split(trim(...))) produced while the DuckDB twin filtered
+    the leading empty."""
+    from pdfspark.operators.textstats import text_profile
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "\tfoo bar\n"), (3, "\n"),
+         (4, "plain words here and more of them to fill a window")],
+        "doc_id long, text string")
+    rows = {r.doc_id: r for r in text_profile(docs).collect()}
+    assert set(rows) == {1, 2, 3, 4}
+    assert rows[1].n_fingerprints is None
+    assert rows[1].fp_digest is None
+    assert rows[2].n_ws_tokens == 2
+    assert rows[3].n_ws_tokens == 0
+    assert rows[4].n_fingerprints is not None

@@ -1120,7 +1120,10 @@ _SECTIONS_SQL = f"""
 WITH {_CLASSIFY_CTE},
 roled AS (
   SELECT *,
+    -- appendix elif branch appends content with NO line_count gate
+    -- (element_processors.py:142-161) — mirrors sections_assembled
     CASE WHEN is_heading AND line_count > 1 THEN 'paragraph'
+         WHEN is_appendix AND NOT is_section AND NOT is_named THEN 'paragraph'
          WHEN is_heading THEN 'heading_only'
          WHEN is_figure THEN 'figure'
          WHEN is_table_title THEN 'table'
@@ -1520,6 +1523,11 @@ def oracle_sql() -> dict[str, str]:
                                            ORDER BY grp_tord) AS merged_id
               FROM mids),
             keyed AS (
+              -- no row_id=-1 marker handling here: the SQL
+              -- reconstruction feeding this oracle drops empty tables
+              -- entirely (title rows are filtered, no data rows), so
+              -- markers cannot occur in this input; the engine's
+              -- marker-preserving branch is pytest-pinned instead
               SELECT m.doc_id, i.merged_id, i.out_title, m.page_id,
                      m.table_id, m.row_id, m.cells
               FROM marked m JOIN dense i
@@ -1570,9 +1578,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "j4_toc_skeleton": f"""
             SELECT doc_id,
-                   trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                   -- pytrim (Python str.strip(), all whitespace), matching
+                   -- the fold's clean_toc_line and the engine's (?U)-trim
+                   regexp_replace(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                        text, '\\\\u20ac', ' ', 'g'), '\\\\n', ' ', 'g'), '€', ' ', 'g'),
-                       '\\s{{2,}}', ' ', 'g')) AS heading,
+                       '\\s{{2,}}', ' ', 'g'),
+                       '(^[\\s\\x0B]+)|([\\s\\x0B]+$)', '', 'g') AS heading,
                    CAST(row_number() OVER (PARTITION BY doc_id ORDER BY "offset")
                         AS INT) AS line_no
             FROM {GEOM01} WHERE kind = 'TOC'
@@ -1581,10 +1592,12 @@ def oracle_sql() -> dict[str, str]:
             WITH {_CLASSIFY_CTE},
             toc AS (
               SELECT doc_id,
-                     trim(regexp_replace(regexp_replace(regexp_replace(
+                     -- pytrim, matching toc_skeleton (see j4 oracle)
+                     regexp_replace(regexp_replace(regexp_replace(regexp_replace(
                          regexp_replace(text, '\\\\u20ac', ' ', 'g'),
                          '\\\\n', ' ', 'g'), '€', ' ', 'g'),
-                         '\\s{{2,}}', ' ', 'g')) AS heading,
+                         '\\s{{2,}}', ' ', 'g'),
+                         '(^[\\s\\x0B]+)|([\\s\\x0B]+$)', '', 'g') AS heading,
                      CAST(row_number() OVER (PARTITION BY doc_id
                           ORDER BY "offset") AS INT) AS line_no
               FROM {GEOM01} WHERE kind = 'TOC'),

@@ -194,7 +194,6 @@ def fold_document(
     toc_lines = [s["text"] or "" for s in spans if s["kind"] == "TOC"]
     state = SectionState(toc_lines, cfg)
     sections = state.sections
-    lookup = state.lookup
 
     current_header: str | None = ""
     out: list[dict] = []

@@ -49,6 +49,17 @@ MATCHER_TERMS = (
 # never re.compile — hence the JAVA_ prefix like every other Java form
 JAVA_MATCHER_PREFIX = r"(?iU)^(executive\s+summary|foreword|introduction|summary|bibliography|references)\b"
 
+# Python twin of JAVA_MATCHER_PREFIX: term sequence at the start of the
+# line followed by a word boundary. This — not a whitespace token
+# split — is the faithful intended-semantics reading of the spaCy
+# matcher: spaCy tokenization splits trailing punctuation into its own
+# token ("References:" -> ["references", ":"]), so the LOWER-term
+# pattern still matches; a \b after the term models exactly that.
+RE_MATCHER_PREFIX = re.compile(
+    r"^(" + "|".join(r"\s+".join(terms) for terms in MATCHER_TERMS) + r")\b",
+    re.IGNORECASE,
+)
+
 RE_SECTION = re.compile(SECTION)
 RE_SECTION_GROUPS = re.compile(SECTION_GROUPS)
 RE_APPENDIX = re.compile(APPENDIX, re.IGNORECASE)
@@ -90,12 +101,13 @@ def matcher_fires(first_line: str, always: bool = True) -> bool:
         return False
     if always:
         return True
-    low = first_line.lower()
-    toks = low.split()
-    for terms in MATCHER_TERMS:
-        if tuple(toks[: len(terms)]) == terms:
-            return True
-    return False
+    # \b-prefix semantics (RE_MATCHER_PREFIX), NOT a whitespace token
+    # split: spaCy tokenizes "References:" as ["references", ":"], so
+    # the reference matcher fires on punctuation-adjacent terms — a
+    # whitespace split would not, and the fold would then disagree with
+    # the SQL path's JAVA_MATCHER_PREFIX on e.g. "Summary," headings
+    # (pinned by tests/test_patterns.py named-matcher corpus cases).
+    return RE_MATCHER_PREFIX.match(first_line) is not None
 
 
 # fast path applies when the cleaned heading is pure literal text that

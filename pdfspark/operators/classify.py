@@ -151,7 +151,14 @@ def toc_skeleton(spans: DataFrame, patterns_to_strip=None) -> DataFrame:
     # `or` would silently re-apply the defaults)
     pats = PATTERNS_TO_STRIP if patterns_to_strip is None else patterns_to_strip
     toc = spans.filter(F.col("kind") == "TOC")
-    cleaned = F.trim(replace_extra_space(strip_characters(F.col("text"), pats)))
+    # pytrim, not F.trim: the fold's clean_toc_line ends with Python
+    # str.strip() (all whitespace); F.trim strips spaces only, so a
+    # heading with a trailing newline/tab edge would diverge between
+    # the SQL skeleton and SectionState's skeleton heading text
+    cleaned = F.regexp_replace(
+        replace_extra_space(strip_characters(F.col("text"), pats)),
+        r"(?U)^\s+|\s+$", "",
+    )
     w = Window.partitionBy("doc_id").orderBy("offset")
     return toc.select(
         "doc_id",
@@ -175,8 +182,19 @@ def sections_assembled(classified_with_section: DataFrame) -> DataFrame:
     df = classified_with_section.filter(
         (F.col("kind") == "TextBox") & F.col("current_section").isNotNull()
     )
+    # appendix branch (reference elif, element_processors.py:142-161):
+    # reached only when neither the matcher nor a numbered section
+    # fired, and it appends the box content as a paragraph with NO
+    # line_count gate — unlike the heading branch's `if line_count > 1`
+    # (:135-140). The fold mirrors this (SectionState.apply label
+    # 'appendix' appends unconditionally), so a single-line appendix
+    # box must NOT collapse to heading_only here.
+    appendix_branch = (
+        F.col("is_appendix") & ~F.col("is_section") & ~F.col("is_named")
+    )
     role = (
         F.when(F.col("is_heading") & (F.col("line_count") > 1), "paragraph")
+        .when(appendix_branch, "paragraph")
         .when(F.col("is_heading"), "heading_only")
         .when(F.col("is_figure"), "figure")
         .when(F.col("is_table_title"), "table")
@@ -294,9 +312,7 @@ def headings_to_toc(
         (probe.doc_id == toc.doc_id) & F.expr("heading rlike pat"),
         "left",
     ).select(probe.doc_id, "offset", "lookup", "heading", "line_no")
-    from pyspark.sql import Window as W
-
-    w = W.partitionBy("doc_id", "offset").orderBy(
+    w = Window.partitionBy("doc_id", "offset").orderBy(
         F.col("line_no").asc_nulls_last()
     )
     first = (

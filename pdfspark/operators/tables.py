@@ -64,7 +64,10 @@ def fold_tables_page(textboxes: list[dict], header: str, footer: str,
     found_table = False
     stage1 = []
     for tb in textboxes:
-        text = tb["text"]
+        # NULL text coerced like every other span path (pdfminer always
+        # yields str, but the spans_geom column is nullable; '' is
+        # outcome-equivalent to the SQL path's contains('')-drop)
+        text = tb["text"] or ""
         if found_table:
             if text in header or text in footer:
                 continue
@@ -90,7 +93,7 @@ def fold_tables_page(textboxes: list[dict], header: str, footer: str,
         table["rows"].append([t["text"] for t in srt])
 
     for tb in stage1:
-        content = tb["text"].replace("\n", "").strip()
+        content = (tb["text"] or "").replace("\n", "").strip()
         if content in header or content in footer:
             continue
         if P.RE_PAGE_NUMBER.match(content):
@@ -317,7 +320,8 @@ def merge_continued_tables(tables: DataFrame, cache_input: bool = True,
     row_id renumbered per merged table). Accepts both the SQL path's
     1-based row_id and the exact path's 0-based (header arity is read
     from the lowest non-negative row_id, not a hardcoded row 1;
-    row_id=-1 empty-table markers are ignored for arity).
+    row_id=-1 empty-table markers are ignored for arity, stay -1 in
+    the output, and vanish when their merged group gains real rows).
 
     The merge is a diamond over its input (a table-level aggregate
     joined back onto the row stream), so without materialization the
@@ -329,6 +333,11 @@ def merge_continued_tables(tables: DataFrame, cache_input: bool = True,
     """
     if cache_input:
         tables = tables.persist()
+    # literal 'continued' ON PURPOSE, not the X7 (continued|cont\.)
+    # pattern: the reference's merge stage tests
+    # `'continued' in title.lower()` (parse_util.py:329) while only the
+    # fold stage uses the X7 regex (table_extractor.py:52) — a 'cont.'
+    # fragment genuinely does not merge on this route in the reference
     is_cont = F.lower(F.col("title")).contains("continued")
     base = F.when(
         is_cont, F.trim(F.element_at(F.split(F.col("title"), r"\("), 1))
@@ -410,10 +419,25 @@ def merge_continued_tables(tables: DataFrame, cache_input: bool = True,
                    "out_title"),
         ["doc_id", "page_id", "table_id"],
     )
+    # row_id=-1 empty-table markers must stay markers: a marker in a
+    # merged group that gained real rows disappears (the table now has
+    # rows), a merged group that is ALL markers keeps exactly one
+    # (one empty table), and surviving markers keep row_id=-1 instead
+    # of being renumbered into a phantom row with NULL cells.
+    w_grp = Window.partitionBy("doc_id", "merged_id")
     w_merged = Window.partitionBy("doc_id", "merged_id").orderBy(
         "page_id", "table_id", "row_id"
     )
-    return keyed.withColumn("row_id", F.row_number().over(w_merged)).select(
+    keyed = keyed.withColumn(
+        "n_real", F.count(F.when(F.col("row_id") >= 0, 1)).over(w_grp)
+    ).filter((F.col("row_id") >= 0) | (F.col("n_real") == 0))
+    keyed = keyed.withColumn("rn", F.row_number().over(w_merged)).filter(
+        (F.col("row_id") >= 0) | (F.col("rn") == 1)
+    )
+    return keyed.withColumn(
+        "row_id",
+        F.when(F.col("row_id") < 0, F.lit(-1)).otherwise(F.col("rn")),
+    ).select(
         "doc_id",
         "page_id",
         F.col("merged_id").alias("table_id"),

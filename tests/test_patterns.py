@@ -78,6 +78,16 @@ CORPUS = [
     # but the classify patterns must not blow up on these as input)
     "C++ (v2)",
     "1. Heading (with parens) - dash, comma",
+    # X18 named terms with adjacent punctuation: spaCy splits the
+    # punctuation into its own token, so the intended-semantics matcher
+    # fires — matcher_fires and JAVA_MATCHER_PREFIX must agree here
+    "References:",
+    "Summary,",
+    "Executive  Summary — FY24",
+    "Introduction. Scope and goals",
+    "Summarybut-not-a-word-boundary",
+    "referenced elsewhere",
+    "foreword",
     "a*b+c?",
     "",
     " ",

@@ -1160,3 +1160,50 @@ def test_text_profile_null_text_and_edge_whitespace(spark):
     assert rows[2].n_ws_tokens == 2
     assert rows[3].n_ws_tokens == 0
     assert rows[4].n_fingerprints is not None
+
+
+def test_single_line_appendix_appends_content(spark):
+    """Reference appendix branch (element_processors.py:142-161)
+    appends the box content with NO line_count gate — unlike the
+    heading branch's `if line_count > 1`. A single-line appendix box
+    must therefore land in its own section's paragraphs, not collapse
+    to heading_only."""
+    from pdfspark.operators.classify import (
+        classify_spans, sections_assembled, with_current_section)
+
+    rows = [
+        ("d1", "TextBox", "Appendix A. Data tables", None, 0),
+        ("d1", "TextBox", "Appendix B. Methods\nwith body", None, 1),
+    ]
+    spans = spark.createDataFrame(
+        rows, "doc_id string, kind string, text string, "
+              "media_ref string, offset int")
+    secs = {r.heading: r for r in sections_assembled(
+        with_current_section(classify_spans(spans))).collect()}
+    # single-line appendix: content IS the paragraph
+    assert secs["Appendix A. Data tables"].paragraphs == [
+        "Appendix A. Data tables"]
+    # multi-line appendix: full content appended (unchanged behavior)
+    assert secs["Appendix B. Methods"].paragraphs == [
+        "Appendix B. Methods\nwith body"]
+
+
+def test_toc_skeleton_python_strip_semantics(spark):
+    """toc_skeleton must strip ALL edge whitespace like the fold's
+    clean_toc_line (str.strip()), not F.trim's spaces-only — a TOC
+    line with a real trailing newline or tab must match the
+    SectionState skeleton heading byte-for-byte."""
+    from pdfspark.config import ExtractConfig
+    from pdfspark.fold import clean_toc_line
+    from pdfspark.operators.classify import toc_skeleton
+
+    texts = ["Overview\n", "\tScope", "Results \n", "Plain"]
+    rows = [("d1", "TOC", t, None, i) for i, t in enumerate(texts)]
+    spans = spark.createDataFrame(
+        rows, "doc_id string, kind string, text string, "
+              "media_ref string, offset int")
+    got = [r.heading for r in
+           toc_skeleton(spans).orderBy("line_no").collect()]
+    cfg = ExtractConfig()
+    want = [clean_toc_line(t, cfg.patterns_to_strip) for t in texts]
+    assert got == want == ["Overview", "Scope", "Results", "Plain"]

@@ -191,3 +191,65 @@ def test_merge_zero_based_row_ids(spark):
     assert {r.table_id for r in out} == {1}
     assert {r.title for r in out} == {"Table 7: Z"}
     assert len(out) == 3
+
+
+def test_merge_preserves_empty_table_markers(spark):
+    """row_id=-1 empty-table markers (exact-path shape) must survive
+    the merge AS markers: kept (one per group) when the merged table
+    has no real rows, dropped when continuation rows arrive, and never
+    renumbered into a phantom row with NULL cells."""
+    from pdfspark.operators.tables import merge_continued_tables
+
+    rows = [
+        # empty anchor + real-rowed continuation: NULL arity != 2 is an
+        # arity MISMATCH (reference compares column lists; an empty
+        # table has none), so the fragment stays standalone and the
+        # anchor keeps its marker
+        ("d5", 1, 1, "Table 1: A", -1, None),
+        ("d5", 2, 1, "Table 1: A (continued)", 1, ["x", "y"]),
+        # standalone empty table -> exactly one -1 marker survives
+        ("d5", 3, 1, "Table 2: B", -1, None),
+        # empty anchor + empty continuation (NULL arity both sides,
+        # eqNullSafe merges) -> ONE marker, not two
+        ("d5", 4, 1, "Table 3: C", -1, None),
+        ("d5", 5, 1, "Table 3: C (continued)", -1, None),
+    ]
+    out = merge_continued_tables(_tables_frame(spark, rows),
+                                 cache_input=False).collect()
+    by_title = {}
+    for r in out:
+        by_title.setdefault(r.title, []).append(r)
+    # Table 1 anchor keeps its marker; the fragment is standalone
+    t1 = by_title["Table 1: A"]
+    assert [(r.row_id, r.cells) for r in t1] == [(-1, None)]
+    frag = by_title["Table 1: A (continued)"]
+    assert [(r.row_id, r.cells) for r in frag] == [(1, ["x", "y"])]
+    # Table 2 standalone empty: one marker, still row_id=-1, NULL cells
+    t2 = by_title["Table 2: B"]
+    assert [(r.row_id, r.cells) for r in t2] == [(-1, None)]
+    # Table 3 merged-empty: one marker total
+    t3 = by_title["Table 3: C"]
+    assert [(r.row_id, r.cells) for r in t3] == [(-1, None)]
+    # no phantom rows anywhere: every non-marker row has cells
+    assert all(r.cells is not None for r in out if r.row_id >= 0)
+
+
+def test_fold_tables_page_null_text_box():
+    """A NULL-text TextBox must not crash the exact fold (nullable
+    spans_geom column); it behaves exactly like an empty-text box,
+    which both stages drop."""
+    from pdfspark.operators.tables import fold_tables_page
+
+    base = [
+        dict(text="Table 1: T", x0=0, y0=90, x1=20, y1=100),
+        dict(text="a", x0=0, y0=80, x1=5, y1=90),
+        dict(text="b", x0=10, y0=80, x1=15, y1=90),
+    ]
+    withnull = base[:1] + [dict(text=None, x0=0, y0=85, x1=2, y1=95)] + base[1:]
+    withempty = base[:1] + [dict(text="", x0=0, y0=85, x1=2, y1=95)] + base[1:]
+    got_null = fold_tables_page(withnull, "HDR", "FTR")
+    got_empty = fold_tables_page(withempty, "HDR", "FTR")
+    got_base = fold_tables_page(base, "HDR", "FTR")
+    assert got_null == got_empty == got_base
+    assert got_base == [dict(table_id=0, title="Table 1: T", row_id=0,
+                             cells=["a", "b"])]

@@ -1107,13 +1107,38 @@ headed AS (
   SELECT *,
     (is_section OR is_named OR is_appendix) AS is_heading
   FROM flagged),
+wtoc AS (
+  -- TOC skeleton (j4 cleaning pipeline) for the conditional rewrite
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+             regexp_replace(text, '\\\\u20ac', ' ', 'g'),
+             '\\\\n', ' ', 'g'), '€', ' ', 'g'),
+             '\\s{{2,}}', ' ', 'g'),
+             '(^[\\s\\x0B]+)|([\\s\\x0B]+$)', '', 'g') AS heading
+  FROM sg WHERE kind = 'TOC'),
+wmatch AS (
+  -- numbered headings whose title whole-word-matches a TOC section
+  -- (safe subset, same contract as the j1 lookup): ONLY these
+  -- canonicalize to 'num title' — element_processors.py:116-131
+  -- renames only after find_section_by_heading(group2) succeeds
+  SELECT DISTINCT c.doc_id, c.o
+  FROM (SELECT doc_id, o,
+               regexp_replace(section_title, '[^\\p{{L}}\\p{{N}}]+$', '')
+                 AS clean
+        FROM headed WHERE is_section) c
+  JOIN wtoc t
+    ON c.doc_id = t.doc_id
+   AND regexp_matches(t.heading, '(?i)\\b' || c.clean || '\\b')
+  WHERE coalesce(regexp_matches(c.clean,
+    '^[A-Za-z0-9_](?:[A-Za-z0-9_ ,;:''\\-]*[A-Za-z0-9_])?$'), false)),
 cursec AS (
-  SELECT *,
+  SELECT h.*,
     last_value(CASE WHEN is_heading THEN
-        CASE WHEN is_section THEN concat_ws(' ', section_num, section_title)
+        CASE WHEN is_section AND m.o IS NOT NULL
+             THEN concat_ws(' ', section_num, section_title)
              ELSE first_line END END IGNORE NULLS)
-      OVER (PARTITION BY doc_id ORDER BY o ROWS UNBOUNDED PRECEDING) AS current_section
-  FROM headed)
+      OVER (PARTITION BY h.doc_id ORDER BY h.o ROWS UNBOUNDED PRECEDING) AS current_section
+  FROM headed h LEFT JOIN wmatch m ON h.doc_id = m.doc_id AND h.o = m.o)
 """
 
 _SECTIONS_SQL = f"""

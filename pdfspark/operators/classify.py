@@ -113,17 +113,85 @@ def classify_spans(spans: DataFrame) -> DataFrame:
     )
 
 
-def with_current_section(classified: DataFrame) -> DataFrame:
+def with_current_section(
+    classified: DataFrame,
+    toc_conditional: bool = True,
+    cache_input: bool = False,
+) -> DataFrame:
     """W3 — fill-down of the current section header in document order.
 
     current_header = last heading first-line at or before this span
     (ref: the `current_section_header` thread through
     src/pdf_extractor.py:178,206 / element_processors.py:114-179).
-    Canonical heading text: 'num title' for numbered sections
-    (element_processors.py:130), first_line otherwise.
+
+    Canonical heading text: the reference rewrites a numbered heading
+    to 'num title' ONLY after find_section_by_heading(group2) found a
+    TOC section (element_processors.py:116-131 — the rename sits
+    inside `if current_section is not None`); an unmatched '3.2 Title
+    (draft)' keeps its raw first line. With ``toc_conditional=True``
+    (default) the TOC skeleton is derived from the classified frame's
+    own kind='TOC' spans and the rewrite is gated on a whole-word
+    match, reusing the J1 contract (safe-subset lookup, same
+    deviations as headings_to_toc: non-literal-safe titles never
+    rewrite, and the fold's in-place skeleton-heading mutation /
+    re.error rollback stay exact-fold-only). ``False`` keeps the
+    unconditional rewrite (TOC-less approximation).
+
+    Scale shape: the TOC/candidate branches are tiny projections; the
+    match-set join keys on doc_id, the same partitioning the fill-down
+    window needs, so the big span stream is still shuffled exactly
+    once (the join output satisfies the window's distribution).
     """
+    if toc_conditional:
+        # the conditional makes this a three-consumer diamond (main
+        # stream + heading candidates + TOC headings). Unlike the j3
+        # merge diamond, persisting LOSES here by default: the branch
+        # consumers prune to narrow column subsets, so recomputing the
+        # cheap parquet->explode->regex lineage three times beats
+        # materializing the wide classify projection (measured
+        # interleaved under the bench's clearCache protocol at sf0.1:
+        # 1.64 s recompute vs 2.49 s persisted for a8). Set
+        # cache_input=True only when the upstream is genuinely
+        # expensive per-row — e.g. spans decoded from raw PDF bytes
+        # via mapInPandas, where a re-execution re-parses every
+        # document three times.
+        if cache_input:
+            classified = classified.persist()
+        # headings only — the skeleton's line_no window is not needed
+        # for an existence test, so skip its per-doc sort exchange
+        toc = _toc_headings(classified)
+        cand = classified.filter(F.col("is_section")).select(
+            "doc_id",
+            "offset",
+            F.regexp_replace("section_title", r"(?U)[\W_]+$", "").alias(
+                "clean"
+            ),
+        )
+        cand = cand.filter(
+            F.coalesce(F.col("clean").rlike(SAFE_HEADING), F.lit(False))
+        ).withColumn(
+            "pat", F.concat(F.lit("(?iU)\\b"), F.col("clean"), F.lit("\\b"))
+        )
+        # LEFT SEMI on the equi key doc_id with the rlike as residual:
+        # existence, dedup, and co-partitioning in one join (the
+        # downstream groupBy reuses its doc_id distribution)
+        m = cand.alias("c").join(
+            toc.alias("t"),
+            (F.col("c.doc_id") == F.col("t.doc_id"))
+            & F.expr("t.heading rlike c.pat"),
+            "left_semi",
+        )
+        msets = m.groupBy("doc_id").agg(
+            F.collect_set("offset").alias("_sec_matched")
+        )
+        classified = classified.join(msets, "doc_id", "left")
+        matched = F.coalesce(
+            F.array_contains("_sec_matched", F.col("offset")), F.lit(False)
+        )
+    else:
+        matched = F.lit(True)
     heading_text = F.when(
-        F.col("is_section"),
+        F.col("is_section") & matched,
         F.concat_ws(" ", "section_num", "section_title"),
     ).otherwise(F.col("first_line"))
     w = (
@@ -131,10 +199,11 @@ def with_current_section(classified: DataFrame) -> DataFrame:
         .orderBy("offset")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    return classified.withColumn(
+    out = classified.withColumn(
         "current_section",
         F.last(F.when(F.col("is_heading"), heading_text), ignorenulls=True).over(w),
     )
+    return out.drop("_sec_matched") if toc_conditional else out
 
 
 def toc_skeleton(spans: DataFrame, patterns_to_strip=None) -> DataFrame:
@@ -150,6 +219,26 @@ def toc_skeleton(spans: DataFrame, patterns_to_strip=None) -> DataFrame:
     # nothing (mirrors ExtractConfig(patterns_to_strip=()) — a plain
     # `or` would silently re-apply the defaults)
     pats = PATTERNS_TO_STRIP if patterns_to_strip is None else patterns_to_strip
+    w = Window.partitionBy("doc_id").orderBy("offset")
+    return _toc_headings(spans, pats, keep_offset=True).select(
+        "doc_id",
+        "heading",
+        F.row_number().over(w).alias("line_no"),
+    )
+
+
+def _toc_headings(
+    spans: DataFrame, patterns_to_strip=None, keep_offset: bool = False
+) -> DataFrame:
+    """Cleaned TOC headings (doc_id, heading[, offset]) — the skeleton
+    without line numbers, for existence probes that don't need the
+    per-doc sort exchange of toc_skeleton's row_number."""
+    from pdfspark.config import PATTERNS_TO_STRIP
+    from pdfspark.functions.text import strip_characters
+
+    pats = (
+        PATTERNS_TO_STRIP if patterns_to_strip is None else patterns_to_strip
+    )
     toc = spans.filter(F.col("kind") == "TOC")
     # pytrim, not F.trim: the fold's clean_toc_line ends with Python
     # str.strip() (all whitespace); F.trim strips spaces only, so a
@@ -159,12 +248,10 @@ def toc_skeleton(spans: DataFrame, patterns_to_strip=None) -> DataFrame:
         replace_extra_space(strip_characters(F.col("text"), pats)),
         r"(?U)^\s+|\s+$", "",
     )
-    w = Window.partitionBy("doc_id").orderBy("offset")
-    return toc.select(
-        "doc_id",
-        cleaned.alias("heading"),
-        F.row_number().over(w).alias("line_no"),
-    )
+    cols = ["doc_id", cleaned.alias("heading")]
+    if keep_offset:
+        cols.append(F.col("offset"))
+    return toc.select(*cols)
 
 
 def sections_assembled(classified_with_section: DataFrame) -> DataFrame:

@@ -266,6 +266,20 @@ def gen_tabular_sparse(b: DocBuilder, rng):
     b.y = y - 60.0
 
 
+def gen_toc_mismatch(b: DocBuilder, rng):
+    """W3 conditional canonicalization seam: '2.1 Framework design'
+    whole-word-matches the TOC and rewrites to 'num title'
+    (element_processors.py:116-131), while '9.9 Uncharted territory'
+    has no TOC section and must carry its RAW first line forward —
+    the unconditional-rewrite bug collapsed both to 'num title'."""
+    b.toc(["Framework design", "Evaluation"])
+    b.new_page()
+    b.add("TextBox", f"2.1 Framework design\n{_body(rng, 2)}", h=36.0)
+    b.add("TextBox", _body(rng, 1), h=12.0)
+    b.add("TextBox", f"9.9 Uncharted territory\n{_body(rng, 2)}", h=36.0)
+    b.add("TextBox", _body(rng, 1), h=12.0)
+
+
 def gen_skew(b: DocBuilder, rng, n_spans: int):
     b.toc(["Introduction"])
     b.new_page()
@@ -310,6 +324,12 @@ def generate_docs(sf_name: str):
     rng = random.Random(f"42|{sf_name}|tabular-sparse")
     b = DocBuilder("tabular-sparse-00000")
     gen_tabular_sparse(b, rng)
+    docs.append(b.finish())
+    # family 13: numbered headings with and without a TOC match (W3
+    # conditional-rewrite seam; unmatched titles keep raw first lines)
+    rng = random.Random(f"42|{sf_name}|toc-mismatch")
+    b = DocBuilder("toc-mismatch-00000")
+    gen_toc_mismatch(b, rng)
     docs.append(b.finish())
     # family 10: skew doc
     rng = random.Random(f"42|{sf_name}|skew")
@@ -1370,7 +1390,7 @@ FIXTURE_ROOT = os.path.join(os.path.dirname(os.path.dirname(__file__)), "fixture
 
 # bump whenever any generator above changes shape/content so stale
 # on-disk fixtures are regenerated instead of silently reused
-FIXTURE_VERSION = 32  # 32: HTML5 head-mode fixes in the domseg kernel
+FIXTURE_VERSION = 33  # 33: toc-mismatch doc (W3 conditional rewrite seam)
 
 
 def ensure_fixtures(sf_name: str, root: str = FIXTURE_ROOT) -> str:

@@ -1207,3 +1207,48 @@ def test_toc_skeleton_python_strip_semantics(spark):
     cfg = ExtractConfig()
     want = [clean_toc_line(t, cfg.patterns_to_strip) for t in texts]
     assert got == want == ["Overview", "Scope", "Results", "Plain"]
+
+
+def test_current_section_rewrite_is_toc_conditional(spark):
+    """Reference parity (element_processors.py:116-131): a numbered
+    heading canonicalizes to 'num title' ONLY when its title
+    whole-word-matches a TOC section; an unmatched one carries its RAW
+    first line forward, so '3.2 Title (draft)' and '3.2  Title' stay
+    distinct sections. Mirrors the fold's conditional rewrite
+    (SectionState.apply heading branch)."""
+    from pdfspark.operators.classify import (
+        classify_spans, with_current_section)
+
+    rows = [
+        # TOC names only 'Methods'
+        ("d1", "TOC", "Methods", None, 0),
+        ("d1", "TextBox", "3.2 Methods\nbody a", None, 1),
+        ("d1", "TextBox", "after matched", None, 2),
+        ("d1", "TextBox", "4.1 Unlisted topic\nbody b", None, 3),
+        ("d1", "TextBox", "after unmatched", None, 4),
+    ]
+    spans = spark.createDataFrame(
+        rows, "doc_id string, kind string, text string, "
+              "media_ref string, offset int")
+    c = {r.offset: r for r in
+         with_current_section(classify_spans(spans)).collect()}
+    # matched numbered heading -> canonical 'num title'
+    assert c[2].current_section == "3.2 Methods"
+    # unmatched numbered heading -> RAW first line (no rewrite)
+    assert c[4].current_section == "4.1 Unlisted topic"
+    # legacy unconditional mode still rewrites both
+    u = {r.offset: r for r in
+         with_current_section(classify_spans(spans),
+                              toc_conditional=False).collect()}
+    assert u[4].current_section == "4.1 Unlisted topic"
+
+    # fold agreement on the same document: SectionState keeps the raw
+    # first line for the unmatched heading too
+    from pdfspark.config import ExtractConfig
+    from pdfspark.fold import SectionState
+    state = SectionState(["Methods"], ExtractConfig())
+    h1 = state.apply("heading", "3.2 Methods\nbody a", "3.2 Methods", 2, "")
+    h2 = state.apply("heading", "4.1 Unlisted topic\nbody b",
+                     "4.1 Unlisted topic", 2, h1)
+    assert h1 == "3.2 Methods" == c[2].current_section
+    assert h2 == "4.1 Unlisted topic" == c[4].current_section

@@ -38,7 +38,16 @@ BNLJ_ALLOWED = {"j6_keyword_hits": 1}
 # and SMJ IS the right 100 TB shape for survivor-sized sides.
 # dd_components: same class — the converged label frame is a
 # checkpoint scan joined to its own size aggregate.
-SMJ_ALLOWED = {"td_curation": 2, "dd_components": 2}
+SMJ_ALLOWED = {
+    "td_curation": 2, "dd_components": 2,
+    # round 5: the W3 TOC-conditional rewrite joins the per-doc
+    # matched-offset sets back onto the span stream on doc_id — the
+    # same key the fill-down window partitions by, so the big side is
+    # exchanged once for both; the match-set side is doc-count-sized
+    # (not broadcastable at scale; AQE converts to broadcast when
+    # small). One SMJ per query consuming with_current_section.
+    "x1_w3_classify_flags": 1, "a8_sections": 1, "j1_heading_lookup": 1,
+}
 
 # Filter pushdown must reach the parquet scan for every query whose
 # first move is a selective scan (kind=..., page ranges, margins).
@@ -82,7 +91,14 @@ MAX_EXCHANGES = {
     "f10_f12_margins": 4, "a5_table_stats": 5, "ep3_tables_sql": 5,
     "ep3_tables_doc_scope": 6, "j3_tables_merged": 14,
     "ep3_tables_exact": 5, "j2_table_titles": 14, "j4_toc_skeleton": 1,
-    "j1_heading_lookup": 11, "x1_w3_classify_flags": 5, "a8_sections": 5,
+    # x1/a8 5 -> 13, j1 11 -> 13 (round 5): the W3 TOC-conditional
+    # rewrite adds the heading->TOC whole-word semi join and the
+    # per-doc matched-set join (audited 11-12 incl. broadcast
+    # exchanges; AQE flips the tiny sides between BHJ and SMJ, so the
+    # ceiling carries one unit of slack). The RUNTIME shuffle story
+    # is one big-side exchange — the match-set join keys on doc_id,
+    # which the fill-down window reuses.
+    "j1_heading_lookup": 13, "x1_w3_classify_flags": 13, "a8_sections": 13,
 }
 
 

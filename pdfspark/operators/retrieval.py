@@ -83,43 +83,79 @@ def _tabular_boxes(geom: DataFrame) -> DataFrame:
 _AB_COLS = ["o", "x0", "y0", "x1", "y1", "yc", "xc"]
 
 
+def _tabular_relation():
+    """The reference's are_textboxes_tabular classification
+    (src/utilities/parse_util.py:364-405) over an _a/_b pair row,
+    quirky guards included: 'row' iff same-row AND NOT same-col AND
+    NOT y-overlap; 'col' iff same-col AND NOT same-row AND NOT
+    x-overlap. Tolerances Y_TOLERANCE/X_TOLERANCE on box centers —
+    the SAME constants that size the candidate bands (the superset
+    guarantee requires band width == predicate tolerance)."""
+    from pdfspark.config import X_TOLERANCE, Y_TOLERANCE
+
+    same_row = F.abs(F.col("yc_a") - F.col("yc_b")) <= Y_TOLERANCE
+    same_col = F.abs(F.col("xc_a") - F.col("xc_b")) <= X_TOLERANCE
+    x_overlap = ~((F.col("x1_a") < F.col("x0_b"))
+                  | (F.col("x1_b") < F.col("x0_a")))
+    y_overlap = ~((F.col("y1_a") < F.col("y0_b"))
+                  | (F.col("y1_b") < F.col("y0_a")))
+    return (
+        F.when(same_row & ~same_col & ~y_overlap, "row")
+        .when(same_col & ~same_row & ~x_overlap, "col")
+    )
+
+
 def tabular_candidates(tb: DataFrame) -> DataFrame:
     """Banded candidate generation for J7 (SURVEY §2.3's prescription:
     bucket by floor(center / tol) to make the spatial test an
-    EQUI-join). Output-relevant pairs need same-row (|Δyc| <= 10) or
-    same-col (|Δxc| <= 20); a pair within tolerance differs by at most
-    one bucket of width tol, so joining side a's bucket against side
-    b's bucket expanded to {b-1, b, b+1} yields a guaranteed superset.
-    Two banded equi-joins (y-band, x-band) unioned and deduped —
-    shuffle by (doc, page, bucket), never an all-pairs compare within
-    a page. A pathological 10k-element page fans out across its
-    buckets instead of one 10^8-comparison task; only elements
-    genuinely stacked at one center (whose OUTPUT is itself quadratic)
-    share a bucket."""
+    EQUI-join). Output-relevant pairs need same-row (|Δyc| <=
+    Y_TOLERANCE) or same-col (|Δxc| <= X_TOLERANCE); a pair within
+    tolerance differs by at most one bucket of width tol, so joining
+    side a's bucket against side b's bucket expanded to {b-1, b, b+1}
+    yields a guaranteed superset. Two banded equi-joins (y-band,
+    x-band) unioned and deduped — shuffle by (doc, page, bucket),
+    never an all-pairs compare within a page. A pathological
+    10k-element page fans out across its buckets instead of one
+    10^8-comparison task; only elements genuinely stacked at one
+    center (whose OUTPUT is itself quadratic) share a bucket.
+
+    The exact relation predicate is applied PER BAND, before the
+    union: it is a deterministic function of the pair geometry, so
+    filtering early is equivalent and the dedup exchange carries only
+    output-relevant pairs instead of the full band superset. Output
+    rows therefore arrive with a non-null `relation` column."""
+    from pdfspark.config import X_TOLERANCE, Y_TOLERANCE
+
     cands = None
-    for col, width in (("yc", 10.0), ("xc", 20.0)):
+    for col, width in (("yc", Y_TOLERANCE), ("xc", X_TOLERANCE)):
         bkt = F.floor(F.col(col) / width).cast("long")
         a = tb.withColumn("bkt", bkt).alias("a")
         b = tb.withColumn(
             "bkt", F.explode(F.array(bkt - 1, bkt, bkt + 1))
         ).alias("b")
-        j = a.join(
-            b,
-            (F.col("a.doc_id") == F.col("b.doc_id"))
-            & (F.col("a.page_id") == F.col("b.page_id"))
-            & (F.col("a.bkt") == F.col("b.bkt"))
-            & (F.col("a.o") < F.col("b.o")),
-        ).select(
-            F.col("a.doc_id").alias("doc_id"),
-            F.col("a.page_id").alias("page_id"),
-            *[F.col(f"a.{c}").alias(f"{c}_a") for c in _AB_COLS],
-            *[F.col(f"b.{c}").alias(f"{c}_b") for c in _AB_COLS],
+        j = (
+            a.join(
+                b,
+                (F.col("a.doc_id") == F.col("b.doc_id"))
+                & (F.col("a.page_id") == F.col("b.page_id"))
+                & (F.col("a.bkt") == F.col("b.bkt"))
+                & (F.col("a.o") < F.col("b.o")),
+            )
+            .select(
+                F.col("a.doc_id").alias("doc_id"),
+                F.col("a.page_id").alias("page_id"),
+                *[F.col(f"a.{c}").alias(f"{c}_a") for c in _AB_COLS],
+                *[F.col(f"b.{c}").alias(f"{c}_b") for c in _AB_COLS],
+            )
+            .withColumn("relation", _tabular_relation())
+            .filter(F.col("relation").isNotNull())
         )
         cands = j if cands is None else cands.unionByName(j)
     # a pair can surface via both bands (and via a neighbor AND its own
     # bucket only when widths straddle — not possible within one band,
     # but across the y/x union duplicates are routine): dedupe on the
-    # pair key (geometry is functionally determined by it)
+    # pair key (geometry, hence relation, is functionally determined
+    # by it)
     return cands.dropDuplicates(["doc_id", "page_id", "o_a", "o_b"])
 
 
@@ -127,31 +163,15 @@ def tabular_pairs(geom: DataFrame) -> DataFrame:
     """J7: the reference's are_textboxes_tabular test
     (src/utilities/parse_util.py:364-405) as a banded spatial join.
 
-    Semantics reproduced exactly, including the quirky guards: a pair
-    is 'row' iff same-row AND NOT same-col AND NOT y-overlap; 'col'
-    iff same-col AND NOT same-row AND NOT x-overlap. Tolerances 10pt
-    (y) / 20pt (x) on box centers.
-
-    Scale shape: candidate pairs come from tabular_candidates's banded
-    equi-joins (superset of every same-row/same-col pair); the exact
-    predicate is a post-filter. No quadratic per-page compare exists —
-    the round-2 form's one-task 10^8-comparison pathology on a dense
-    page is gone (pinned by the planted-dense-page test).
+    Semantics reproduced exactly (see _tabular_relation); candidate
+    pairs come from tabular_candidates's banded equi-joins with the
+    exact predicate already applied per band. No quadratic per-page
+    compare exists — the round-2 form's one-task 10^8-comparison
+    pathology on a dense page is gone (pinned by the
+    planted-dense-page test).
     """
     cand = tabular_candidates(_tabular_boxes(geom))
-    same_row = F.abs(F.col("yc_a") - F.col("yc_b")) <= 10.0
-    same_col = F.abs(F.col("xc_a") - F.col("xc_b")) <= 20.0
-    x_overlap = ~((F.col("x1_a") < F.col("x0_b"))
-                  | (F.col("x1_b") < F.col("x0_a")))
-    y_overlap = ~((F.col("y1_a") < F.col("y0_b"))
-                  | (F.col("y1_b") < F.col("y0_a")))
-    rel = (
-        F.when(same_row & ~same_col & ~y_overlap, "row")
-        .when(same_col & ~same_row & ~x_overlap, "col")
-    )
-    return cand.select(
-        "doc_id", "page_id", "o_a", "o_b", rel.alias("relation")
-    ).filter(F.col("relation").isNotNull())
+    return cand.select("doc_id", "page_id", "o_a", "o_b", "relation")
 
 
 def sessionize_events(events: DataFrame, gap_minutes: int = 30) -> DataFrame:

@@ -90,6 +90,12 @@ def match_table_titles(elements: DataFrame) -> DataFrame:
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+    # p1 is consumed three times (remaining-titles anti-join, pass-2
+    # anti-join, the matched union); it is output-sized (one row per
+    # matched table), so persist it rather than re-running the
+    # elements scan + broadcast join + consume-once window per
+    # consumer — the same diamond rule as the j3 merge.
+    p1 = p1.persist()
 
     # pass 2 — element_id probe for tables the parent pass missed,
     # against title keys the parent pass did not consume

@@ -693,20 +693,32 @@ def _q_text_cleanup(spark, sf_dir):
     (parse_util.py:407-415) as `is_page_number` — the page-number
     strip is exactly `filter(~is_page_number)` over this frame."""
     from pdfspark.functions import patterns as P
+    from pdfspark.functions.text import (
+        replace_extra_space,
+        strip_non_alphanumeric,
+        strip_non_alphanumeric_end,
+    )
 
     g = _geom(spark, sf_dir).filter(F.col("kind") == "TextBox")
     t = F.col("text")
     stripped = F.regexp_replace(
         F.regexp_replace(t, "€", " "), "\n", " "
     )
+
+    # pytrim (Python str.strip()); the F5-F8 columns use the (?U)
+    # text.py vocabulary — this row certifies the PRODUCTION forms,
+    # not ASCII lookalikes (reference runs Python re: \W/\s Unicode)
+    def pytrim(c):
+        return F.regexp_replace(c, r"(?U)^\s+|\s+$", "")
+
     return g.select(
         "doc_id",
         "offset",
-        F.regexp_replace(t, "[^a-zA-Z0-9]", "").alias("alnum_only"),
-        F.regexp_replace(t, r"[\W_]+$", "").alias("no_trailing_punct"),
-        F.regexp_replace(t, r"\s{2,}", " ").alias("collapsed"),
-        F.trim(F.regexp_replace(stripped, r"\s{2,}", " ")).alias("stripped"),
-        F.trim(t).rlike(P.JAVA_PAGE_NUMBER_MATCH).alias("is_page_number"),
+        strip_non_alphanumeric(t).alias("alnum_only"),
+        strip_non_alphanumeric_end(t).alias("no_trailing_punct"),
+        replace_extra_space(t).alias("collapsed"),
+        pytrim(replace_extra_space(stripped)).alias("stripped"),
+        pytrim(t).rlike(P.JAVA_PAGE_NUMBER_MATCH).alias("is_page_number"),
     )
 
 
@@ -1283,15 +1295,23 @@ def oracle_sql() -> dict[str, str]:
         "m2_frame_sample": OP.frame_sample_sql(FIX01),
         "m4_audio_chunks": OP.audio_chunks_sql(FIX01),
         "x11_f3_cleanup": f"""
+            -- Unicode-faithful RE2 twins of the (?U) engine forms:
+            -- [\\W_]+$ emulated as the complement of letter/number
+            -- (the j1-oracle precedent — RE2's \\W is ASCII and would
+            -- strip trailing accented letters); whitespace classes use
+            -- the repo's [\\s\\x0B] pytrim convention
             SELECT doc_id, "offset" AS offset,
                    regexp_replace(text, '[^a-zA-Z0-9]', '', 'g') AS alnum_only,
-                   regexp_replace(text, '[\\W_]+$', '') AS no_trailing_punct,
-                   regexp_replace(text, '\\s{{2,}}', ' ', 'g') AS collapsed,
-                   trim(regexp_replace(
+                   regexp_replace(text, '[^\\p{{L}}\\p{{N}}]+$', '') AS no_trailing_punct,
+                   regexp_replace(text, '[\\s\\x0B]{{2,}}', ' ', 'g') AS collapsed,
+                   regexp_replace(regexp_replace(
                      regexp_replace(regexp_replace(text, '€', ' ', 'g'),
                                     chr(10), ' ', 'g'),
-                     '\\s{{2,}}', ' ', 'g')) AS stripped,
-                   regexp_matches(trim(text), '{_PAGENO}') AS is_page_number
+                     '[\\s\\x0B]{{2,}}', ' ', 'g'),
+                     '(^[\\s\\x0B]+)|([\\s\\x0B]+$)', '', 'g') AS stripped,
+                   regexp_matches(regexp_replace(text,
+                     '(^[\\s\\x0B]+)|([\\s\\x0B]+$)', '', 'g'),
+                     '{_PAGENO}') AS is_page_number
             FROM {GEOM01} WHERE kind = 'TextBox'
         """,
         "s34_page_scans": f"""

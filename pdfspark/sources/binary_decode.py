@@ -58,11 +58,17 @@ def geom_digest(spans: list[dict]) -> str:
     and Spark-FREE at fixture-gen time (synth.write_pdf_payloads), so
     the driver's DuckDB oracle hash-checks the y-ordinates end to end.
     """
+    # all four coordinates required: a span with partial geometry
+    # (x0 set, y0 None — possible through the pluggable-decoder seam)
+    # must not TypeError inside the format string; decode_payloads'
+    # catch-all would silently misreport a decoded doc as
+    # status='decode_error'. The mini codec emits all-or-none, so
+    # fixture digests are unchanged.
     parts = [
         f"{s['offset']}:{s['page_id']}:"
         f"{s['x0']:.2f},{s['y0']:.2f},{s['x1']:.2f},{s['y1']:.2f}"
         for s in spans
-        if s.get("x0") is not None
+        if all(s.get(k) is not None for k in ("x0", "y0", "x1", "y1"))
     ]
     if not parts:
         return ""
@@ -150,27 +156,36 @@ def decode_payloads_geom(bin_df: DataFrame, decoder=None) -> DataFrame:
             rows = []
             for r in pdf.itertuples(index=False):
                 stem = os.path.splitext(os.path.basename(r.path))[0]
+                # the span projection sits INSIDE the try, collected
+                # per file and appended atomically: a pluggable
+                # decoder returning a malformed span dict (missing
+                # key) quarantines the file like decode_payloads does,
+                # instead of killing the Spark task — and never leaves
+                # a half-projected file in the output
                 try:
                     body = decode(bytes(r.content))
+                    rows_f = []
+                    for s in body["spans"]:
+                        pid = s.get("page_id")
+                        rows_f.append(dict(
+                            # SAME doc_id rule as decode_payloads: a
+                            # PDF without an Info /Title falls back to
+                            # the filename stem — a None here could
+                            # never join the document rows it belongs
+                            # to
+                            doc_id=body["doc_id"] or stem,
+                            page_id=pid,
+                            page_number=None if pid is None
+                            else max(0, pid - 1),
+                            kind=s["kind"], text=s["text"],
+                            media_ref=s["media_ref"],
+                            x0=s.get("x0"), y0=s.get("y0"),
+                            x1=s.get("x1"), y1=s.get("y1"),
+                            offset=s["offset"],
+                        ))
                 except Exception:
                     continue
-                for s in body["spans"]:
-                    pid = s.get("page_id")
-                    rows.append(dict(
-                        # SAME doc_id rule as decode_payloads: a PDF
-                        # without an Info /Title falls back to the
-                        # filename stem — a None here could never
-                        # join the document rows it belongs to
-                        doc_id=body["doc_id"] or stem,
-                        page_id=pid,
-                        page_number=None if pid is None
-                        else max(0, pid - 1),
-                        kind=s["kind"], text=s["text"],
-                        media_ref=s["media_ref"],
-                        x0=s.get("x0"), y0=s.get("y0"),
-                        x1=s.get("x1"), y1=s.get("y1"),
-                        offset=s["offset"],
-                    ))
+                rows.extend(rows_f)
             yield pd.DataFrame(rows, columns=cols)
 
     return bin_df.select("path", "length", "content").mapInPandas(

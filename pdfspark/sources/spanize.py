@@ -4,9 +4,11 @@ Turns documents(doc_id, text, lang, source, n_chars) into the
 canonical interleaved shape documents_in(doc_id, spans[]) so the
 extraction pipeline has a second, larger input family beyond the
 layout fixtures. Pure Spark SQL (no UDF): words are chunked into
-sentence spans; every CHUNK_PER_HEADING-th chunk becomes a numbered
-heading textbox with the following chunk as its paragraph body
-(multi-line), mirroring how pdfminer merges heading+body textboxes.
+sentence spans; every CHUNKS_PER_HEADING-th chunk becomes a numbered
+multi-line heading textbox ("k. <Sent>\\n body of section <idx>" — a
+synthetic second line, so the heading box is multi-line like
+pdfminer's merged heading+body textboxes); the chunks in between stay
+standalone paragraph spans.
 """
 
 from pyspark.sql import DataFrame

@@ -111,10 +111,17 @@ def extract_payload_stream(
         folded = docs.repartition(F.xxhash64("doc_id")).mapInPandas(
             _fold_batches(cfg), EXTRACT_FULL
         )
+        # one row per doc_id on the bytes side: two payload files in a
+        # micro-batch can declare the same doc_id (e.g. two versions
+        # arriving together), and a raw row-level join would fan out
+        # |payloads|^2 rows per colliding doc into the committed output.
+        # Each colliding payload still folds to its own output row
+        # (the documented dedupe-by-doc_id-downstream contract); its
+        # quarantine lineage reports the doc's total payload bytes.
         folded = folded.join(
-            decoded.select("doc_id",
-                           F.col("bytes_len").cast("long")
-                           .alias("payload_bytes")),
+            decoded.groupBy("doc_id").agg(
+                F.sum(F.col("bytes_len").cast("long"))
+                .alias("payload_bytes")),
             "doc_id",
         ).withColumn(
             "bytes_in",

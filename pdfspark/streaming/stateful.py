@@ -32,7 +32,6 @@ idle users instead of relying on the end-of-input snapshot.
 
 from __future__ import annotations
 
-import uuid
 from collections.abc import Iterator
 
 import pandas as pd
@@ -87,6 +86,13 @@ def _sessionize_group(key, pdfs: Iterator[pd.DataFrame], state: GroupState,
     for ts, ev, val in zip(rows["ts"], rows["event_id"], rows["value"]):
         us = ts.value // 1000
         s = ts.strftime(FMT)
+        # NULL value arrives as NaN through Arrow; SUM semantics (the
+        # batch sessionizer and the DuckDB oracle) skip it while still
+        # counting the event — adding it would poison the session
+        # total to NaN
+        v = float(val)
+        if v != v:
+            v = 0.0
         if last_us is not None and us < last_us:
             # out-of-order cross-batch arrival (within a batch rows
             # are sorted). Inside the open session's span: absorb —
@@ -94,7 +100,7 @@ def _sessionize_group(key, pdfs: Iterator[pd.DataFrame], state: GroupState,
             # the open session: late data, dropped (see module doc).
             if start_us is not None and us >= start_us:
                 n_ev += 1
-                total += float(val)
+                total += v
             continue
         if last_us is None or us - last_us > gap_us:
             if n_ev:
@@ -103,7 +109,7 @@ def _sessionize_group(key, pdfs: Iterator[pd.DataFrame], state: GroupState,
             start_us = us
         last_us, end_ts = us, s
         n_ev += 1
-        total += float(val)
+        total += v
     # emit the open tail as a cumulative snapshot AND keep it in state:
     # if more events arrive in a later micro-batch the session keeps
     # accumulating and a bigger snapshot supersedes this one (the
@@ -147,35 +153,24 @@ def sessionize_stream(
     sessions = stream.groupBy("user_id").applyInPandasWithState(
         fn, OUT_SCHEMA, STATE_SCHEMA, "append", GroupStateTimeout.NoTimeout
     )
-    sink = f"stream_sessions_{uuid.uuid4().hex[:8]}"
-    q = (
-        sessions.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode("append")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    from pdfspark.streaming.drain import drain_memory_sink
+
     # cumulative-snapshot dedupe: a session that spanned micro-batches
     # was emitted once per batch with growing counts; keep the largest
     # snapshot per (user_id, session_id) — that is the complete session.
-    from pyspark.sql import Window
+    def dedupe(t):
+        from pyspark.sql import Window
 
-    w = Window.partitionBy("user_id", "session_id").orderBy(
-        F.desc("n_events"), F.desc("end_ts")
-    )
-    out = (
-        spark.table(sink)
-        .withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select(
-            "user_id", "session_id", "n_events", "start_ts", "end_ts",
-            F.round("total_value", 2).alias("total_value"),
+        w = Window.partitionBy("user_id", "session_id").orderBy(
+            F.desc("n_events"), F.desc("end_ts")
         )
-    )
-    # the memory sink pins the full result set on the driver for the
-    # session lifetime; materialize off it and drop the temp view so
-    # repeated calls don't leak one table per call
-    out = out.localCheckpoint(eager=True)
-    spark.catalog.dropTempView(sink)
-    return out
+        return (
+            t.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .select(
+                "user_id", "session_id", "n_events", "start_ts", "end_ts",
+                F.round("total_value", 2).alias("total_value"),
+            )
+        )
+
+    return drain_memory_sink(sessions, "stream_sessions", "append", dedupe)

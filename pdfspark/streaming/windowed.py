@@ -23,7 +23,6 @@ for Kafka/Iceberg streaming); state is keyed by (window, event_type)
 
 from __future__ import annotations
 
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -52,23 +51,16 @@ def windowed_counts_stream(
         F.count("*").cast("int").alias("n_events"),
         F.round(F.sum("value"), 2).alias("total_value"),
     )
-    sink = f"stream_windowed_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.format("memory")
-        .queryName(sink)
-        .outputMode(output_mode)
-        .trigger(availableNow=True)
-        .start()
+    from pdfspark.streaming.drain import drain_memory_sink
+
+    return drain_memory_sink(
+        agg,
+        "stream_windowed",
+        output_mode,
+        transform=lambda t: t.select(
+            F.col("w.start").cast("string").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        ),
     )
-    q.awaitTermination()
-    out = spark.table(sink).select(
-        F.col("w.start").cast("string").alias("window_start"),
-        "event_type",
-        "n_events",
-        "total_value",
-    )
-    # the memory sink pins the result on the driver for the session
-    # lifetime; materialize off it and drop the view (no per-call leak)
-    out = out.localCheckpoint(eager=True)
-    spark.catalog.dropTempView(sink)
-    return out

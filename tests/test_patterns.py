@@ -227,3 +227,34 @@ def test_j1_oracle_trailing_strip_matches_python_W_underscore():
             [s]).fetchone()[0]
         exp = re.sub(r"[\W_]+$", "", s)
         assert got == exp, (s, got, exp)
+
+
+def test_x11_oracle_unicode_cleanup_parity():
+    """The x11 oracle's RE2 forms must agree with the engine's (?U)
+    text.py vocabulary (Python re semantics) on unicode letters/punct
+    and ASCII whitespace: [\\W_]+$ is emulated as the complement of
+    letter/number (RE2's \\W is ASCII and would strip trailing
+    accented letters), \\s as [\\s\\x0B] (the repo pytrim seam —
+    exotic whitespace like NBSP is the one documented divergence and
+    is kept out of the fixtures)."""
+    import re
+
+    import duckdb
+
+    con = duckdb.connect()
+    probes = ["Résumé—", "Intro_", "é_", "Ωμέγα τμήμα_", "a  b",
+              "x\t\ty", "end\x0b\x0b", "mid \t mix", "1.2.", "keep", ""]
+    for s in probes:
+        nt = con.execute(
+            "SELECT regexp_replace(?, '[^\\p{L}\\p{N}]+$', '')", [s]
+        ).fetchone()[0]
+        assert nt == re.sub(r"[\W_]+$", "", s), (s, nt)
+        col = con.execute(
+            "SELECT regexp_replace(?, '[\\s\\x0B]{2,}', ' ', 'g')", [s]
+        ).fetchone()[0]
+        assert col == re.sub(r"\s{2,}", " ", s), (s, col)
+        tr = con.execute(
+            "SELECT regexp_replace(?, '(^[\\s\\x0B]+)|([\\s\\x0B]+$)',"
+            " '', 'g')", [s]
+        ).fetchone()[0]
+        assert tr == s.strip(), (s, tr)

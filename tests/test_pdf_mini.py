@@ -1570,3 +1570,51 @@ def test_codec_small_conformance_edges():
     assert _unescape_bytes(b"abc\\") == b"abc"
     assert _LENGTH_RE.search(b"/Length 7 1 R") is None
     assert _LENGTH_RE.search(b"/Length 7 >>").group(1) == b"7"
+
+
+def test_malformed_decoder_span_quarantines_not_crashes(spark, tmp_path):
+    """The pluggable-decoder seam: a decoder emitting a span dict with
+    a missing key (geom path) or partial geometry (digest path) must
+    quarantine the file, not kill the Spark task or misreport a
+    decoded doc as decode_error."""
+    import os
+
+    from pdfspark.sources.binary_decode import (
+        decode_payloads,
+        decode_payloads_geom,
+        geom_digest,
+        read_payloads,
+    )
+
+    d = str(tmp_path / "p")
+    os.makedirs(d)
+    with open(os.path.join(d, "good.bin"), "w") as fh:
+        fh.write('{"doc_id": "ok-doc", "spans": [{"kind": "TextBox", '
+                 '"text": "t", "media_ref": null, "offset": 0}]}')
+    with open(os.path.join(d, "bad.bin"), "w") as fh:
+        fh.write('{"doc_id": "bad-doc", "spans": [{"kind": "TextBox"}]}')
+
+    def decoder(content):
+        import json
+        body = json.loads(content.decode())
+        return dict(doc_id=body["doc_id"], spans=body["spans"])
+
+    rows = decode_payloads_geom(read_payloads(spark, d),
+                                decoder=decoder).collect()
+    # bad.bin quarantined (its span lacks text/media_ref/offset);
+    # good.bin intact — the task survives
+    assert {r.doc_id for r in rows} == {"ok-doc"}
+
+    # partial geometry: digest skips the span instead of TypeError
+    assert geom_digest([{"offset": 0, "page_id": 1, "x0": 1.0,
+                         "y0": None, "x1": 2.0, "y1": 2.0}]) == ""
+    # and through decode_payloads a partially-geometric decoder result
+    # stays status='ok' (the digest no longer throws into the
+    # catch-all)
+    def decoder2(content):
+        return dict(doc_id="p-doc", spans=[
+            dict(kind="TextBox", text="t", media_ref=None, offset=0,
+                 x0=1.0, y0=None, x1=2.0, y1=3.0)])
+    out = decode_payloads(read_payloads(spark, d),
+                          decoder=decoder2).collect()
+    assert all(r.status == "ok" for r in out)

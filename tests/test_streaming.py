@@ -419,3 +419,57 @@ def test_stream_lineage_bytes_in_reports_payload_size(spark, tmp_path):
     assert row.status == "quarantined"
     total = sum(r.bytes_in for r in spark.read.parquet(met).collect())
     assert total == len(big_garbage)
+
+
+def test_stream_same_doc_id_two_payloads_no_fanout(spark, tmp_path):
+    """Two payload files in ONE micro-batch declaring the same doc_id
+    (two versions arriving together) must commit one output row per
+    payload — the lineage bytes join used to be row-level on doc_id,
+    fanning |payloads|^2 rows per colliding doc into the sink."""
+    import json
+
+    from pdfspark.streaming.extract_stream import extract_payload_stream
+
+    pdir = str(tmp_path / "payloads")
+    os.makedirs(pdir)
+    body = {"doc_id": "same-doc",
+            "spans": [{"kind": "TextBox", "text": "1. Intro\nbody",
+                       "media_ref": None, "offset": 0}]}
+    for n in ("v1.bin", "v2.bin"):
+        with open(os.path.join(pdir, n), "w") as fh:
+            json.dump(body, fh)
+    out = str(tmp_path / "out")
+    met = str(tmp_path / "met")
+    extract_payload_stream(spark, pdir, out, str(tmp_path / "cp"),
+                           metrics_path=met)
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) == 2            # one per payload, NOT 4
+    assert {r.doc_id for r in rows} == {"same-doc"}
+
+
+def test_sessionize_stream_null_value_matches_batch(spark, tmp_path):
+    """A NULL `value` event must not poison the session total to NaN:
+    SUM semantics (skip the NULL, still count the event), matching the
+    batch sessionizer."""
+    import math
+
+    from pdfspark.operators.retrieval import sessionize_events
+    from pdfspark.streaming.stateful import sessionize_stream
+
+    rows = [
+        (1, 100, "2024-01-01 10:00:00.000000", 5.0),
+        (1, 101, "2024-01-01 10:05:00.000000", None),
+        (1, 102, "2024-01-01 10:10:00.000000", 2.5),
+    ]
+    df = spark.createDataFrame(
+        rows, "user_id long, event_id long, ts string, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    p = str(tmp_path / "events")
+    df.write.parquet(p)
+    got = sessionize_stream(spark, p).collect()
+    assert len(got) == 1
+    assert got[0].n_events == 3
+    assert not math.isnan(got[0].total_value)
+    assert got[0].total_value == 7.5
+    batch = sessionize_events(spark.read.parquet(p)).collect()
+    assert batch[0].n_events == 3 and float(batch[0].total_value) == 7.5

@@ -235,19 +235,25 @@ def chunk_exploded_spans(exploded: DataFrame, cfg: ExtractConfig,
         # element_at THROWS on out-of-bounds, so a doc with >=1 but
         # <=start_page PageStart markers would crash the job instead of
         # producing the NULL the cut.isNotNull() filter depends on
+        # composite (pos, _ap) key: pos is the span's offset (may
+        # duplicate on adversarial input), _ap the array position —
+        # the cutoff compare must follow the fold's stable offset
+        # sort, so the marker key and the span keys use the same
+        # lexicographic struct ordering
+        ckey = F.struct(F.col("pos"), F.col("_ap"))
         cut = (
             exploded.filter(F.col("s.kind") == "PageStart")
             .groupBy("doc_id")
             .agg(
                 F.try_element_at(
-                    F.sort_array(F.collect_list("pos")),
+                    F.sort_array(F.collect_list(F.struct("pos", "_ap"))),
                     F.lit(cfg.start_page + 1),
                 ).alias("cut")
             )
         )
-        exploded = exploded.join(F.broadcast(cut), "doc_id", "left").filter(
+        exploded = exploded.join(cut, "doc_id", "left").filter(
             (F.col("s.kind") == "TOC")
-            | (F.col("cut").isNotNull() & (F.col("pos") >= F.col("cut")))
+            | (F.col("cut").isNotNull() & (ckey >= F.col("cut")))
         ).drop("cut")
     return exploded.withColumn(
         "chunk", (F.col("pos") / F.lit(spans_per_chunk)).cast("int")
@@ -297,12 +303,16 @@ def _toc_lines(big: DataFrame) -> DataFrame:
     replay's section-skeleton input, shared by both full-output skew
     paths (a change to TOC collection semantics must hit both)."""
     return (
-        big.select("doc_id", F.posexplode("spans").alias("pos", "s"))
+        # (offset, array-pos) composite sort — the fold collects TOC
+        # lines AFTER its stable offset sort (fold.py:182,194), so the
+        # skeleton order must follow offsets, not array positions
+        big.select("doc_id", F.posexplode("spans").alias("_ap", "s"))
+        .withColumn("pos", F.col("s.offset"))
         .filter(F.col("s.kind") == "TOC")
         .groupBy("doc_id")
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "s"))),
+                F.array_sort(F.collect_list(F.struct("pos", "_ap", "s"))),
                 # NULL-text TOC spans coerce to '' exactly like the
                 # sequential fold (fold.py `s['text'] or ''`) — a bare
                 # None would crash clean_toc_line's re.sub in replay
@@ -354,13 +364,20 @@ def _fold_big_chunks(big: DataFrame, cfg: ExtractConfig,
     with chunk-local classification events when ``collect_events``."""
     import dataclasses
 
+    # pos = the span's OWN offset field (the sequential fold's sort
+    # key, fold.py:182), with the array position `_ap` as a stable
+    # tiebreak: a spans array stored out of offset order (upstream
+    # reassembly) must chunk/cut/fold in the same order the
+    # sequential fold uses, or the pinned route equality breaks. For
+    # every in-repo producer offsets are dense array positions, so
+    # this is identical to the old posexplode ordinal there.
     exploded = big.select(
-        "doc_id", "header", "footer", F.posexplode("spans").alias("pos", "s")
-    )
+        "doc_id", "header", "footer", F.posexplode("spans").alias("_ap", "s")
+    ).withColumn("pos", F.col("s.offset"))
     chunked = chunk_exploded_spans(exploded, cfg, spans_per_chunk)
     chunk_cfg = dataclasses.replace(cfg, start_page=0)  # skip already applied
     chunks = chunked.groupBy("doc_id", "chunk", "header", "footer").agg(
-        F.sort_array(F.collect_list(F.struct("pos", "s"))).alias("ps")
+        F.sort_array(F.collect_list(F.struct("pos", "_ap", "s"))).alias("ps")
     ).select(
         "doc_id", "chunk", "header", "footer",
         F.transform(
@@ -440,6 +457,11 @@ def extract_spans_split(
     )
 
     folded = _fold_big_chunks(big, cfg, spans_per_chunk)
+    if cfg.start_page > 0:
+        # the `missing` anti-join below probes folded a second time;
+        # without materialization the whole Python chunk-fold subtree
+        # (the dominant stage) re-executes for the probe
+        folded = folded.persist()
     big_out = (
         folded.groupBy("doc_id")
         .agg(
@@ -818,7 +840,7 @@ def extract_sections_split(
 
     events = (
         enriched.filter(F.col("kind") == "E")
-        .join(F.broadcast(pref), ["doc_id", "chunk"])
+        .join(pref, ["doc_id", "chunk"])
         .filter(~(F.col("gov_entry") & (F.col("entry_tail") == "W")))
         .select(
             "doc_id", "code", "pos", "text",
@@ -847,7 +869,7 @@ def extract_sections_split(
     # precomputed section-match, never the full span text
     bounds = (
         enriched.filter(F.col("kind") == "B")
-        .join(F.broadcast(pref), ["doc_id", "chunk"])
+        .join(pref, ["doc_id", "chunk"])
         .select(
             "doc_id",
             (F.col("entry_ha") + F.col("ord_local")).cast("int").alias("ord"),
@@ -1131,7 +1153,7 @@ def extract_spans_split_rows(
         "base", F.sum("n").over(w) - F.col("n")
     ).select("doc_id", "chunk", "base")
     big_out = (
-        rows.join(F.broadcast(base), ["doc_id", "chunk"])
+        rows.join(base, ["doc_id", "chunk"])
         .select(
             "doc_id",
             (F.col("base") + F.col("within_off")).cast("int").alias("offset"),
@@ -1161,7 +1183,9 @@ def extract_spans_relational(documents_in: DataFrame) -> DataFrame:
     # interpreted per SPAN across the whole corpus (measured 1.6x whole-
     # query cost at sf0.1) while the exploded filter + tiny anti-join
     # stays in codegen — the same shape the DuckDB oracle twin uses
-    exploded = documents_in.select("doc_id", F.explode("spans").alias("s"))
+    exploded = documents_in.select(
+        "doc_id", F.posexplode("spans").alias("_ap", "s")
+    )
     bad_docs = (
         exploded.filter(F.col("s.kind") == "DecodeError")
         .select("doc_id").distinct()
@@ -1183,6 +1207,9 @@ def extract_spans_relational(documents_in: DataFrame) -> DataFrame:
     df = exploded.join(bad_docs, "doc_id", "left_anti").select(
         "doc_id",
         F.col("s.offset").alias("pos"),
+        # array position: stable tiebreak for duplicate offsets, so the
+        # renumber window matches the fold's stable sort (fold.py:182)
+        F.col("_ap").alias("ap"),
         F.col("s.kind").alias("k"),
         pytrim.alias("content"),
         F.col("s.media_ref").alias("mref"),
@@ -1213,7 +1240,7 @@ def extract_spans_relational(documents_in: DataFrame) -> DataFrame:
         .when(F.col("fl").rlike(P.JAVA_FIGURE), "figure_caption")
         .otherwise("paragraph")
     )
-    w = Window.partitionBy("doc_id").orderBy("pos")
+    w = Window.partitionBy("doc_id").orderBy("pos", "ap")
     return df.select(
         "doc_id",
         (F.row_number().over(w) - 1).cast("int").alias("offset"),

@@ -69,6 +69,33 @@ def _fake_decode(payload: bytes) -> tuple[int, int]:
     return 16 + h[0] % 640, 16 + h[1] % 480
 
 
+def _per_payload_plan(media: DataFrame, schema: StructType, row_fn,
+                      err_row, extra_cols: tuple = ()) -> DataFrame:
+    """Shared mapInPandas loop of every media planner: project the
+    input columns (so the scan prunes), coerce NULL payloads to b'',
+    call ``row_fn(ref, payload_bytes, *extras) -> [row tuples]``, and
+    quarantine any per-PAYLOAD exception as ``err_row(ref, *extras)``
+    — data errors never kill the stage. Caller-parameter validation
+    belongs in the planner itself, BEFORE this loop: a bad argument
+    raising per row would silently convert the whole table into
+    decode_error rows."""
+    cols = [f.name for f in schema.fields]
+    in_cols = ["media_ref", *extra_cols, "content"]
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for ref, *extras, payload in zip(*(pdf[c] for c in in_cols)):
+                b = bytes(payload) if payload is not None else b""
+                try:
+                    rows.extend(row_fn(ref, b, *extras))
+                except Exception:
+                    rows.append(err_row(ref, b, *extras))
+            yield pd.DataFrame(rows, columns=cols)
+
+    return media.select(*in_cols).mapInPandas(run, schema)
+
+
 def media_features(media: DataFrame) -> DataFrame:
     """Featurize media payloads with mapInPandas (Arrow batches).
 
@@ -77,27 +104,16 @@ def media_features(media: DataFrame) -> DataFrame:
     mirroring the extraction pipeline's DecodeError handling).
     """
 
-    def featurize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for ref, kind, payload in zip(
-                pdf["media_ref"], pdf["media_kind"], pdf["content"]
-            ):
-                b = bytes(payload) if payload is not None else b""
-                try:
-                    w, h = _fake_decode(b)
-                    rows.append(
-                        (ref, kind, len(b), hashlib.md5(b).hexdigest(),
-                         w, h, "ok")
-                    )
-                except Exception:
-                    rows.append((ref, kind, len(b), None, None, None,
-                                 "decode_error"))
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in MEDIA_FEATURE_SCHEMA.fields]
-            )
+    def row(ref, b, kind):
+        w, h = _fake_decode(b)
+        return [(ref, kind, len(b), hashlib.md5(b).hexdigest(), w, h, "ok")]
 
-    return media.mapInPandas(featurize, MEDIA_FEATURE_SCHEMA)
+    return _per_payload_plan(
+        media, MEDIA_FEATURE_SCHEMA, row,
+        lambda ref, b, kind: (ref, kind, len(b), None, None, None,
+                              "decode_error"),
+        extra_cols=("media_kind",),
+    )
 
 
 # --- video frame sampling ---------------------------------------------------
@@ -139,24 +155,27 @@ def sample_frames(media: DataFrame, every_n: int = 5,
     no shuffle — repartition big video tables by hash(media_ref)
     upstream so demux cost spreads."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for ref, payload in zip(pdf["media_ref"], pdf["content"]):
-                b = bytes(payload) if payload is not None else b""
-                try:
-                    n = _fake_frame_count(b)
-                    cmd5 = hashlib.md5(b).hexdigest()
-                    for i in range(0, n, every_n):
-                        fm = hashlib.md5(f"{cmd5}:{i}".encode()).hexdigest()
-                        rows.append((ref, i, i * 1000 // fps, fm, "ok"))
-                except Exception:
-                    rows.append((ref, None, None, None, "decode_error"))
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in FRAME_SCHEMA.fields]
-            )
+    # caller-parameter bugs must fail loudly HERE, not leak into the
+    # per-row quarantine (every_n=0 would silently turn every video
+    # into a decode_error row and the job would "succeed")
+    if every_n < 1:
+        raise ValueError(f"every_n must be >= 1, got {every_n}")
+    if fps < 1:
+        raise ValueError(f"fps must be >= 1, got {fps}")
 
-    return media.select("media_ref", "content").mapInPandas(run, FRAME_SCHEMA)
+    def row(ref, b):
+        n = _fake_frame_count(b)
+        cmd5 = hashlib.md5(b).hexdigest()
+        return [
+            (ref, i, i * 1000 // fps,
+             hashlib.md5(f"{cmd5}:{i}".encode()).hexdigest(), "ok")
+            for i in range(0, n, every_n)
+        ]
+
+    return _per_payload_plan(
+        media, FRAME_SCHEMA, row,
+        lambda ref, b: (ref, None, None, None, "decode_error"),
+    )
 
 
 # --- image resize planning --------------------------------------------------
@@ -179,25 +198,19 @@ def resize_plan(media: DataFrame, target: int = 224) -> DataFrame:
     integer-exact in every engine). The actual pixel resample is the
     stubbed codec step; the schema/batching is the production shape."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            rows = []
-            for ref, payload in zip(pdf["media_ref"], pdf["content"]):
-                b = bytes(payload) if payload is not None else b""
-                try:
-                    w, h = _fake_decode(b)
-                    m = max(w, h)
-                    rows.append(
-                        (ref, w, h, max(1, (w * target) // m),
-                         max(1, (h * target) // m), "ok")
-                    )
-                except Exception:
-                    rows.append((ref, None, None, None, None, "decode_error"))
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in RESIZE_SCHEMA.fields]
-            )
+    if target < 1:
+        raise ValueError(f"target must be >= 1, got {target}")
 
-    return media.select("media_ref", "content").mapInPandas(run, RESIZE_SCHEMA)
+    def row(ref, b):
+        w, h = _fake_decode(b)
+        m = max(w, h)
+        return [(ref, w, h, max(1, (w * target) // m),
+                 max(1, (h * target) // m), "ok")]
+
+    return _per_payload_plan(
+        media, RESIZE_SCHEMA, row,
+        lambda ref, b: (ref, None, None, None, None, "decode_error"),
+    )
 
 
 # --- audio chunking ---------------------------------------------------------
@@ -221,22 +234,20 @@ def audio_chunk_plan(media: DataFrame, sample_rate: int = 16000,
     a ragged tail — the schema a streaming ASR feature extractor needs.
     Integer arithmetic only (engine-portable)."""
 
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        chunk = sample_rate * chunk_seconds
-        for pdf in batches:
-            rows = []
-            for ref, payload in zip(pdf["media_ref"], pdf["content"]):
-                b = bytes(payload) if payload is not None else b""
-                try:
-                    n = len(b) * 4
-                    n_chunks = max(1, -(-n // chunk))
-                    last = n - (n_chunks - 1) * chunk
-                    rows.append((ref, sample_rate, n, n_chunks, last, "ok"))
-                except Exception:
-                    rows.append((ref, sample_rate, None, None, None,
-                                 "decode_error"))
-            yield pd.DataFrame(
-                rows, columns=[f.name for f in AUDIO_SCHEMA.fields]
-            )
+    if sample_rate < 1 or chunk_seconds < 1:
+        raise ValueError(
+            f"sample_rate and chunk_seconds must be >= 1, got "
+            f"{sample_rate}/{chunk_seconds}"
+        )
+    chunk = sample_rate * chunk_seconds
 
-    return media.select("media_ref", "content").mapInPandas(run, AUDIO_SCHEMA)
+    def row(ref, b):
+        n = len(b) * 4
+        n_chunks = max(1, -(-n // chunk))
+        last = n - (n_chunks - 1) * chunk
+        return [(ref, sample_rate, n, n_chunks, last, "ok")]
+
+    return _per_payload_plan(
+        media, AUDIO_SCHEMA, row,
+        lambda ref, b: (ref, sample_rate, None, None, None, "decode_error"),
+    )

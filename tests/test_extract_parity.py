@@ -574,3 +574,49 @@ def test_split_path_null_spans_and_null_toc_text_parity(spark):
     for d in seq:
         assert spl[d] == seq[d], d
     assert seq["nullspans"][0] == "empty"
+
+
+def test_skew_route_equality_out_of_order_spans_array(spark):
+    """A spans array stored OUT of offset order (upstream reassembly)
+    must fold identically on the sequential and skew routes: both now
+    order by the span's own offset field (fold.py:182), with array
+    position as the stable tiebreak — the skew path used to chunk and
+    cut by raw array position."""
+    import random
+
+    from pdfspark.config import ExtractConfig
+    from pdfspark.operators.extract import (
+        SKEW_SPAN_THRESHOLD,
+        extract_documents,
+        extract_spans_split,
+    )
+
+    rng = random.Random(99)
+    n = SKEW_SPAN_THRESHOLD + 200
+    spans = [dict(kind="TOC", text="Introduction", media_ref=None,
+                  offset=0)]
+    spans += [dict(kind="PageStart", text=None, media_ref=None, offset=1)]
+    spans += [
+        dict(kind="TextBox", text=f"line {i} body", media_ref=None,
+             offset=i)
+        for i in range(2, n)
+    ]
+    shuffled = spans[:]
+    rng.shuffle(shuffled)
+    df = spark.createDataFrame(
+        [("ooo-doc", shuffled)],
+        "doc_id string, spans array<struct<kind string, text string, "
+        "media_ref string, offset int>>",
+    )
+    cfg = ExtractConfig()
+    seq = extract_documents(df, None, cfg, spans_only=True).collect()
+    par = extract_spans_split(df, None, cfg).collect()
+    assert len(seq) == len(par) == 1
+    assert [t.asDict() for t in seq[0].spans] == \
+           [t.asDict() for t in par[0].spans]
+    # start_page front-matter cutoff must follow offset order too
+    cfg2 = ExtractConfig(start_page=1)
+    seq2 = extract_documents(df, None, cfg2, spans_only=True).collect()
+    par2 = extract_spans_split(df, None, cfg2).collect()
+    assert [t.asDict() for t in seq2[0].spans] == \
+           [t.asDict() for t in par2[0].spans]

@@ -1252,3 +1252,29 @@ def test_current_section_rewrite_is_toc_conditional(spark):
                      "4.1 Unlisted topic", 2, h1)
     assert h1 == "3.2 Methods" == c[2].current_section
     assert h2 == "4.1 Unlisted topic" == c[4].current_section
+
+
+def test_media_planner_param_validation(spark, docs_all):
+    """Caller-parameter bugs must raise eagerly, not quarantine every
+    row as decode_error (a job that 'succeeds' with an empty frame
+    table hides the misconfiguration)."""
+    import pytest as _pt
+
+    from pdfspark.operators.media import (
+        audio_chunk_plan,
+        media_table_video,
+        resize_plan,
+        sample_frames,
+    )
+
+    vids = media_table_video(docs_all.limit(2))
+    with _pt.raises(ValueError):
+        sample_frames(vids, every_n=0)
+    with _pt.raises(ValueError):
+        sample_frames(vids, fps=0)
+    with _pt.raises(ValueError):
+        resize_plan(vids, target=0)
+    with _pt.raises(ValueError):
+        audio_chunk_plan(vids, sample_rate=0)
+    # valid params still produce rows with ok status
+    assert sample_frames(vids).filter(F.col("status") == "ok").count() > 0

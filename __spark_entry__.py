@@ -40,7 +40,14 @@ DOCS01 = f"read_parquet('{FIX01}/documents_in.parquet')"
 def _fixture_dir(sf_dir: str) -> str:
     name = os.path.basename(os.path.normpath(sf_dir))
     if not name.startswith("sf"):
-        name = "sf0.01"
+        # loud failure: silently defaulting to sf0.01 fixtures here
+        # would join tables from TWO different corpora (documents from
+        # sf_dir, aug/geom fixtures from sf0.01) — wrong bench numbers
+        # and parity MISMATCHes that masquerade as engine bugs
+        raise ValueError(
+            f"sf_dir basename must start with 'sf' (got {sf_dir!r}); "
+            "fixtures are generated per scale factor"
+        )
     return ensure_fixtures(name)
 
 
@@ -267,8 +274,11 @@ def _q_tables_merged(spark, sf_dir):
 
 
 def _q_tables_exact(spark, sf_dir):
-    """Exact-parity fold (applyInPandas) — no SQL oracle; checked by
-    pytest against the pure-Python oracle instead (rows-only here)."""
+    """Exact-parity fold (applyInPandas). Fully hash-compared by the
+    driver: oracle_sql() serves the materialized pure-Python fold
+    output (the oracle_tables_exact.parquet sidecar synth writes at
+    fixture-gen time), so schema/column changes here must be mirrored
+    in that sidecar."""
     from pdfspark.operators.boilerplate import header_footer
     from pdfspark.operators.tables import extract_tables_exact
 

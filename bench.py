@@ -107,24 +107,32 @@ def _scaling_job(spark, sf_dir: str, k: int):
     the replication harness, not of the job (a real corpus arrives
     as thousands of splits). Base-first order keeps the one serial
     exchange at 1× data and multiplies across 64 parallel tasks."""
-    from pyspark.sql import functions as F
-
     from pdfspark.operators.boilerplate import header_footer
     from pdfspark.operators.extract import extract_spans_split
 
-    reps = spark.range(k).select(F.col("id").cast("string").alias("rep"))
-    rep_id = F.concat_ws("#", "rep", "doc_id").alias("doc_id")
-
-    geom = E._geom(spark, sf_dir).repartition(64)
-    geom_k = geom.crossJoin(F.broadcast(reps)).select(
-        rep_id, *[c for c in geom.columns if c != "doc_id"]
-    )
+    geom = E._geom(spark, sf_dir)
+    geom_k = _replicated(spark, geom, k,
+                         [c for c in geom.columns if c != "doc_id"])
     hf_k = header_footer(geom_k)
-
-    docs = E._docs_in(spark, sf_dir).repartition(64)
-    docs_k = docs.crossJoin(F.broadcast(reps)).select(rep_id, "spans")
+    docs_k = _replicated(spark, E._docs_in(spark, sf_dir), k, ["spans"])
     return extract_spans_split(docs_k, hf_k, skew_threshold=2000,
                                spans_per_chunk=512)
+
+
+def _replicated(spark, df, k: int, cols):
+    """K-replicate a per-doc frame with distinct doc_ids, BASE-FIRST:
+    repartition the single-fixture-split base to 64 slices BEFORE the
+    replicating crossJoin (load-bearing — see _scaling_job docstring:
+    base-first keeps the one serial exchange at 1x data and spreads
+    the Kx multiplication across 64 parallel tasks). Shared by the
+    scaling job, its SQL twin, and the Arrow control so the input
+    construction can never drift between them."""
+    from pyspark.sql import functions as F
+
+    reps = spark.range(k).select(F.col("id").cast("string").alias("rep"))
+    rep_id = F.concat_ws("#", "rep", "doc_id").alias("doc_id")
+    return df.repartition(64).crossJoin(F.broadcast(reps)).select(
+        rep_id, *cols)
 
 
 def _scaling_job_sql(spark, sf_dir: str, k: int):
@@ -161,14 +169,9 @@ def _scaling_job_sql(spark, sf_dir: str, k: int):
     multiplication happen across 64 parallel tasks. (The fold job
     needs no such step: extract_spans_split repartitions internally
     as part of its skew routing.)"""
-    from pyspark.sql import functions as F
-
     from pdfspark.operators.extract import extract_spans_relational
 
-    reps = spark.range(k).select(F.col("id").cast("string").alias("rep"))
-    rep_id = F.concat_ws("#", "rep", "doc_id").alias("doc_id")
-    docs = E._docs_in(spark, sf_dir).repartition(64)
-    docs_k = docs.crossJoin(F.broadcast(reps)).select(rep_id, "spans")
+    docs_k = _replicated(spark, E._docs_in(spark, sf_dir), k, ["spans"])
     return extract_spans_relational(docs_k)
 
 
@@ -203,14 +206,9 @@ def _arrow_control(spark, sf_dir: str, k: int):
     control's past-8-threads cap."""
     from pyspark.sql import functions as F
 
-    reps = spark.range(k).select(F.col("id").cast("string").alias("rep"))
-    rep_id = F.concat_ws("#", "rep", "doc_id").alias("doc_id")
-    # base-first repartition for the same reason as _scaling_job: the
-    # measured hash exchange must be written by parallel tasks, not
-    # the single fixture-split scan task carrying K× bytes
-    docs = E._docs_in(spark, sf_dir).repartition(64)
-    docs_k = docs.crossJoin(F.broadcast(reps)).select(
-        rep_id, "spans").repartition(F.xxhash64("doc_id"))
+    docs_k = _replicated(
+        spark, E._docs_in(spark, sf_dir), k, ["spans"]
+    ).repartition(F.xxhash64("doc_id"))
 
     def passthru(batches):
         yield from batches
@@ -412,8 +410,11 @@ def _stream_dedup_report() -> dict:
         # O(batch) evidence: wave 0 has NO accumulated state (the
         # cross-batch stage is skipped entirely), so it is not a
         # like-for-like baseline — compare the last wave against the
-        # FIRST STATEFUL wave (index 1) when one exists
-        base_idx = 1 if len(waves) > 1 else 0
+        # FIRST STATEFUL wave (index 1). That baseline must also not
+        # BE the last wave (with 2 waves the ratio compares the last
+        # wave to itself — identically 1.0, vacuous evidence), so the
+        # flatness metric needs >= 3 waves.
+        base_idx = 1 if len(waves) > 2 else 0
         base, last = waves[base_idx]["sec"], waves[-1]["sec"]
         return {
             "job": f"neardup_stream, {n_waves} waves of sf corpus",
@@ -519,17 +520,22 @@ def _previous_round() -> dict | None:
 # round's row, so the vs-r4 time ratio is new work, not a regression
 # of the old path (the old path's standalone time is noted). Reported
 # in a separate `semantic_upgrades` block — ratios stay visible.
+# query -> (last_prev_round_exempt, note): the exemption applies ONLY
+# while comparing against a round that still ran the OLD semantics —
+# from the next round on, the previous record already measures the
+# upgraded query and a slowdown is a genuine regression the gate must
+# flag (an unconditional exemption would blind the gate forever).
 SEMANTIC_UPGRADES = {
-    "w1_reading_order": (
+    "w1_reading_order": (4, (
         "r5 row = ref (-y1,x1) sort UNION the new XY-cut variant; the "
         "ref path alone still times ~0.35 s — the delta is the added "
         "per-page segmentation kernel"
-    ),
-    "dd_simhash_pairs": (
+    )),
+    "dd_simhash_pairs": (4, (
         "r5 row = fixture 4x8 config UNION the production 64-bit/4x16/"
         "h<=3 tight contract sharing one signature pass (r4 had the "
         "fixture config only)"
-    ),
+    )),
 }
 
 
@@ -543,6 +549,15 @@ def _deltas(timings: dict, prev: dict) -> dict:
     for the driver). Queries in SEMANTIC_UPGRADES are reported under
     their own status instead of the regression lists."""
     pq = {**prev.get("queries", {}), **prev.get("td_queries", {})}
+    prev_round = prev.get("_round")
+
+    def exempt(k):
+        # exempt only while the comparison baseline predates the
+        # semantic change; newer baselines already measure it
+        return (k in SEMANTIC_UPGRADES
+                and prev_round is not None
+                and prev_round <= SEMANTIC_UPGRADES[k][0])
+
     ratios = {
         k: round(v / pq[k], 2)
         for k, v in timings.items()
@@ -550,7 +565,7 @@ def _deltas(timings: dict, prev: dict) -> dict:
     }
     status = {
         k: (
-            "semantic-upgrade" if k in SEMANTIC_UPGRADES and r > 1.5
+            "semantic-upgrade" if exempt(k) and r > 1.5
             else "flag>1.5x" if r > 1.5
             else "ok"
         )
@@ -572,10 +587,10 @@ def _deltas(timings: dict, prev: dict) -> dict:
         "regressed_1_5x": flagged,
         "regressed_2x": sorted(
             k for k, r in ratios.items()
-            if r > 2.0 and k not in SEMANTIC_UPGRADES
+            if r > 2.0 and not exempt(k)
         ),
         "semantic_upgrades": {
-            k: SEMANTIC_UPGRADES[k]
+            k: SEMANTIC_UPGRADES[k][1]
             for k, s in status.items() if s == "semantic-upgrade"
         },
     }

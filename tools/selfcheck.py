@@ -33,10 +33,16 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
         # text legitimately contains \x1c-\x1f control characters (the
         # adversarial trim corpus), and unescaped separators could make
         # genuinely different tables hash identical (false MATCH)
+        # the NULL sentinel must be unreachable from real values: a
+        # genuine string 'NULL' escapes its backslash-free form via
+        # the \x00 prefix below, so it can never hash-collide with an
+        # actual SQL NULL (same false-MATCH class as the separator
+        # escaping)
         d[c] = d[c].map(
-            lambda v: "NULL"
+            lambda v: "\x00NULL"
             if v is None or (isinstance(v, float) and pd.isna(v))
             else str(v).replace("\\", "\\\\")
+                       .replace("\x00", "\\u00")
                        .replace("\x1f", "\\u1f").replace("\x1e", "\\u1e")
         )
     rows = sorted("\x1f".join(r) for r in d.itertuples(index=False, name=None))
@@ -47,6 +53,10 @@ def canon(df: pd.DataFrame) -> tuple[int, list[str], str]:
 def main():
     spark = build_session(master="local[8]", shuffle_partitions=8)
     con = duckdb.connect()
+    # the full driver-contract view list (the driver pre-registers all
+    # TPC-H-ish names); THIS corpus ships only events/documents/
+    # embeddings, the rest no-op via the exists guard but keep the
+    # mimic faithful to the contract
     for name in ("region nation customer supplier part orders lineitem "
                  "events documents embeddings").split():
         p = os.path.join(SF_DIR, f"{name}.parquet")
@@ -67,7 +77,17 @@ def main():
     fix = E._fixture_dir(SF_DIR)
     if fix != E.FIX01:
         os_ = {k: v.replace(E.FIX01, fix) for k, v in os_.items()}
+        # the textual retarget only works while every oracle embeds
+        # the exact FIX01 literal — a differently-composed path would
+        # silently keep reading sf0.01 against another SF's Spark side
+        stale = [k for k, v in os_.items() if E.FIX01 in v]
+        assert not stale, f"oracle SQL kept sf0.01 fixture paths: {stale}"
     if ONLY is not None:
+        unknown = ONLY - qs.keys()
+        if unknown:
+            # a typo'd --only must not yield a vacuous '0/0 OK' exit 0
+            print(f"unknown --only queries: {sorted(unknown)}")
+            return 2
         qs = {k: v for k, v in qs.items() if k in ONLY}
     failures = []
     for name, fn in qs.items():

@@ -4,7 +4,7 @@ Every value cites the reference location it reproduces so parity
 tests can point back at the spec.
 """
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 # Row-clustering vertical tolerance (pt). Ref: src/table_extractor.py:9
 Y_TOLERANCE = 10.0

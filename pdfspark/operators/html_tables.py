@@ -10,13 +10,21 @@ Semantics reproduced:
  - data rows = every <tr> except the FIRST (header skipped by
    position, not by tag).
  - a row whose <td> count equals the column count is keyed by the
-   column names; otherwise keys fall back to 'Column {i+1}' (the
-   arity-mismatch quirk).
+   column names; duplicate names collapse dict-style (first position,
+   last value — the reference builds a dict comprehension); otherwise
+   keys fall back to 'Column {i+1}' (the arity-mismatch quirk).
+ - BeautifulSoup descend semantics: `table.find_all("tr")` and
+   `tr.find_all("td")` DESCEND into nested tables, and `td.text`
+   includes every descendant's text — so an inner table's cells count
+   both as extra tds of the outer row (at the outer td's text
+   containing them) and as their own rows, and flow content inside a
+   cell (an <h1>) stays part of the cell text while still feeding the
+   first-h1 title capture.
 
 Implemented as an Arrow-batched mapInPandas over stdlib
-html.parser (BeautifulSoup is not available in the engine; for the
-well-formed snippets the pipeline ingests, the two parsers agree —
-divergence would only appear on malformed nesting).
+html.parser (BeautifulSoup is not available in the engine; the
+descend/implied-end rules above are reproduced explicitly and pinned
+by pytest against hand-derived BeautifulSoup outputs).
 """
 
 from __future__ import annotations
@@ -41,72 +49,98 @@ HTML_ROWS_SCHEMA = T.StructType(
 
 class _TableParser(HTMLParser):
     """Collects first-<h1> text, first-<table> <th> texts, and the
-    td texts of every <tr> of that table."""
+    td texts of every <tr> of that table, with BeautifulSoup descend
+    semantics (see module docstring).
+
+    Open cells/rows live on stacks tagged with their <table> depth:
+    a new td/tr implied-closes only siblings AT ITS OWN depth (an
+    inner table's tr must not close the outer td it nests in); td
+    text slots are reserved at START-tag time in every open ancestor
+    row (find_all document order) and filled at close; data appends
+    to every open cell buffer (td.text includes descendants)."""
 
     def __init__(self):
         super().__init__()
         self.h1: str | None = None
         self.ths: list[str] = []
-        self.trs: list[list[str]] = []
-        self._in_h1 = False
+        self.trs: list[list] = []       # flat, document order
+        self._h1_buf: list[str] | None = None
         self._h1_done = False
-        self._table_depth = 0
-        self._table_done = False
-        self._in_tr = False
-        self._cell_kind: str | None = None  # 'th' | 'td'
-        self._buf: list[str] = []
+        self._depth = 0
+        self._done = False
+        self._open_rows: list[tuple[int, list]] = []   # (depth, row)
+        # cell = [depth, kind, buf, slots]; slots = [(row, index), ...]
+        self._open_cells: list[list] = []
 
-    def _flush_cell(self):
-        # implied end tag (valid HTML5: <tr><td>1<td>2</tr>): commit the
-        # open cell when a new cell/row starts or the row/table closes —
-        # BeautifulSoup (the reference parser) does this implicitly
-        if self._cell_kind is None:
-            return
-        text = "".join(self._buf)
-        if self._cell_kind == "th":
+    def _close_cell(self):
+        depth, kind, buf, slots = self._open_cells.pop()
+        text = "".join(buf)
+        if kind == "th":
             self.ths.append(text)
-        elif self._in_tr and self.trs:
-            self.trs[-1].append(text)
-        self._cell_kind = None
+        else:
+            for row, idx in slots:
+                row[idx] = text
+
+    def _close_cells_at(self, depth):
+        while self._open_cells and self._open_cells[-1][0] >= depth:
+            self._close_cell()
+
+    def _close_rows_at(self, depth):
+        while self._open_rows and self._open_rows[-1][0] >= depth:
+            self._open_rows.pop()
 
     def handle_starttag(self, tag, attrs):
         if tag == "h1" and not self._h1_done:
-            self._in_h1 = True
-            self._buf = []
+            self._h1_buf = []
         elif tag == "table":
-            if self._table_done:
+            if self._done:
                 return
-            self._table_depth += 1
-        elif self._table_depth and not self._table_done:
+            self._depth += 1
+        elif self._depth and not self._done:
             if tag == "tr":
-                self._flush_cell()
-                self._in_tr = True
-                self.trs.append([])
+                # implied end: a sibling tr closes this depth's open
+                # cell and row, never an outer table's
+                self._close_cells_at(self._depth)
+                self._close_rows_at(self._depth)
+                row: list = []
+                self.trs.append(row)
+                self._open_rows.append((self._depth, row))
             elif tag in ("th", "td"):
-                self._flush_cell()
-                self._cell_kind = tag
-                self._buf = []
+                self._close_cells_at(self._depth)
+                slots = []
+                if tag == "td":
+                    # reserve a slot in every open ancestor row NOW:
+                    # find_all("td") orders by start tag (pre-order),
+                    # but the text is only complete at the end tag
+                    for _, row in self._open_rows:
+                        row.append(None)
+                        slots.append((row, len(row) - 1))
+                self._open_cells.append([self._depth, tag, [], slots])
 
     def handle_endtag(self, tag):
-        if tag == "h1" and self._in_h1:
-            self.h1 = "".join(self._buf)
-            self._in_h1 = False
+        if tag == "h1" and self._h1_buf is not None:
+            self.h1 = "".join(self._h1_buf)
+            self._h1_buf = None
             self._h1_done = True
-        elif tag == "table" and self._table_depth:
-            self._flush_cell()
-            self._table_depth -= 1
-            if self._table_depth == 0:
-                self._table_done = True
-        elif self._table_depth and not self._table_done:
+        elif tag == "table" and self._depth:
+            self._close_cells_at(self._depth)
+            self._close_rows_at(self._depth)
+            self._depth -= 1
+            if self._depth == 0:
+                self._done = True
+        elif self._depth and not self._done:
             if tag == "tr":
-                self._flush_cell()
-                self._in_tr = False
-            elif tag in ("th", "td") and self._cell_kind is not None:
-                self._flush_cell()
+                self._close_cells_at(self._depth)
+                self._close_rows_at(self._depth)
+            elif tag in ("th", "td"):
+                if self._open_cells and self._open_cells[-1][1] == tag:
+                    self._close_cell()
 
     def handle_data(self, data):
-        if self._in_h1 or self._cell_kind is not None:
-            self._buf.append(data)
+        if self._h1_buf is not None:
+            self._h1_buf.append(data)
+        for cell in self._open_cells:
+            cell[2].append(data)
 
 
 def parse_html_table(doc_id: int, html: str) -> list[tuple]:
@@ -116,15 +150,26 @@ def parse_html_table(doc_id: int, html: str) -> list[tuple]:
         return []
     p = _TableParser()
     p.feed(html)
+    # truncated input (missing end tags): commit whatever is still
+    # open, like BeautifulSoup's tree completion — an unfilled slot
+    # must not survive as None
+    p._close_cells_at(0)
     title = p.h1.strip() if p.h1 is not None else "No Title"
     columns = [t.strip() for t in p.ths]
     out = []
     for ri, tds in enumerate(p.trs[1:]):  # skip header row by position
         if len(tds) == len(columns):
-            keys = columns
+            # reference builds a dict comprehension keyed by column
+            # name: duplicate <th> names collapse to ONE entry at the
+            # first position with the LAST value
+            d: dict = {}
+            for k, v in zip(columns, tds):
+                d[k] = v
+            cells = "|".join(f"{k}={v.strip()}" for k, v in d.items())
         else:
-            keys = [f"Column {i + 1}" for i in range(len(tds))]
-        cells = "|".join(f"{k}={v.strip()}" for k, v in zip(keys, tds))
+            cells = "|".join(
+                f"Column {i + 1}={v.strip()}" for i, v in enumerate(tds)
+            )
         out.append((doc_id, title, ri, cells))
     return out
 

@@ -41,14 +41,10 @@ SPANS_GEOM = T.StructType(
 )
 
 # Output of the extraction fold: classified spans in document order.
-EXTRACTED_SPAN = T.StructType(
-    [
-        T.StructField("kind", T.StringType()),
-        T.StructField("text", T.StringType()),
-        T.StructField("media_ref", T.StringType()),
-        T.StructField("offset", T.IntegerType()),
-    ]
-)
+# INTENTIONALLY the same shape as the input span (the fold relabels
+# kinds and renumbers offsets but adds no fields) — aliased, not
+# duplicated, so a span-shape change cannot update only one of them.
+EXTRACTED_SPAN = SPAN
 
 EXTRACTED = T.StructType(
     [

@@ -18,8 +18,17 @@ def build_session(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        n = cpus if cpus.isdigit() else os.cpu_count() or 8
-        shuffle_partitions = int(n)
+        # size shuffles to the MASTER actually in use: a caller passing
+        # master='local[2]' must not inherit the 32-partition env
+        # default (8-16x over-partitioned shuffles on a 2-core session)
+        import re
+
+        m = re.fullmatch(r"local\[(\d+)\]", master)
+        if m:
+            shuffle_partitions = int(m.group(1))
+        else:
+            n = cpus if cpus.isdigit() else os.cpu_count() or 8
+            shuffle_partitions = int(n)
 
     b = (
         SparkSession.builder.master(master)

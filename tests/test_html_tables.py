@@ -74,3 +74,47 @@ def test_parse_html_uppercase_tags():
     html = ("<TABLE><TR><TH>a</TH></TR>"
             "<TR><TD>1</TD></TR></TABLE>")
     assert len(parse_html_table(8, html)) == 1
+
+
+def test_flow_content_inside_cell_stays_in_cell():
+    """BeautifulSoup parity: an <h1> inside a <td> feeds BOTH the
+    first-h1 title capture and the cell text (td.text includes
+    descendants) — the old parser reset the shared buffer, dropping
+    the cell prefix and leaking the heading into the cell."""
+    rows = parse_html_table(
+        1, "<table><tr><th>c</th></tr>"
+           "<tr><td>x<h1>T</h1>y</td></tr></table>")
+    assert rows == [(1, "T", 0, "c=xTy")]
+
+
+def test_nested_table_descend_semantics():
+    """BeautifulSoup parity: find_all('tr')/find_all('td') DESCEND —
+    the inner table's td counts as an extra td of the outer row (whose
+    own td text contains the nested content), and the inner tr is also
+    its own row."""
+    rows = parse_html_table(
+        2, "<h1>T</h1><table><tr><th>c</th></tr>"
+           "<tr><td>a<table><tr><td>b</td></tr></table></td></tr>"
+           "</table>")
+    assert rows == [
+        (2, "T", 0, "Column 1=ab|Column 2=b"),
+        (2, "T", 1, "c=b"),
+    ]
+
+
+def test_duplicate_th_collapses_dict_style():
+    """Reference parity: the row dict comprehension keyed by column
+    name collapses duplicate <th> names — first position, last
+    value."""
+    rows = parse_html_table(
+        3, "<table><tr><th>a</th><th>a</th></tr>"
+           "<tr><td>1</td><td>2</td></tr></table>")
+    assert rows == [(3, "No Title", 0, "a=2")]
+
+
+def test_truncated_html_commits_open_cells():
+    """Missing end tags (tree completion): the open cell/row still
+    commit, no None placeholders survive."""
+    rows = parse_html_table(
+        4, "<table><tr><th>k</th></tr><tr><td>v")
+    assert rows == [(4, "No Title", 0, "k=v")]

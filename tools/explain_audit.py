@@ -67,6 +67,16 @@ def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
     only = set(sys.argv[2].split(",")) if len(sys.argv) > 2 else None
     spark = build_session(master="local[4]", shuffle_partitions=4)
+    if only:
+        # a typo'd (or SKIP-filtered) name must not audit nothing and
+        # exit 0 — that reads as "plans passed" when no plan was built
+        import __spark_entry__ as E
+
+        known = set(E.queries()) - SKIP
+        unknown = only - known
+        if unknown:
+            print(f"unknown or skipped query names: {sorted(unknown)}")
+            return 2
     rows = audit(spark, sf_dir, only)
     spark.stop()
     w = max((len(n) for n in rows), default=0)

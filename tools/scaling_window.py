@@ -45,7 +45,12 @@ def _score(rep: dict) -> tuple:
     """
     ctl = rep["hw_ceiling_n_to_4n"]["2_to_8"]
     norm = rep.get("normalized_vs_arrow", {})
-    min_norm = min(norm.values()) if norm else 0.0
+    # records predating the normalized_vs_arrow field (the r4-format
+    # clean window) must stay competitive: score their raw 2->8 job
+    # efficiency as the proxy instead of 0.0, or ANY new window would
+    # displace a strictly better recorded one
+    min_norm = (min(norm.values()) if norm
+                else rep["efficiency_n_to_4n"]["2_to_8"])
     return (1 if ctl >= 0.95 else 0,
             round(min_norm, 3),
             rep["efficiency_n_to_4n"]["2_to_8"],
@@ -90,7 +95,8 @@ def main() -> int:
             best = rep
         if ctl >= 0.95 and job >= 0.8:
             break
-        time.sleep(30)
+        if i < attempts - 1:  # no idle wait after the final attempt
+            time.sleep(30)
 
     out = os.path.join(REPO, "fixtures",
                        f"scaling_r{rnd}_clean_window.json")

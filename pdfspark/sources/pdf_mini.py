@@ -1621,6 +1621,16 @@ def _stream_filters(sdict: bytes) -> list[bytes]:
     return re.findall(rb"/(\w+)", fm.group(1))
 
 
+# Decompression-bomb guard: cap on DECODED bytes per stream stage.
+# A web-scale corpus will contain crafted zip-bomb PDFs — a few-KB
+# Flate/LZW stream expanding to GBs; without a cap that OOMs the
+# executor (killing the whole task's batch) instead of quarantining
+# one document. 64 MiB is orders of magnitude above any real content
+# or xref stream; each filter-chain STAGE is capped, so a chain of
+# bombs still peaks at one cap. Tests monkeypatch this down.
+MAX_STREAM_BYTES = 64 << 20
+
+
 def _rle_decode(data: bytes) -> bytes:
     """RunLengthDecode (PDF 7.4.5): length byte L < 128 copies the
     next L+1 bytes literally, L > 128 repeats the next byte 257-L
@@ -1631,6 +1641,8 @@ def _rle_decode(data: bytes) -> bytes:
     while True:
         if i >= len(data):
             raise ValueError("RunLength stream without EOD")
+        if len(out) > MAX_STREAM_BYTES:
+            raise ValueError("RunLength expansion over cap")
         ln = data[i]
         i += 1
         if ln == 128:
@@ -1727,6 +1739,8 @@ def _lzw_decode(data: bytes) -> bytes:
             else:
                 raise ValueError("bad LZW code")
             out += entry
+            if len(out) > MAX_STREAM_BYTES:
+                raise ValueError("LZW expansion over cap")
             if prev:
                 table.append(prev + entry[:1])
             prev = entry
@@ -1750,9 +1764,17 @@ def _apply_filters(sdict: bytes, data: bytes) -> bytes:
     for name in _stream_filters(sdict):
         if name == b"FlateDecode":
             try:
-                data = zlib.decompress(data)
+                d = zlib.decompressobj()
+                data = d.decompress(data, MAX_STREAM_BYTES + 1)
             except zlib.error as ex:
                 raise ValueError(f"bad deflate stream: {ex}")
+            if len(data) > MAX_STREAM_BYTES:
+                raise ValueError("deflate expansion over cap")
+            if not d.eof:
+                # zlib.decompress() semantics preserved: a truncated
+                # stream quarantines (decompressobj just stops short)
+                raise ValueError("bad deflate stream: incomplete or "
+                                 "truncated stream")
         elif name in _DECODERS:
             data = _DECODERS[name](data)
         else:

@@ -1618,3 +1618,64 @@ def test_malformed_decoder_span_quarantines_not_crashes(spark, tmp_path):
     out = decode_payloads(read_payloads(spark, d),
                           decoder=decoder2).collect()
     assert all(r.status == "ok" for r in out)
+
+
+def test_stream_expansion_cap_quarantines_bombs(monkeypatch):
+    """Decompression-bomb guard: a stream whose DECODED size exceeds
+    MAX_STREAM_BYTES raises (→ quarantine) instead of ballooning
+    executor memory — the poison-document class a web-scale corpus
+    is guaranteed to contain. Cap is per filter-chain stage, checked
+    for Flate, LZW and RunLength (ASCIIHex/85 contract input)."""
+    import zlib
+
+    from pdfspark.sources import pdf_mini
+    from pdfspark.sources.pdf_mini import _apply_filters
+
+    # direct bomb shapes through the single filter funnel
+    monkeypatch.setattr(pdf_mini, "MAX_STREAM_BYTES", 4096)
+    bomb = zlib.compress(b"\0" * 5000)
+    assert len(bomb) < 100  # genuinely bomb-shaped (>50x expansion)
+    with pytest.raises(ValueError, match="deflate expansion over cap"):
+        _apply_filters(b"<< /Filter /FlateDecode >>", bomb)
+    from pdfspark.sources.pdf_mini import _lzw_encode, _rle_encode
+    with pytest.raises(ValueError, match="LZW expansion over cap"):
+        _apply_filters(b"<< /Filter /LZWDecode >>",
+                       _lzw_encode(b"\0" * 5000))
+    with pytest.raises(ValueError, match="RunLength expansion over cap"):
+        _apply_filters(b"<< /Filter /RunLengthDecode >>",
+                       _rle_encode(b"\0" * 5000))
+    # under the cap all three still decode
+    for spec, enc in ((b"/FlateDecode", zlib.compress(b"\1" * 4000)),
+                      (b"/LZWDecode", _lzw_encode(b"\1" * 4000)),
+                      (b"/RunLengthDecode", _rle_encode(b"\1" * 4000))):
+        assert _apply_filters(b"<< /Filter " + spec + b" >>",
+                              enc) == b"\1" * 4000
+
+    # end-to-end: a compressed PDF over a (monkeypatched-tiny) cap
+    # quarantines; the same bytes decode fine at the real cap
+    pages = [["paragraph " + str(i) + " body text" for i in range(40)]]
+    pdf = build_tiny_pdf("bombdoc", pages, compress=True)
+    monkeypatch.setattr(pdf_mini, "MAX_STREAM_BYTES", 64)
+    with pytest.raises(ValueError, match="expansion over cap"):
+        decode_tiny_pdf(pdf)
+    monkeypatch.setattr(pdf_mini, "MAX_STREAM_BYTES", 64 << 20)
+    texts = [s["text"] for s in decode_tiny_pdf(pdf)["spans"]
+             if s["kind"] == "TextBox"]
+    assert len(texts) == 40
+
+
+def test_truncated_deflate_still_quarantines():
+    """The decompressobj swap (bomb guard) must keep zlib.decompress's
+    truncation semantics: a cut-short deflate stream raises rather
+    than silently yielding a partial content stream (wrong parse)."""
+    import zlib
+
+    from pdfspark.sources.pdf_mini import _apply_filters
+
+    full = zlib.compress(b"BT (hello) Tj ET " * 20)
+    with pytest.raises(ValueError, match="truncated"):
+        _apply_filters(b"<< /Filter /FlateDecode >>", full[:-4])
+    # trailing garbage after EOD stays tolerated (zlib.decompress
+    # behavior real writers rely on for padded streams)
+    out = _apply_filters(b"<< /Filter /FlateDecode >>", full + b"XX")
+    assert out == b"BT (hello) Tj ET " * 20

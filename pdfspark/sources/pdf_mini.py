@@ -312,12 +312,16 @@ def _unescape(raw: bytes) -> str:
 
 def _text_string(b: bytes) -> str:
     """PDF *text string* semantics (7.9.2.2): UTF-16BE iff the bytes
-    begin with the FE FF BOM, else PDFDocEncoding (latin-1 is the
-    ASCII-compatible slice). Applies to DOCUMENT-level strings — the
-    Info /Title and outline /Title — NOT to content-stream show
-    strings, whose bytes are font character codes, not text."""
+    begin with the FE FF BOM, UTF-8 iff they begin with EF BB BF
+    (added by PDF 2.0 §7.9.2.2.2 — writers emit it today), else
+    PDFDocEncoding (latin-1 is the ASCII-compatible slice). Applies
+    to DOCUMENT-level strings — the Info /Title and outline /Title —
+    NOT to content-stream show strings, whose bytes are font
+    character codes, not text."""
     if b[:2] == b"\xfe\xff":
         return b[2:].decode("utf-16-be", "replace")
+    if b[:3] == b"\xef\xbb\xbf":
+        return b[3:].decode("utf-8", "replace")
     return b.decode("latin-1")
 
 

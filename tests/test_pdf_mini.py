@@ -1679,3 +1679,30 @@ def test_truncated_deflate_still_quarantines():
     # behavior real writers rely on for padded streams)
     out = _apply_filters(b"<< /Filter /FlateDecode >>", full + b"XX")
     assert out == b"BT (hello) Tj ET " * 20
+
+
+def test_pdf_utf8_bom_text_strings():
+    """PDF 2.0 text strings (§7.9.2.2.2): an EF BB BF BOM marks UTF-8
+    — writers emit it today for non-latin titles. Both the literal and
+    hex /Title forms decode; a BOM-free latin-1 string is unchanged
+    (no false UTF-8 sniffing)."""
+    from pdfspark.sources.pdf_mini import _text_string
+
+    title = "Überblick → Anhang"
+    assert _text_string(b"\xef\xbb\xbf" + title.encode("utf-8")) == title
+    assert _text_string(b"caf\xe9") == "café"  # PDFDocEncoding path
+    # malformed UTF-8 after the BOM degrades via replacement, never
+    # raises (document-level metadata must not quarantine the doc)
+    assert "�" in _text_string(b"\xef\xbb\xbf\xff\xfe")
+
+    # end-to-end: swap the builder's title for the UTF-8 hex form
+    pages = [["1. Intro", "Body."]]
+    pdf = build_tiny_pdf("u8doc", pages, title_utf16=True)
+    assert b"/Title <FEFF" in pdf
+    hex_utf8 = (b"\xef\xbb\xbf" + "u8doc".encode("utf-8")).hex().upper()
+    swapped = pdf.replace(
+        b"<FEFF" + "u8doc".encode("utf-16-be").hex().upper().encode("ascii")
+        + b">",
+        b"<" + hex_utf8.encode("ascii") + b">")
+    assert swapped != pdf
+    assert decode_tiny_pdf(swapped) == decode_tiny_pdf(pdf)

@@ -145,6 +145,8 @@ _INDEX_RE = re.compile(rb"/Index\s*\[([\d\s]*)\]")
 _SIZE_RE = re.compile(rb"/Size\s+(\d+)(?![0-9])")
 _PRED_RE = re.compile(rb"/Predictor\s+(\d+)(?![0-9])")
 _COLS_RE = re.compile(rb"/Columns\s+(\d+)(?![0-9])")
+_COLORS_RE = re.compile(rb"/Colors\s+(\d+)(?![0-9])")
+_BPC_PARM_RE = re.compile(rb"/BitsPerComponent\s+(\d+)(?![0-9])")
 _N_RE = re.compile(rb"/N\s+(\d+)(?![0-9])")
 _FIRST_OFF_RE = re.compile(rb"/First\s+(\d+)(?![0-9])(?!\s+\d+\s+R)")
 _OUTLINES_RE = re.compile(rb"/Outlines\s+(\d+)\s+\d+\s+R")
@@ -1832,6 +1834,25 @@ def _png_unpredict(data: bytes, columns: int) -> bytes:
     return bytes(out)
 
 
+def _tiff_unpredict(data: bytes, columns: int, colors: int) -> bytes:
+    """TIFF /Predictor 2 at 8 bits per component (§7.4.4.4 via TIFF 6
+    horizontal differencing): each sample is the delta from the same
+    component one pixel to the LEFT, rows are columns*colors bytes
+    with NO leading filter-type byte (unlike PNG). Undo = per-row
+    cumulative sum at stride ``colors``. Bad row geometry raises and
+    the doc quarantines."""
+    if columns <= 0 or colors <= 0:
+        raise ValueError("bad predictor row geometry")
+    row_len = columns * colors
+    if len(data) % row_len:
+        raise ValueError("bad predictor row geometry")
+    out = bytearray(data)
+    for r in range(0, len(out), row_len):
+        for i in range(colors, row_len):
+            out[r + i] = (out[r + i] + out[r + i - colors]) & 0xFF
+    return bytes(out)
+
+
 def _filtered_stream(cbody: bytes) -> tuple[bytes, bytes]:
     """(stream dict prefix, fully decoded stream bytes): /Length
     slice, the /Filter chain, then /DecodeParms PNG predictor if
@@ -1845,6 +1866,17 @@ def _filtered_stream(cbody: bytes) -> tuple[bytes, bytes]:
             cm = _COLS_RE.search(sdict)
             cols = int(cm.group(1)) if cm else 1
             data = _png_unpredict(data, cols)
+        elif pred == 2:
+            cm = _COLS_RE.search(sdict)
+            cols = int(cm.group(1)) if cm else 1
+            colm = _COLORS_RE.search(sdict)
+            colors = int(colm.group(1)) if colm else 1
+            bm = _BPC_PARM_RE.search(sdict)
+            if bm is not None and int(bm.group(1)) != 8:
+                # sub-byte/16-bit TIFF differencing needs bit-level
+                # carry semantics we cannot vouch for -> quarantine
+                raise ValueError("unsupported TIFF predictor depth")
+            data = _tiff_unpredict(data, cols, colors)
         elif pred != 1:
             raise ValueError(f"unsupported predictor {pred}")
     return sdict, data

@@ -1706,3 +1706,41 @@ def test_pdf_utf8_bom_text_strings():
         b"<" + hex_utf8.encode("ascii") + b">")
     assert swapped != pdf
     assert decode_tiny_pdf(swapped) == decode_tiny_pdf(pdf)
+
+
+def test_tiff_predictor2_unpredict():
+    """TIFF /Predictor 2 (horizontal differencing, 8-bit) on a
+    filtered stream: forward-difference rows at stride /Colors, then
+    check the decoder restores the original bytes; geometry and depth
+    violations quarantine."""
+    import zlib
+
+    from pdfspark.sources.pdf_mini import _filtered_stream, _tiff_unpredict
+
+    rows, cols, colors = 3, 4, 2
+    raw = bytes(range(rows * cols * colors))
+    # forward horizontal differencing (what a TIFF-predictor writer
+    # emits): sample minus left-neighbor sample of the same component
+    fwd = bytearray(raw)
+    row_len = cols * colors
+    for r in range(0, len(fwd), row_len):
+        for i in range(row_len - 1, colors - 1, -1):
+            fwd[i + r] = (raw[i + r] - raw[i + r - colors]) & 0xFF
+    assert _tiff_unpredict(bytes(fwd), cols, colors) == raw
+
+    comp = zlib.compress(bytes(fwd))
+    body = (b"<< /Filter /FlateDecode /DecodeParms << /Predictor 2 "
+            b"/Columns 4 /Colors 2 >> /Length %d >>\nstream\n" % len(comp)
+            + comp + b"\nendstream")
+    _, data = _filtered_stream(body)
+    assert data == raw
+
+    # row-geometry violation (data not a multiple of columns*colors)
+    with pytest.raises(ValueError, match="row geometry"):
+        _tiff_unpredict(raw[:-1], cols, colors)
+    # 16-bit components: not vouched for -> quarantine
+    body16 = body.replace(b"/Colors 2", b"/Colors 2 /BitsPerComponent 16")
+    with pytest.raises(ValueError, match="TIFF predictor depth"):
+        _filtered_stream(body16)
+    # default Colors=1: plain per-row cumulative sum
+    assert _tiff_unpredict(b"\x05\x01\x01", 3, 1) == b"\x05\x06\x07"

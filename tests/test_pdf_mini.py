@@ -1744,3 +1744,58 @@ def test_tiff_predictor2_unpredict():
         _filtered_stream(body16)
     # default Colors=1: plain per-row cumulative sum
     assert _tiff_unpredict(b"\x05\x01\x01", 3, 1) == b"\x05\x06\x07"
+
+
+def test_mutation_sweep_never_hangs_or_escapes():
+    """Poison-input sweep: deterministic truncations, bit flips and
+    chunk deletions over four real payload shapes (plain, Flate,
+    PDF 1.5 objstm+xref-stream, layout/geometry). Every mutant must
+    COMPLETE quickly — parse or raise — because at corpus scale the
+    decode seam sees arbitrary garbage and the executor-side contract
+    is 'quarantine, never hang, never kill the task'. Any exception
+    class is acceptable (decode_payloads catches Exception); what
+    this pins is termination and the absence of interpreter-level
+    escapes (SystemExit/KeyboardInterrupt/MemoryError via bombs are
+    separately capped)."""
+    import random
+
+    from pdfspark.sources.pdf_mini import build_layout_pdf, build_tiny_pdf_15
+
+    pages = [["1. Intro", "Body with (parens) and [brackets]."],
+             ["2. More", "Tail."]]
+    corpus = [
+        build_tiny_pdf("fz1", pages),
+        build_tiny_pdf("fz2", pages, compress=True),
+        build_tiny_pdf_15("fz3", pages, outlines=[("Intro", [])]),
+        build_layout_pdf("fz4", [[("Cell A", 72, 700), ("Cell B", 200, 700)]]),
+    ]
+    rng = random.Random(0xF02205)
+    ran = 0
+    for pdf in corpus:
+        n = len(pdf)
+        cases = []
+        # truncations (headers, mid-stream, tails)
+        cases += [pdf[:k] for k in (7, 24, n // 3, n // 2, n - 9, n - 1)]
+        # single-byte flips spread across the file
+        for _ in range(24):
+            i = rng.randrange(n)
+            cases.append(pdf[:i] + bytes([pdf[i] ^ rng.randrange(1, 256)])
+                         + pdf[i + 1:])
+        # chunk deletions (drop 16..256 bytes)
+        for _ in range(12):
+            i = rng.randrange(n - 16)
+            j = min(n, i + rng.randrange(16, 256))
+            cases.append(pdf[:i] + pdf[j:])
+        # chunk duplications (object/xref confusion shapes)
+        for _ in range(6):
+            i = rng.randrange(n - 16)
+            j = min(n, i + rng.randrange(16, 128))
+            cases.append(pdf[:j] + pdf[i:j] + pdf[j:])
+        for mut in cases:
+            try:
+                out = decode_tiny_pdf(mut)
+                assert isinstance(out, dict) and "spans" in out
+            except Exception:
+                pass  # quarantine path — the contract
+            ran += 1
+    assert ran == 4 * (6 + 24 + 12 + 6)

@@ -286,3 +286,27 @@ def test_domseg_plain_text_single_block(ws):
     assert blocks[0].text == " ".join(ws)
     assert blocks[0].tag == "body"
     assert not blocks[0].dom_boiler
+
+
+@given(
+    st.integers(min_value=1, max_value=12),   # columns
+    st.integers(min_value=1, max_value=4),    # colors
+    st.data(),
+)
+@settings(max_examples=100, deadline=None)
+def test_tiff_unpredict_inverts_forward_differencing(columns, colors, data):
+    """_tiff_unpredict recovers raw rows from independent in-test
+    forward horizontal differencing (TIFF 6 /Predictor 2, 8-bit) for
+    any (columns, colors, rows) geometry."""
+    from pdfspark.sources.pdf_mini import _tiff_unpredict
+
+    n_rows = data.draw(st.integers(min_value=1, max_value=6))
+    row_len = columns * colors
+    raw = bytes(data.draw(st.lists(st.integers(0, 255),
+                                   min_size=n_rows * row_len,
+                                   max_size=n_rows * row_len)))
+    fwd = bytearray(raw)
+    for r in range(0, len(fwd), row_len):
+        for i in range(row_len - 1, colors - 1, -1):
+            fwd[r + i] = (raw[r + i] - raw[r + i - colors]) & 0xFF
+    assert _tiff_unpredict(bytes(fwd), columns, colors) == raw

@@ -55,16 +55,21 @@ MANIFEST_DIR = "_manifests"
 STAGING_DIR = "_staging"
 
 
-def _publish(output: str, snap: str, files: list[str] | None = None) -> None:
+def _publish(output: str, snap: str, files: list[str] | None = None,
+             supersedes: list[str] | None = None) -> None:
     """Atomic commit marker: the LAST step of a commit. Line 1 is the
     snapshot id; any further lines are output-relative data file paths
-    (the manifest-only protocol). Separated out so crash-injection
-    tests can fail a commit after its data write."""
+    (the manifest-only protocol) or ``#supersedes <snap>`` directives
+    (compaction: the named snapshots are replaced by this one and
+    ignored by readers from this publish on). Separated out so
+    crash-injection tests can fail a commit after its data write."""
     mdir = os.path.join(output, MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     tmp = os.path.join(mdir, f".{snap}.tmp")
     with open(tmp, "w", encoding="utf-8") as fh:
         fh.write(snap + "\n")
+        for s in supersedes or []:
+            fh.write(f"#supersedes {s}\n")
         for f in files or []:
             fh.write(f + "\n")
         # durability before visibility: without the fsync a power
@@ -96,7 +101,17 @@ def _manifest_files(output: str, snap: str) -> list[str]:
     if not lines or lines[0] != snap:
         raise ValueError(f"corrupt manifest for snapshot {snap} "
                          f"under {output}")
-    return [ln for ln in lines[1:] if ln]
+    return [ln for ln in lines[1:] if ln and not ln.startswith("#")]
+
+
+def _manifest_supersedes(output: str, snap: str) -> list[str]:
+    """Snapshot ids this manifest's ``#supersedes`` directives replace
+    ([] for ordinary append snapshots)."""
+    p = os.path.join(output, MANIFEST_DIR, f"{snap}.manifest")
+    with open(p, encoding="utf-8") as fh:
+        lines = fh.read().splitlines()
+    return [ln.split(" ", 1)[1] for ln in lines[1:]
+            if ln.startswith("#supersedes ")]
 
 
 def _list_data_files(base: str, relative_to: str) -> list[str]:
@@ -272,14 +287,26 @@ def gc_orphans(output: str, grace_s: float = 3600.0) -> int:
 
 
 def committed_snapshots(output: str) -> list[str]:
+    """Manifested snapshot ids, minus any a compacted snapshot's
+    ``#supersedes`` directives replace — the reader-side half of the
+    compaction commit: the instant the compacted manifest publishes
+    (one atomic os.replace), its inputs stop being listed, so no
+    reader ever sees the rows twice."""
     mdir = os.path.join(output, MANIFEST_DIR)
     if not os.path.isdir(mdir):
         return []
-    return sorted(
+    names = sorted(
         m[: -len(".manifest")]
         for m in os.listdir(mdir)
         if m.endswith(".manifest")
     )
+    superseded: set[str] = set()
+    for s in names:
+        try:
+            superseded.update(_manifest_supersedes(output, s))
+        except OSError:
+            continue  # raced with cleanup of a superseded manifest
+    return [s for s in names if s not in superseded]
 
 
 def read_committed(
@@ -295,17 +322,100 @@ def read_committed(
         return None
     out = None
     for s in snaps:
-        files = _manifest_files(output, s)
-        if files:
-            base = os.path.join(output, STAGING_DIR, s)
-            df = (
-                spark.read.format(fmt)
-                .option("basePath", base)
-                .load([os.path.join(output, f) for f in files])
-            )
-        else:
-            df = spark.read.format(fmt).load(os.path.join(output, s))
+        df = _read_snapshot(spark, output, s, fmt)
         out = df if out is None else out.unionByName(
             df, allowMissingColumns=True
         )
     return out
+
+
+def _read_snapshot(spark: SparkSession, output: str, snap: str,
+                   fmt: str = "parquet") -> DataFrame:
+    """One manifested snapshot as a DataFrame (either protocol)."""
+    files = _manifest_files(output, snap)
+    if files:
+        base = os.path.join(output, STAGING_DIR, snap)
+        return (
+            spark.read.format(fmt)
+            .option("basePath", base)
+            .load([os.path.join(output, f) for f in files])
+        )
+    return spark.read.format(fmt).load(os.path.join(output, snap))
+
+
+def compact_snapshots(
+    spark: SparkSession, output: str, fmt: str = "parquet",
+    n_files: int = 1, protocol: str = "rename",
+    min_snapshots: int = 2,
+) -> str | None:
+    """Small-files maintenance: rewrite every committed snapshot into
+    ONE new snapshot of ``n_files`` files and atomically supersede the
+    inputs — the Iceberg ``rewrite_data_files`` analogue for this
+    sink. Streaming ingest (extract_stream) commits one snapshot per
+    micro-batch, so a long-running table accumulates thousands of
+    tiny part-files; at corpus scale that serializes scan planning
+    and wastes one task per sliver. Returns the compacted snapshot id
+    (None when fewer than ``min_snapshots`` inputs exist — nothing
+    worth rewriting).
+
+    Crash-safety inherits the append protocol's shape: stage data →
+    publish the compacted manifest carrying ``#supersedes`` lines for
+    every input (THE commit point, one atomic os.replace) → delete
+    superseded manifests, then their data. Readers before the publish
+    see the inputs; after it, only the compacted snapshot
+    (``committed_snapshots`` filters superseded ids) — at no instant
+    both. A crash mid-cleanup leaves ignored manifests/dirs that the
+    next ``compact_snapshots`` or ``gc_orphans`` reclaims. Snapshots
+    committed CONCURRENTLY with the rewrite are untouched (they are
+    not in the input list, so never superseded). Like Iceberg without
+    a CAS catalog, two compactors racing on the SAME inputs can
+    double-publish — run maintenance single-writer."""
+    _cleanup_superseded(output)
+    snaps = committed_snapshots(output)
+    if len(snaps) < min_snapshots:
+        return None
+    df = None
+    for s in snaps:
+        part = _read_snapshot(spark, output, s, fmt)
+        df = part if df is None else df.unionByName(
+            part, allowMissingColumns=True)
+    rename = protocol == "rename"
+    if protocol not in ("rename", "manifest-only"):
+        raise ValueError(f"unknown snapshot protocol: {protocol!r}")
+    snap = f"snap-{time.time_ns()}-{uuid.uuid4().hex[:8]}"
+    files = _stage_snapshot(df.coalesce(max(1, n_files)), output, snap,
+                            fmt, rename=rename)
+    if files is None:  # inputs were committed-but-empty
+        return None
+    _publish(output, snap, files, supersedes=snaps)  # <- commit point
+    _cleanup_superseded(output)
+    return snap
+
+
+def _cleanup_superseded(output: str) -> int:
+    """Reclaim snapshots a compaction replaced: manifest FIRST (it is
+    already ignored by readers), then the data. The reverse order
+    could leave a live manifest pointing at deleted data."""
+    mdir = os.path.join(output, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return 0
+    names = sorted(
+        m[: -len(".manifest")] for m in os.listdir(mdir)
+        if m.endswith(".manifest"))
+    superseded: set[str] = set()
+    for s in names:
+        try:
+            superseded.update(_manifest_supersedes(output, s))
+        except OSError:
+            continue
+    n = 0
+    for s in superseded:
+        mpath = os.path.join(mdir, f"{s}.manifest")
+        if os.path.isfile(mpath):
+            os.remove(mpath)
+        for p in (os.path.join(output, s),
+                  os.path.join(output, STAGING_DIR, s)):
+            if os.path.isdir(p):
+                shutil.rmtree(p, ignore_errors=True)
+        n += 1
+    return n

@@ -546,3 +546,117 @@ def test_manifest_torn_write_guard_and_tmp_gc(spark, job_paths, tmp_path):
     _os.utime(tmp, (old, old))
     n = gc_orphans(out, grace_s=3600)
     assert not _os.path.exists(tmp) and n >= 1
+
+
+@pytest.mark.parametrize("protocol", ["rename", "manifest-only"])
+def test_compact_snapshots_rewrites_without_row_change(spark, tmp_path,
+                                                      protocol):
+    """Compaction (the rewrite_data_files analogue): N append
+    snapshots collapse into one snapshot / n_files files, rows and
+    values bit-identical, inputs reclaimed, later appends untouched."""
+    import glob
+
+    from pdfspark.sinks.snapshot import (
+        commit_append,
+        committed_snapshots,
+        compact_snapshots,
+        read_committed,
+    )
+
+    out = str(tmp_path / "tbl")
+    for i in range(4):
+        commit_append(
+            spark.createDataFrame([(f"d{i}{j}", i * 10 + j)
+                                   for j in range(5)], "doc_id string, v int"),
+            out, protocol=protocol)
+    before = sorted(read_committed(spark, out).collect())
+    assert len(committed_snapshots(out)) == 4
+    n_files_before = len(glob.glob(f"{out}/**/*.parquet", recursive=True))
+
+    snap = compact_snapshots(spark, out, n_files=1, protocol=protocol)
+    assert snap is not None
+    assert committed_snapshots(out) == [snap]
+    assert sorted(read_committed(spark, out).collect()) == before
+    n_files_after = len(glob.glob(f"{out}/**/*.parquet", recursive=True))
+    assert n_files_after < n_files_before
+    assert n_files_after <= 2  # 1 data file (+possible _SUCCESS exclusion)
+
+    # idempotent: a second run finds < min_snapshots inputs
+    assert compact_snapshots(spark, out, protocol=protocol) is None
+
+    # appends after compaction coexist with the compacted snapshot
+    commit_append(
+        spark.createDataFrame([("late", 99)], "doc_id string, v int"),
+        out, protocol=protocol)
+    got = sorted(read_committed(spark, out).collect())
+    assert len(got) == len(before) + 1
+
+
+def test_compact_crash_before_publish_changes_nothing(spark, tmp_path,
+                                                      monkeypatch):
+    """Die after the compacted data is staged but before its manifest
+    publishes: readers still see exactly the original snapshots, and
+    a retry completes."""
+    import pdfspark.sinks.snapshot as S
+
+    out = str(tmp_path / "tbl")
+    for i in range(3):
+        S.commit_append(
+            spark.createDataFrame([(f"d{i}", i)], "doc_id string, v int"),
+            out)
+    before = sorted(S.read_committed(spark, out).collect())
+    snaps_before = S.committed_snapshots(out)
+
+    real_publish = S._publish
+
+    def die(*a, **kw):
+        raise RuntimeError("crash before compaction commit")
+
+    monkeypatch.setattr(S, "_publish", die)
+    with pytest.raises(RuntimeError):
+        S.compact_snapshots(spark, out)
+    monkeypatch.setattr(S, "_publish", real_publish)
+
+    assert S.committed_snapshots(out) == snaps_before
+    assert sorted(S.read_committed(spark, out).collect()) == before
+    snap = S.compact_snapshots(spark, out)
+    assert S.committed_snapshots(out) == [snap]
+    assert sorted(S.read_committed(spark, out).collect()) == before
+
+
+def test_compact_crash_mid_cleanup_heals(spark, tmp_path, monkeypatch):
+    """Die right AFTER the compacted manifest publishes (cleanup never
+    runs): readers see only the compacted snapshot — never doubles —
+    and the next maintenance pass reclaims the superseded debris."""
+    import pdfspark.sinks.snapshot as S
+
+    out = str(tmp_path / "tbl")
+    for i in range(3):
+        S.commit_append(
+            spark.createDataFrame([(f"d{i}", i)], "doc_id string, v int"),
+            out)
+    before = sorted(S.read_committed(spark, out).collect())
+
+    real_cleanup = S._cleanup_superseded
+    calls = {"n": 0}
+
+    def crash_second(output):
+        # first call (pre-rewrite) runs; the post-publish one dies
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("crash mid cleanup")
+        return real_cleanup(output)
+
+    monkeypatch.setattr(S, "_cleanup_superseded", crash_second)
+    with pytest.raises(RuntimeError):
+        S.compact_snapshots(spark, out)
+    monkeypatch.setattr(S, "_cleanup_superseded", real_cleanup)
+
+    # the commit already happened: exactly one visible snapshot, no
+    # row doubled, even though 3 superseded manifests are still on disk
+    live = S.committed_snapshots(out)
+    assert len(live) == 1
+    assert sorted(S.read_committed(spark, out).collect()) == before
+    # next maintenance pass reclaims them
+    assert S._cleanup_superseded(out) == 3
+    assert sorted(S.read_committed(spark, out).collect()) == before

@@ -181,6 +181,37 @@ def _run_html_mode(spark, args) -> int:
     return 0
 
 
+def _run_compact_mode(spark, args) -> int:
+    """--compact: the table-maintenance entry point. Heal any aux
+    commit the last writer left half-done (reconcile_aux), reclaim
+    crash debris (gc_orphans), then rewrite committed snapshots into
+    one ``args.compact``-file snapshot per table — data first, then
+    metrics. Prints one JSON line per table; exit 0 either way
+    (nothing-to-compact is success, like an empty resume)."""
+    import json
+
+    from pdfspark.sinks.snapshot import (
+        compact_snapshots,
+        gc_orphans,
+        reconcile_aux,
+    )
+
+    if args.metrics:
+        reconcile_aux(args.output, [args.metrics])
+    targets = [(args.output, args.format,
+                "bucket" if args.buckets > 0 else None)]
+    if args.metrics:
+        targets.append((args.metrics, "parquet", None))
+    for tgt, fmt, part in targets:
+        if os.path.isdir(tgt):
+            gc_orphans(tgt)
+        snap = compact_snapshots(
+            spark, tgt, fmt=fmt, n_files=args.compact,
+            protocol=args.commit_protocol, partition_by=part)
+        print(json.dumps({"table": tgt, "compacted": snap}))
+    return 0
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--input", default=None,
@@ -223,6 +254,16 @@ def main(argv=None) -> int:
              "S3 whose only atomic primitive is a single-object PUT)",
     )
     ap.add_argument(
+        "--compact", type=int, nargs="?", const=1, default=None,
+        metavar="N_FILES",
+        help="maintenance mode (no input): rewrite every committed "
+             "snapshot of --output (and --metrics, if given) into one "
+             "snapshot of N_FILES files per partition dir and reclaim "
+             "the superseded inputs — the rewrite_data_files analogue "
+             "for micro-batch ingest's small-files debt. Run "
+             "single-writer.",
+    )
+    ap.add_argument(
         "--buckets", type=int, default=0,
         help="partition output by pmod(xxhash64(doc_id), N) — the "
              "parquet stand-in for Iceberg's bucket(N, doc_id) "
@@ -248,8 +289,13 @@ def main(argv=None) -> int:
         lineage_table,
     )
 
-    if sum(x is not None for x in (args.input, args.payloads,
-                                   args.html)) != 1:
+    n_inputs = sum(x is not None for x in (args.input, args.payloads,
+                                           args.html))
+    if args.compact is not None:
+        if n_inputs:
+            ap.error("--compact is a maintenance mode; no input allowed")
+        return _run_compact_mode(spark, args)
+    if n_inputs != 1:
         ap.error("exactly one of --input / --payloads / --html is required")
 
     from pyspark.sql import functions as F

@@ -346,7 +346,7 @@ def _read_snapshot(spark: SparkSession, output: str, snap: str,
 def compact_snapshots(
     spark: SparkSession, output: str, fmt: str = "parquet",
     n_files: int = 1, protocol: str = "rename",
-    min_snapshots: int = 2,
+    min_snapshots: int = 2, partition_by: str | None = None,
 ) -> str | None:
     """Small-files maintenance: rewrite every committed snapshot into
     ONE new snapshot of ``n_files`` files and atomically supersede the
@@ -383,8 +383,10 @@ def compact_snapshots(
     if protocol not in ("rename", "manifest-only"):
         raise ValueError(f"unknown snapshot protocol: {protocol!r}")
     snap = f"snap-{time.time_ns()}-{uuid.uuid4().hex[:8]}"
+    # partition_by preserves a bucketed table's directory layout
+    # (n_files then applies per partition dir)
     files = _stage_snapshot(df.coalesce(max(1, n_files)), output, snap,
-                            fmt, rename=rename)
+                            fmt, partition_by=partition_by, rename=rename)
     if files is None:  # inputs were committed-but-empty
         return None
     _publish(output, snap, files, supersedes=snaps)  # <- commit point

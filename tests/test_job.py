@@ -660,3 +660,55 @@ def test_compact_crash_mid_cleanup_heals(spark, tmp_path, monkeypatch):
     # next maintenance pass reclaims them
     assert S._cleanup_superseded(out) == 3
     assert sorted(S.read_committed(spark, out).collect()) == before
+
+
+def test_job_compact_mode_end_to_end(spark, fixture_dir, tmp_path):
+    """--compact via the spark-submit CLI: two half-corpus runs build
+    two snapshots each for data and metrics; maintenance rewrites
+    them to one snapshot per table preserving every row AND the
+    bucket partition layout; a --resume run after compaction still
+    sees all doc_ids committed (writes nothing)."""
+    import glob
+    import json
+
+    from pdfspark.sinks.snapshot import committed_snapshots
+
+    inp = os.path.join(fixture_dir, "documents_in.parquet")
+    geom = os.path.join(fixture_dir, "spans_geom.parquet")
+    out, met = str(tmp_path / "out"), str(tmp_path / "met")
+    full = spark.read.parquet(inp)
+    ids = sorted(r.doc_id for r in full.select("doc_id").collect())
+    half = ids[len(ids) // 2]
+    for lo, hi in ((None, half), (half, None)):
+        part = full
+        if hi:
+            part = part.filter(f"doc_id < '{hi}'")
+        if lo:
+            part = part.filter(f"doc_id >= '{lo}'")
+        p = str(tmp_path / f"in_{lo or 'a'}")
+        part.write.mode("overwrite").parquet(p)
+        rc = main(["--input", p, "--geom", geom, "--output", out,
+                   "--metrics", met, "--buckets", "4"])
+        assert rc == 0
+    assert len(committed_snapshots(out)) == 2
+    assert len(committed_snapshots(met)) == 2
+    before = sorted(_read_out(spark, out).select("doc_id").collect())
+
+    rc = main(["--compact", "--output", out, "--metrics", met,
+               "--buckets", "4"])
+    assert rc == 0
+    assert len(committed_snapshots(out)) == 1
+    assert len(committed_snapshots(met)) == 1
+    assert sorted(_read_out(spark, out)
+                  .select("doc_id").collect()) == before
+    # bucket partition dirs survived the rewrite
+    snap = committed_snapshots(out)[0]
+    assert glob.glob(os.path.join(out, snap, "bucket=*")), \
+        "compaction dropped the bucket partition layout"
+
+    # post-compaction resume: everything already committed -> no new
+    # snapshot
+    rc = main(["--input", inp, "--geom", geom, "--output", out,
+               "--metrics", met, "--buckets", "4", "--resume"])
+    assert rc == 0
+    assert len(committed_snapshots(out)) == 1

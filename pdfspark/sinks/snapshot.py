@@ -148,7 +148,14 @@ def _stage_snapshot(
         shutil.rmtree(staging, ignore_errors=True)
         return None
     if rename:
-        os.rename(staging, os.path.join(output, snap))
+        dest = os.path.join(output, snap)
+        if os.path.isdir(dest):
+            # only reachable with a DETERMINISTIC snap id: a prior
+            # attempt crashed between this rename and its manifest
+            # publish. The leftover is unmanifested (the caller checks
+            # before staging), so replacing it loses nothing.
+            shutil.rmtree(dest)
+        os.rename(staging, dest)
         return []
     return files
 
@@ -158,6 +165,7 @@ def commit_append(
     partition_by: str | None = None,
     aux: list[tuple[DataFrame, str]] | None = None,
     protocol: str = "rename",
+    snap_id: str | None = None,
 ) -> str | None:
     """Append ``df`` to ``output`` as one atomically-committed
     snapshot; returns the snapshot id, or None for an empty ``df``
@@ -180,11 +188,27 @@ def commit_append(
     documents and the orphan aux dirs are never read). A crash between
     3 and 4 leaves the aux DATA fully on disk, only its marker
     missing — ``reconcile_aux`` republishes it on the next run, so the
-    lineage rows for a committed data snapshot can never be lost."""
+    lineage rows for a committed data snapshot can never be lost.
+
+    ``snap_id`` — caller-supplied DETERMINISTIC snapshot id (must
+    start with ``snap-``): the idempotent-replay hook for streaming
+    foreachBatch sinks. If that id is already manifested the append is
+    a no-op returning the id — a crash-replayed micro-batch commits
+    exactly once. The default random id keeps batch appends
+    collision-free."""
     if protocol not in ("rename", "manifest-only"):
         raise ValueError(f"unknown snapshot protocol: {protocol!r}")
     rename = protocol == "rename"
-    snap = f"snap-{time.time_ns()}-{uuid.uuid4().hex[:8]}"
+    if snap_id is not None:
+        if not snap_id.startswith("snap-"):
+            # gc_orphans/GC only recognize the snap- prefix; an alien
+            # name would become unreclaimable invisible debris
+            raise ValueError(f"snap_id must start with 'snap-': {snap_id!r}")
+        if os.path.isfile(
+            os.path.join(output, MANIFEST_DIR, f"{snap_id}.manifest")
+        ):
+            return snap_id  # replay of a committed batch: exactly-once
+    snap = snap_id or f"snap-{time.time_ns()}-{uuid.uuid4().hex[:8]}"
     files = _stage_snapshot(df, output, snap, fmt, partition_by,
                             rename=rename)
     if files is None:

@@ -37,6 +37,7 @@ def extract_payload_stream(
     cfg: ExtractConfig = ExtractConfig(),
     max_files_per_trigger: int | None = None,
     metrics_path: str | None = None,
+    snapshot_output: bool = False,
 ) -> None:
     """Drain all unprocessed payload files into the parquet sink;
     returns after the availableNow query terminates.
@@ -46,10 +47,23 @@ def extract_payload_stream(
     (partition_id, doc_count, bytes_in, spans_out, wall_ms, plus the
     batch epoch) to the metrics table — the north rule's lineage
     contract on the streaming ingest. The file-source checkpoint keeps
-    input exactly-once per file; foreachBatch output is at-least-once
-    on crash-during-write (standard Structured Streaming semantics —
-    dedupe by doc_id downstream or let the batch job's resume
-    anti-join reconcile)."""
+    input exactly-once per file; plain-append output (default) is
+    at-least-once on crash-during-write (standard Structured Streaming
+    semantics — dedupe by doc_id downstream or let the batch job's
+    resume anti-join reconcile).
+
+    ``snapshot_output=True`` upgrades the OUTPUT to exactly-once: each
+    micro-batch commits through the manifest-snapshot protocol under a
+    DETERMINISTIC id derived from (epoch, input-file list), so a
+    crash-replayed batch finds its manifest and no-ops instead of
+    appending twice (the idempotent-foreachBatch pattern). Lineage
+    commits as an aux table under the same id; a crash between the two
+    publishes is healed by reconcile_aux at the next start. Read the
+    table via read_committed (never plain spark.read.parquet), and run
+    ``extract_job --compact`` periodically — per-micro-batch snapshots
+    are exactly the small-files debt compaction exists for. Output and
+    checkpoint must be wiped together (the contract the file-source
+    checkpoint already imposes)."""
     reader = (
         spark.readStream.format("binaryFile")
         # the binaryFile format's fixed schema, required explicitly for
@@ -132,16 +146,48 @@ def extract_payload_stream(
         if write_metrics:
             folded.persist()
         try:
-            (folded.select("doc_id", "status", "spans", "spans_in",
-                           "spans_out")
-             .write.mode("append").parquet(out_path))
-            if write_metrics:
-                (lineage_table(folded)
-                 .withColumn("epoch_id", F.lit(epoch_id).cast("long"))
-                 .write.mode("append").parquet(metrics_path))
+            out_rows = folded.select("doc_id", "status", "spans",
+                                     "spans_in", "spans_out")
+            if snapshot_output:
+                import hashlib
+
+                from pdfspark.sinks.snapshot import commit_append
+
+                # deterministic id: a replayed epoch re-reads the SAME
+                # file set (recorded in the source commit log), so the
+                # path digest matches and the commit no-ops; a fresh
+                # checkpoint over a grown input dir yields a new digest
+                # even at the same epoch number. Paths only — a
+                # driver-sized collect bounded by maxFilesPerTrigger.
+                paths = sorted(r.path for r in
+                               batch_df.select("path").collect())
+                digest = hashlib.md5(
+                    "\n".join(paths).encode("utf-8")).hexdigest()[:12]
+                aux = None
+                if write_metrics:
+                    aux = [(lineage_table(folded)
+                            .withColumn("epoch_id",
+                                        F.lit(epoch_id).cast("long")),
+                            metrics_path)]
+                commit_append(out_rows, out_path, aux=aux,
+                              snap_id=f"snap-epoch{epoch_id:09d}-{digest}")
+            else:
+                out_rows.write.mode("append").parquet(out_path)
+                if write_metrics:
+                    (lineage_table(folded)
+                     .withColumn("epoch_id", F.lit(epoch_id).cast("long"))
+                     .write.mode("append").parquet(metrics_path))
         finally:
             if write_metrics:
                 folded.unpersist()
+
+    if snapshot_output and metrics_path is not None:
+        # heal the data-manifested / aux-unmanifested crash window a
+        # prior run may have left (the replay no-ops on the data side,
+        # so only this pass can republish the aux marker)
+        from pdfspark.sinks.snapshot import reconcile_aux
+
+        reconcile_aux(out_path, [metrics_path])
 
     q = (
         bin_stream.writeStream.foreachBatch(sink)

@@ -473,3 +473,70 @@ def test_sessionize_stream_null_value_matches_batch(spark, tmp_path):
     assert got[0].total_value == 7.5
     batch = sessionize_events(spark.read.parquet(p)).collect()
     assert batch[0].n_events == 3 and float(batch[0].total_value) == 7.5
+
+
+def test_extract_stream_snapshot_output_exactly_once_and_compacts(
+        spark, fixture_dir, tmp_path, monkeypatch):
+    """snapshot_output=True: (1) every micro-batch commits one
+    manifested snapshot with lineage as its aux; (2) a crash-replayed
+    batch no-ops on its deterministic snap id instead of doubling
+    rows; (3) compaction then folds the per-batch snapshots into one
+    without changing the table."""
+    import shutil
+
+    import pdfspark.sinks.snapshot as S
+    from pdfspark.streaming.extract_stream import extract_payload_stream
+
+    src = os.path.join(fixture_dir, "payloads")
+    names = sorted(os.listdir(src))
+    wave1, wave2 = names[: len(names) // 2], names[len(names) // 2:]
+    pdir = str(tmp_path / "payloads")
+    os.makedirs(pdir)
+    for n in wave1:
+        shutil.copy(os.path.join(src, n), pdir)
+
+    out = str(tmp_path / "out")
+    met = str(tmp_path / "met")
+    cp = str(tmp_path / "cp")
+    kw = dict(metrics_path=met, snapshot_output=True,
+              max_files_per_trigger=max(1, len(wave1) // 2))
+    extract_payload_stream(spark, pdir, out, cp, **kw)
+    snaps1 = S.committed_snapshots(out)
+    assert len(snaps1) >= 2  # throttled: several micro-batch commits
+    assert S.committed_snapshots(met) == snaps1  # aux under same ids
+    assert all(s.startswith("snap-epoch") for s in snaps1)
+    n1 = S.read_committed(spark, out).count()
+    assert n1 == len(wave1)
+
+    # crash-replay simulation: re-commit the LAST epoch's rows under
+    # its own snap id — the manifest exists, so it must no-op
+    df = S.read_committed(spark, out)
+    assert S.commit_append(df.limit(1), out, snap_id=snaps1[-1]) == snaps1[-1]
+    assert S.committed_snapshots(out) == snaps1
+    assert S.read_committed(spark, out).count() == n1
+
+    # wave 2 arrives; restart processes only the new files
+    for n in wave2:
+        shutil.copy(os.path.join(src, n), pdir)
+    extract_payload_stream(spark, pdir, out, cp, **kw)
+    assert S.read_committed(spark, out).count() == len(names)
+    assert (S.read_committed(spark, out)
+            .select("doc_id").distinct().count() == len(names))
+
+    # maintenance: many per-batch snapshots -> one, rows unchanged
+    before = sorted(S.read_committed(spark, out)
+                    .select("doc_id", "status").collect())
+    snap = S.compact_snapshots(spark, out)
+    assert snap is not None and S.committed_snapshots(out) == [snap]
+    assert sorted(S.read_committed(spark, out)
+                  .select("doc_id", "status").collect()) == before
+    # metrics table compacts independently
+    msnap = S.compact_snapshots(spark, met)
+    assert msnap is not None
+    assert S.read_committed(spark, met).count() > 0
+
+    # another wave after compaction coexists with the compacted snap
+    extra = str(tmp_path / "payloads" / "zz_extra.bin")
+    shutil.copy(os.path.join(src, names[0]), extra)
+    extract_payload_stream(spark, pdir, out, cp, **kw)
+    assert S.read_committed(spark, out).count() == len(names) + 1

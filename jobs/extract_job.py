@@ -192,23 +192,29 @@ def _run_compact_mode(spark, args) -> int:
 
     from pdfspark.sinks.snapshot import (
         compact_snapshots,
+        detect_partition_col,
         gc_orphans,
         reconcile_aux,
     )
 
     if args.metrics:
         reconcile_aux(args.output, [args.metrics])
-    targets = [(args.output, args.format,
-                "bucket" if args.buckets > 0 else None)]
+    targets = [(args.output, args.format)]
     if args.metrics:
-        targets.append((args.metrics, "parquet", None))
-    for tgt, fmt, part in targets:
+        targets.append((args.metrics, "parquet"))
+    for tgt, fmt in targets:
         if os.path.isdir(tgt):
             gc_orphans(tgt)
+        # the layout is a property of the TABLE, not of this
+        # invocation: discover it from the snapshot dirs rather than
+        # trusting the operator to re-pass --buckets (omitting it
+        # would silently flatten the bucket layout on rewrite)
+        part = detect_partition_col(tgt) if os.path.isdir(tgt) else None
         snap = compact_snapshots(
             spark, tgt, fmt=fmt, n_files=args.compact,
             protocol=args.commit_protocol, partition_by=part)
-        print(json.dumps({"table": tgt, "compacted": snap}))
+        print(json.dumps({"table": tgt, "compacted": snap,
+                          "partition_by": part}))
     return 0
 
 

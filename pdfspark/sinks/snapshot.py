@@ -204,10 +204,14 @@ def commit_append(
             # gc_orphans/GC only recognize the snap- prefix; an alien
             # name would become unreclaimable invisible debris
             raise ValueError(f"snap_id must start with 'snap-': {snap_id!r}")
-        if os.path.isfile(
-            os.path.join(output, MANIFEST_DIR, f"{snap_id}.manifest")
-        ):
-            return snap_id  # replay of a committed batch: exactly-once
+        if snap_id in _known_snapshot_ids(output):
+            # replay of a committed batch: exactly-once. The KNOWN set
+            # (live + superseded ids), not just live manifests — a
+            # compaction between the original commit and this replay
+            # deleted the per-epoch manifest but recorded its id in a
+            # #supersedes line, and the rows live on in the compacted
+            # snapshot; re-appending would double them.
+            return snap_id
     snap = snap_id or f"snap-{time.time_ns()}-{uuid.uuid4().hex[:8]}"
     files = _stage_snapshot(df, output, snap, fmt, partition_by,
                             rename=rename)
@@ -230,9 +234,16 @@ def reconcile_aux(output: str, aux_outputs: list[str]) -> int:
     manifested DATA snapshot whose aux snapshot data exists but whose
     aux manifest is missing (died between steps 3 and 4 of
     ``commit_append``), publish the aux manifest. Run at job start
-    before reading any aux table. Returns the number published."""
+    before reading any aux table. Returns the number published.
+
+    Keys on _known_snapshot_ids, not just live manifests: a
+    compaction of the DATA table between the crash and this heal
+    replaced the per-snapshot manifest with a #supersedes record, but
+    the staged aux data still deserves its marker — iterating only
+    live ids would strand it until gc_orphans deletes the lineage of
+    a committed snapshot forever."""
     n = 0
-    for snap in committed_snapshots(output):
+    for snap in sorted(_known_snapshot_ids(output)):
         for aux_output in aux_outputs:
             if os.path.isfile(
                 os.path.join(aux_output, MANIFEST_DIR, f"{snap}.manifest")
@@ -319,6 +330,19 @@ def committed_snapshots(output: str) -> list[str]:
     mdir = os.path.join(output, MANIFEST_DIR)
     if not os.path.isdir(mdir):
         return []
+    names, superseded = _manifested_and_superseded(output)
+    return [s for s in names if s not in superseded]
+
+
+def _manifested_and_superseded(output: str) -> tuple[list[str], set[str]]:
+    """(sorted manifested snapshot ids, ids any manifest's
+    ``#supersedes`` directives name). THE one definition both the
+    reader filter (committed_snapshots) and cleanup
+    (_cleanup_superseded) use — they must never diverge on what
+    counts as superseded."""
+    mdir = os.path.join(output, MANIFEST_DIR)
+    if not os.path.isdir(mdir):
+        return [], set()
     names = sorted(
         m[: -len(".manifest")]
         for m in os.listdir(mdir)
@@ -330,7 +354,19 @@ def committed_snapshots(output: str) -> list[str]:
             superseded.update(_manifest_supersedes(output, s))
         except OSError:
             continue  # raced with cleanup of a superseded manifest
-    return [s for s in names if s not in superseded]
+    return names, superseded
+
+
+def _known_snapshot_ids(output: str) -> set[str]:
+    """Every snapshot id that has EVER committed here: live manifests
+    plus every id recorded in ``#supersedes`` directives. Compaction
+    carries superseded ids forward transitively, so this set never
+    shrinks — it is what idempotent replay (commit_append snap_id)
+    and crash healing (reconcile_aux) key on; consulting only LIVE
+    manifests would let a compaction run between commit and replay
+    make a committed batch look uncommitted."""
+    names, superseded = _manifested_and_superseded(output)
+    return set(names) | superseded
 
 
 def read_committed(
@@ -344,13 +380,24 @@ def read_committed(
     snaps = committed_snapshots(output)
     if not snaps:
         return None
-    out = None
-    for s in snaps:
-        df = _read_snapshot(spark, output, s, fmt)
-        out = df if out is None else out.unionByName(
-            df, allowMissingColumns=True
-        )
-    return out
+    return _union_snapshots(
+        [_read_snapshot(spark, output, s, fmt) for s in snaps])
+
+
+def _union_snapshots(dfs: list[DataFrame]) -> DataFrame:
+    """unionByName as a balanced TREE, not a linear chain: a
+    micro-batch-ingested table can hold thousands of snapshots, and a
+    thousands-deep Union plan sends Catalyst analysis quadratic (or
+    overflows the analyzer stack). Tree depth is log2(n) — 4k
+    snapshots plan at depth 12. allowMissingColumns keeps cross-
+    snapshot schema evolution readable, same as the old chain."""
+    while len(dfs) > 1:
+        dfs = [
+            dfs[i] if i + 1 == len(dfs)
+            else dfs[i].unionByName(dfs[i + 1], allowMissingColumns=True)
+            for i in range(0, len(dfs), 2)
+        ]
+    return dfs[0]
 
 
 def _read_snapshot(spark: SparkSession, output: str, snap: str,
@@ -398,50 +445,80 @@ def compact_snapshots(
     snaps = committed_snapshots(output)
     if len(snaps) < min_snapshots:
         return None
-    df = None
-    for s in snaps:
-        part = _read_snapshot(spark, output, s, fmt)
-        df = part if df is None else df.unionByName(
-            part, allowMissingColumns=True)
+    df = _union_snapshots(
+        [_read_snapshot(spark, output, s, fmt) for s in snaps])
     rename = protocol == "rename"
     if protocol not in ("rename", "manifest-only"):
         raise ValueError(f"unknown snapshot protocol: {protocol!r}")
     snap = f"snap-{time.time_ns()}-{uuid.uuid4().hex[:8]}"
+    # carry the inputs' OWN #supersedes ids forward (transitively):
+    # the compacted manifest becomes the single record of every id
+    # that ever committed, which the snap_id replay check and
+    # reconcile_aux depend on after the per-epoch manifests are gone
+    inherited: set[str] = set()
+    for s in snaps:
+        try:
+            inherited.update(_manifest_supersedes(output, s))
+        except OSError:
+            pass
     # partition_by preserves a bucketed table's directory layout
     # (n_files then applies per partition dir)
     files = _stage_snapshot(df.coalesce(max(1, n_files)), output, snap,
                             fmt, partition_by=partition_by, rename=rename)
     if files is None:  # inputs were committed-but-empty
         return None
-    _publish(output, snap, files, supersedes=snaps)  # <- commit point
+    _publish(output, snap, files,
+             supersedes=sorted(set(snaps) | inherited))  # <- commit point
     _cleanup_superseded(output)
     return snap
+
+
+def detect_partition_col(output: str) -> str | None:
+    """Partition column of a table's committed snapshots, discovered
+    from the ``name=value`` directory layout (None = unpartitioned).
+    Maintenance callers use this instead of trusting a re-passed
+    CLI flag: omitting the flag would silently flatten a bucketed
+    table's layout on rewrite, and passing it for an unpartitioned
+    table would crash mid-maintenance. Mixed layouts raise — a table
+    like that needs a human."""
+    cols: set[str | None] = set()
+    for s in committed_snapshots(output):
+        base = (os.path.join(output, s) if os.path.isdir(
+            os.path.join(output, s))
+            else os.path.join(output, STAGING_DIR, s))
+        if not os.path.isdir(base):
+            continue
+        part_dirs = sorted(
+            d.split("=", 1)[0] for d in os.listdir(base)
+            if "=" in d and os.path.isdir(os.path.join(base, d)))
+        cols.add(part_dirs[0] if part_dirs else None)
+    if len(cols) > 1:
+        raise ValueError(
+            f"snapshots of {output} disagree on partition layout: {cols}")
+    return next(iter(cols), None)
 
 
 def _cleanup_superseded(output: str) -> int:
     """Reclaim snapshots a compaction replaced: manifest FIRST (it is
     already ignored by readers), then the data. The reverse order
-    could leave a live manifest pointing at deleted data."""
+    could leave a live manifest pointing at deleted data. Counts only
+    ids that still had something on disk (compaction carries
+    superseded ids forward forever, so most are long gone)."""
     mdir = os.path.join(output, MANIFEST_DIR)
     if not os.path.isdir(mdir):
         return 0
-    names = sorted(
-        m[: -len(".manifest")] for m in os.listdir(mdir)
-        if m.endswith(".manifest"))
-    superseded: set[str] = set()
-    for s in names:
-        try:
-            superseded.update(_manifest_supersedes(output, s))
-        except OSError:
-            continue
+    _names, superseded = _manifested_and_superseded(output)
     n = 0
     for s in superseded:
+        removed = False
         mpath = os.path.join(mdir, f"{s}.manifest")
         if os.path.isfile(mpath):
             os.remove(mpath)
+            removed = True
         for p in (os.path.join(output, s),
                   os.path.join(output, STAGING_DIR, s)):
             if os.path.isdir(p):
                 shutil.rmtree(p, ignore_errors=True)
-        n += 1
+                removed = True
+        n += removed
     return n

@@ -694,8 +694,9 @@ def test_job_compact_mode_end_to_end(spark, fixture_dir, tmp_path):
     assert len(committed_snapshots(met)) == 2
     before = sorted(_read_out(spark, out).select("doc_id").collect())
 
-    rc = main(["--compact", "--output", out, "--metrics", met,
-               "--buckets", "4"])
+    # NO --buckets here: the layout is detected from the snapshot
+    # dirs — re-passing the flag must not be required to keep it
+    rc = main(["--compact", "--output", out, "--metrics", met])
     assert rc == 0
     assert len(committed_snapshots(out)) == 1
     assert len(committed_snapshots(met)) == 1
@@ -712,3 +713,80 @@ def test_job_compact_mode_end_to_end(spark, fixture_dir, tmp_path):
                "--metrics", met, "--buckets", "4", "--resume"])
     assert rc == 0
     assert len(committed_snapshots(out)) == 1
+
+
+def test_compact_preserves_idempotent_replay_and_aux_heal(spark, tmp_path):
+    """The two review-found crash×maintenance interactions:
+
+    (1) exactly-once survives compaction: a deterministic snap_id
+    committed pre-compaction must still no-op when replayed AFTER the
+    per-epoch manifest was superseded and deleted — transitively,
+    through a second compaction too.
+    (2) a data-committed/aux-unmanifested crash must still heal via
+    reconcile_aux after the data table was compacted without the
+    metrics table (the '--compact without --metrics' window)."""
+    import pdfspark.sinks.snapshot as S
+
+    out, met = str(tmp_path / "out"), str(tmp_path / "met")
+
+    def df(tag):
+        return spark.createDataFrame([(tag, 1)], "doc_id string, v int")
+
+    # three epoch-style deterministic commits, the last with aux whose
+    # manifest we strip (simulating the crash between the publishes)
+    for e in range(2):
+        S.commit_append(df(f"e{e}"), out, snap_id=f"snap-epoch{e}-aa")
+    S.commit_append(df("e2"), out, aux=[(df("m2"), met)],
+                    snap_id="snap-epoch2-aa")
+    os.remove(os.path.join(met, S.MANIFEST_DIR, "snap-epoch2-aa.manifest"))
+    assert S.read_committed(spark, met) is None  # aux invisible
+
+    # compact the DATA table only (no metrics passed)
+    c1 = S.compact_snapshots(spark, out)
+    assert S.committed_snapshots(out) == [c1]
+
+    # (1) replaying any pre-compaction epoch is a no-op
+    for e in range(3):
+        sid = f"snap-epoch{e}-aa"
+        assert S.commit_append(df("dup"), out, snap_id=sid) == sid
+    assert S.read_committed(spark, out).count() == 3
+
+    # ... and transitively through a second compaction
+    S.commit_append(df("e3"), out, snap_id="snap-epoch3-aa")
+    c2 = S.compact_snapshots(spark, out)
+    assert S.committed_snapshots(out) == [c2]
+    assert (S.commit_append(df("dup"), out, snap_id="snap-epoch0-aa")
+            == "snap-epoch0-aa")
+    assert S.read_committed(spark, out).count() == 4
+
+    # (2) the orphaned aux data still heals: the superseded id is
+    # carried in the compacted manifest, so reconcile finds it
+    assert S.reconcile_aux(out, [met]) == 1
+    assert [r.doc_id for r in S.read_committed(spark, met).collect()] \
+        == ["m2"]
+
+
+def test_detect_partition_col(spark, tmp_path):
+    from pdfspark.sinks.snapshot import (
+        commit_append,
+        compact_snapshots,
+        detect_partition_col,
+    )
+
+    flat, part = str(tmp_path / "flat"), str(tmp_path / "part")
+    df = spark.createDataFrame([("a", 0), ("b", 1)],
+                               "doc_id string, bucket int")
+    commit_append(df, flat)
+    commit_append(df, part, partition_by="bucket")
+    commit_append(df, part, partition_by="bucket",
+                  protocol="manifest-only")
+    assert detect_partition_col(flat) is None
+    assert detect_partition_col(part) == "bucket"
+    assert detect_partition_col(str(tmp_path / "missing")) is None
+    # mixed layout refuses rather than guessing
+    commit_append(df, part)  # unpartitioned snapshot into same table
+    with pytest.raises(ValueError, match="disagree"):
+        detect_partition_col(part)
+    # compaction of the consistent table keeps the layout end-to-end
+    snap = compact_snapshots(spark, flat, min_snapshots=1)
+    assert snap is not None and detect_partition_col(flat) is None

@@ -204,13 +204,16 @@ def commit_append(
             # gc_orphans/GC only recognize the snap- prefix; an alien
             # name would become unreclaimable invisible debris
             raise ValueError(f"snap_id must start with 'snap-': {snap_id!r}")
-        if snap_id in _known_snapshot_ids(output):
-            # replay of a committed batch: exactly-once. The KNOWN set
-            # (live + superseded ids), not just live manifests — a
-            # compaction between the original commit and this replay
-            # deleted the per-epoch manifest but recorded its id in a
-            # #supersedes line, and the rows live on in the compacted
-            # snapshot; re-appending would double them.
+        if os.path.isfile(
+            os.path.join(output, MANIFEST_DIR, f"{snap_id}.manifest")
+        ) or snap_id in _known_snapshot_ids(output):
+            # replay of a committed batch: exactly-once. The direct
+            # stat is the O(1) common case; the KNOWN-id fallback
+            # (live + superseded ids) covers a compaction between the
+            # original commit and this replay — it deleted the
+            # per-epoch manifest but recorded its id in a #supersedes
+            # line, and the rows live on in the compacted snapshot;
+            # re-appending would double them.
             return snap_id
     snap = snap_id or f"snap-{time.time_ns()}-{uuid.uuid4().hex[:8]}"
     files = _stage_snapshot(df, output, snap, fmt, partition_by,

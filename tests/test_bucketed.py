@@ -95,3 +95,34 @@ def test_write_bucketed_validates(bucketed_pair, documents_in):
         write_bucketed(documents_in, "bt_bad", "/tmp/x", key="nope")
     with pytest.raises(ValueError, match="n_buckets"):
         write_bucketed(documents_in, "bt_bad", "/tmp/x", n_buckets=0)
+
+
+def test_mismatched_bucket_counts_coalesce_without_shuffle(
+        spark, documents_in, spans_geom, tmp_path):
+    """Bucket counts that differ by an integer multiple still join
+    shuffle-free when coalesceBucketsInJoin is on (Spark coalesces
+    the 8-bucket side down to 4) — the escape hatch when two
+    pipelines picked different bucket counts for the same key."""
+    from pyspark.sql import functions as F
+
+    docs = documents_in.select("doc_id", F.size("spans").alias("n_spans"))
+    spans = spans_geom.select("doc_id", "offset")
+    write_bucketed(docs, "bt_docs4", str(tmp_path / "d4"), n_buckets=4)
+    write_bucketed(spans, "bt_spans8", str(tmp_path / "s8"), n_buckets=8)
+    confs = [("spark.sql.autoBroadcastJoinThreshold", "-1"),
+             ("spark.sql.adaptive.enabled", "false"),
+             ("spark.sql.bucketing.coalesceBucketsInJoin.enabled", "true")]
+    old = {k: spark.conf.get(k, None) for k, _ in confs}
+    try:
+        for k, v in confs:
+            spark.conf.set(k, v)
+        j = read_bucketed(spark, "bt_spans8").join(
+            read_bucketed(spark, "bt_docs4"), "doc_id")
+        assert _n_exchanges(j) == 0, _plan(j)
+        assert j.count() > 0
+    finally:
+        for k, v in old.items():
+            if v is not None:
+                spark.conf.set(k, v)
+        spark.sql("DROP TABLE IF EXISTS bt_docs4")
+        spark.sql("DROP TABLE IF EXISTS bt_spans8")

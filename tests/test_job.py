@@ -790,3 +790,26 @@ def test_detect_partition_col(spark, tmp_path):
     # compaction of the consistent table keeps the layout end-to-end
     snap = compact_snapshots(spark, flat, min_snapshots=1)
     assert snap is not None and detect_partition_col(flat) is None
+
+
+def test_compact_preserves_schema_evolution(spark, tmp_path):
+    """Snapshots may disagree on columns (schema evolution across
+    ingest versions); read_committed unions with allowMissingColumns
+    and compaction must carry the WIDEST schema through the rewrite —
+    dropping the new column would be silent data loss."""
+    import pdfspark.sinks.snapshot as S
+
+    out = str(tmp_path / "tbl")
+    S.commit_append(
+        spark.createDataFrame([("a", 1)], "doc_id string, v int"), out)
+    S.commit_append(
+        spark.createDataFrame([("b", 2, "en")],
+                              "doc_id string, v int, lang string"), out)
+    got = {r.doc_id: r.asDict() for r in S.read_committed(spark, out).collect()}
+    assert got["a"]["lang"] is None and got["b"]["lang"] == "en"
+
+    snap = S.compact_snapshots(spark, out)
+    assert snap is not None
+    after = {r.doc_id: r.asDict()
+             for r in S.read_committed(spark, out).collect()}
+    assert after == got

@@ -2548,9 +2548,18 @@ def _font_cmap(objs, fnum: int | None, cache: dict) -> dict | None:
             cache[fnum] = _parse_tounicode(_content_stream(tu))
         else:
             enc = _font_encoding(objs, body)
-            if (enc is None and body is not None
-                    and _TYPE3_RE.search(body) is not None):
-                raise ValueError("Type3 font without /Encoding")
+            if enc is None and body is not None:
+                if _TYPE3_RE.search(body) is not None:
+                    raise ValueError("Type3 font without /Encoding")
+                if _TYPE0_RE.search(body) is not None:
+                    # a composite font's string bytes are 2-byte CIDs
+                    # (Identity-H et al.); without /ToUnicode the
+                    # latin-1 byte-wise identity would emit garbage
+                    # char PAIRS per glyph — a silent wrong parse.
+                    # pdfminer itself can only produce (cid:N)
+                    # placeholders here; quarantine is the honest form
+                    # of that degradation.
+                    raise ValueError("Type0 font without /ToUnicode")
             cache[fnum] = enc
     return cache[fnum]
 
@@ -2561,6 +2570,7 @@ _WIDTHS_REF_RE = re.compile(rb"/Widths\s+(\d+)\s+0\s+R")
 _FONTDESC_RE = re.compile(rb"/FontDescriptor\s+(\d+)\s+0\s+R")
 _MISSWIDTH_RE = re.compile(rb"/MissingWidth\s+(" + _NUM + rb")")
 _TYPE3_RE = re.compile(rb"/Subtype\s*/Type3\b")
+_TYPE0_RE = re.compile(rb"/Subtype\s*/Type0\b")
 _FONTMATRIX_RE = re.compile(rb"/FontMatrix\s*\[([^\]]*)\]")
 
 

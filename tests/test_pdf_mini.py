@@ -1799,3 +1799,30 @@ def test_mutation_sweep_never_hangs_or_escapes():
                 pass  # quarantine path — the contract
             ran += 1
     assert ran == 4 * (6 + 24 + 12 + 6)
+
+
+def test_type0_without_tounicode_quarantines():
+    """A composite (Type0/Identity-H) font whose /ToUnicode is
+    stripped must quarantine: its show strings are 2-byte CIDs, and
+    the latin-1 byte-wise fallback would silently emit garbage char
+    pairs per glyph (pdfminer's own degradation here is (cid:N)
+    placeholders, not text). With /ToUnicode intact the same file
+    decodes."""
+    pages = [["1. Intro", "Body."]]
+    pdf = build_tiny_pdf("cid0", pages, cid=True)
+    assert decode_tiny_pdf(pdf)["spans"]  # intact: decodes
+
+    stripped = re.sub(rb"/ToUnicode \d+ 0 R\s*", b"", pdf)
+    assert stripped != pdf
+    # /Encoding /Identity-H survives, so this shape trips the
+    # unsupported-base-encoding guard — still a quarantine, never the
+    # latin-1 fallback
+    with pytest.raises(ValueError, match="unsupported base encoding"):
+        decode_tiny_pdf(stripped)
+
+    # ...and a Type0 with NO /Encoding either (fully stripped) hits
+    # the dedicated composite-font guard
+    bare = re.sub(rb"/Encoding\s*/Identity-H\s*", b"", stripped)
+    assert bare != stripped
+    with pytest.raises(ValueError, match="Type0 font without /ToUnicode"):
+        decode_tiny_pdf(bare)

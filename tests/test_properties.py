@@ -310,3 +310,25 @@ def test_tiff_unpredict_inverts_forward_differencing(columns, colors, data):
         for i in range(row_len - 1, colors - 1, -1):
             fwd[r + i] = (raw[r + i] - raw[r + i - colors]) & 0xFF
     assert _tiff_unpredict(bytes(fwd), columns, colors) == raw
+
+
+@given(st.data())
+@settings(max_examples=150, deadline=None)
+def test_xycut_is_always_a_permutation(data):
+    """xy_cut_order must return a PERMUTATION of the input indices for
+    any box geometry (degenerate, overlapping, duplicated, negative
+    coordinates) — a dropped or doubled box would be silent span loss
+    or duplication in the distributed rank join."""
+    from pdfspark.operators.reading_order import xy_cut_order
+
+    n = data.draw(st.integers(min_value=0, max_value=24))
+    coord = st.floats(min_value=-1e3, max_value=1e3, allow_nan=False,
+                      width=32)
+    x0, y0, x1, y1 = [], [], [], []
+    for _ in range(n):
+        a, b = data.draw(coord), data.draw(coord)
+        c, d = data.draw(coord), data.draw(coord)
+        x0.append(min(a, c)); x1.append(max(a, c))
+        y0.append(min(b, d)); y1.append(max(b, d))
+    order = xy_cut_order(x0, y0, x1, y1, list(range(n)))
+    assert sorted(order) == list(range(n))

@@ -223,6 +223,10 @@ def minhash_candidates(
     count for tier-2 edges; doc_a < doc_b holds in both (group rep is
     the group min; tier 2 filters a < b). The DuckDB oracle twin
     mirrors both tiers (oracle_pipeline._minhash_cte).
+
+    Measured N->2N candidate scaling (round 5, same independent
+    half-doc protocol as the simhash experiment): 492 -> 1,019
+    candidates at 5,300 -> 10,600 docs — 2.07x, linear.
     """
     sigs = (precomputed_sigs if precomputed_sigs is not None
             else minhash_signatures(docs, shingles)).withColumn(

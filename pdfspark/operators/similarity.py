@@ -538,6 +538,18 @@ def plane_sql_literal(p: int) -> str:
 NUM_CELLS = 8
 NPROBE = 2
 
+# Measured recall@5 vs the brute-force row (sf0.1, 40 queries,
+# round 5) by NPROBE 1/2/3/4: deterministic centroids .445/.625/
+# .740/.825, k-means-fit .510/.665/.790/.870. The fixture embeddings
+# are synthetic near-uniform vectors — the known WORST case for a
+# coarse quantizer (no cluster structure to capture, so recall tracks
+# roughly the probed cell fraction, and the k-means fit can only buy
+# a few points). On real embedding corpora (which cluster heavily)
+# IVF recall at small NPROBE is far higher; the knob to turn is
+# NPROBE (linear candidate-volume cost), and the driver row keeps
+# NPROBE=2 deterministic centroids because its job is plan shape +
+# bit-exact oracle parity, not recall on unstructured noise.
+
 CENTROIDS: list[list[float]] = [
     _plane(1000 + c) for c in range(NUM_CELLS)
 ]

@@ -421,6 +421,7 @@ def compact_snapshots(
     spark: SparkSession, output: str, fmt: str = "parquet",
     n_files: int = 1, protocol: str = "rename",
     min_snapshots: int = 2, partition_by: str | None = None,
+    lock_ttl_s: float = 3600.0,
 ) -> str | None:
     """Small-files maintenance: rewrite every committed snapshot into
     ONE new snapshot of ``n_files`` files and atomically supersede the
@@ -441,9 +442,53 @@ def compact_snapshots(
     both. A crash mid-cleanup leaves ignored manifests/dirs that the
     next ``compact_snapshots`` or ``gc_orphans`` reclaims. Snapshots
     committed CONCURRENTLY with the rewrite are untouched (they are
-    not in the input list, so never superseded). Like Iceberg without
-    a CAS catalog, two compactors racing on the SAME inputs can
-    double-publish — run maintenance single-writer."""
+    not in the input list, so never superseded). Two compactors racing
+    on the SAME inputs could double-publish (Iceberg prevents this
+    with a CAS catalog); here an O_EXCL lock file under _manifests
+    enforces the single-maintenance-writer rule on any filesystem
+    with atomic create — a second compactor raises instead of
+    corrupting, and a crashed holder's stale lock is taken over after
+    ``lock_ttl_s``. (On a raw object store without atomic create,
+    serialize maintenance from one scheduler instead.)"""
+    lock = _acquire_maintenance_lock(output, lock_ttl_s)
+    try:
+        return _compact_locked(spark, output, fmt, n_files, protocol,
+                               min_snapshots, partition_by)
+    finally:
+        try:
+            os.remove(lock)
+        except OSError:
+            pass
+
+
+def _acquire_maintenance_lock(output: str, ttl_s: float) -> str:
+    """O_EXCL create of _manifests/.maintenance.lock; raises when a
+    FRESH lock exists (another compactor is live). A lock older than
+    ``ttl_s`` is presumed crashed and replaced."""
+    mdir = os.path.join(output, MANIFEST_DIR)
+    os.makedirs(mdir, exist_ok=True)
+    path = os.path.join(mdir, ".maintenance.lock")
+    while True:
+        try:
+            fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+            os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+            os.close(fd)
+            return path
+        except FileExistsError:
+            try:
+                age = time.time() - os.path.getmtime(path)
+            except OSError:
+                continue  # holder released between open and stat
+            if age <= ttl_s:
+                raise ValueError(
+                    f"maintenance lock held on {output} "
+                    f"(age {age:.0f}s <= ttl {ttl_s:.0f}s); another "
+                    "compactor is running")
+            os.remove(path)  # stale: crashed holder, take over
+
+
+def _compact_locked(spark, output, fmt, n_files, protocol,
+                    min_snapshots, partition_by) -> str | None:
     _cleanup_superseded(output)
     snaps = committed_snapshots(output)
     if len(snaps) < min_snapshots:

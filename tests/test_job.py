@@ -813,3 +813,39 @@ def test_compact_preserves_schema_evolution(spark, tmp_path):
     after = {r.doc_id: r.asDict()
              for r in S.read_committed(spark, out).collect()}
     assert after == got
+
+
+def test_compaction_maintenance_lock(spark, tmp_path):
+    """Single-maintenance-writer enforcement: a fresh lock makes a
+    second compactor raise; a stale lock (crashed holder) is taken
+    over; the lock is released on success AND on failure."""
+    import pdfspark.sinks.snapshot as S
+
+    out = str(tmp_path / "tbl")
+    for i in range(2):
+        S.commit_append(
+            spark.createDataFrame([(f"d{i}", i)], "doc_id string, v int"),
+            out)
+    lock = os.path.join(out, S.MANIFEST_DIR, ".maintenance.lock")
+
+    # fresh foreign lock -> refuse
+    with open(lock, "w") as fh:
+        fh.write("9999 0\n")
+    with pytest.raises(ValueError, match="maintenance lock held"):
+        S.compact_snapshots(spark, out)
+    # stale lock -> taken over, compaction proceeds, lock released
+    old = os.path.getmtime(lock) - 7200
+    os.utime(lock, (old, old))
+    snap = S.compact_snapshots(spark, out)
+    assert snap is not None and not os.path.exists(lock)
+
+    # failure inside the locked section still releases the lock
+    S.commit_append(
+        spark.createDataFrame([("x", 9)], "doc_id string, v int")
+        .limit(0).unionByName(
+            spark.createDataFrame([("x", 9)], "doc_id string, v int")),
+        out)
+    with pytest.raises(ValueError, match="unknown snapshot protocol"):
+        S.compact_snapshots(spark, out, protocol="bogus")
+    assert not os.path.exists(lock)
+    assert S.compact_snapshots(spark, out) is not None

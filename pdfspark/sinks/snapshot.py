@@ -450,30 +450,38 @@ def compact_snapshots(
     corrupting, and a crashed holder's stale lock is taken over after
     ``lock_ttl_s``. (On a raw object store without atomic create,
     serialize maintenance from one scheduler instead.)"""
-    lock = _acquire_maintenance_lock(output, lock_ttl_s)
+    if protocol not in ("rename", "manifest-only"):
+        # validate BEFORE the lock and before _cleanup_superseded's
+        # side effects — a bad argument must not mutate the table
+        raise ValueError(f"unknown snapshot protocol: {protocol!r}")
+    lock, token = _acquire_maintenance_lock(output, lock_ttl_s)
+    hb_stop = _start_lock_heartbeat(lock, lock_ttl_s)
     try:
         return _compact_locked(spark, output, fmt, n_files, protocol,
                                min_snapshots, partition_by)
     finally:
-        try:
-            os.remove(lock)
-        except OSError:
-            pass
+        hb_stop.set()
+        _release_maintenance_lock(lock, token)
 
 
-def _acquire_maintenance_lock(output: str, ttl_s: float) -> str:
-    """O_EXCL create of _manifests/.maintenance.lock; raises when a
-    FRESH lock exists (another compactor is live). A lock older than
-    ``ttl_s`` is presumed crashed and replaced."""
+def _acquire_maintenance_lock(output: str, ttl_s: float) -> tuple[str, str]:
+    """O_EXCL create of _manifests/.maintenance.lock holding a unique
+    owner token; raises when a FRESH lock exists (another compactor is
+    live — the heartbeat keeps a live holder's mtime fresh, so only a
+    genuinely dead holder ever looks stale). Stale takeover is an
+    atomic os.rename to a unique tombstone: of N racers exactly the
+    one whose rename succeeds proceeds, the rest loop and see the
+    winner's fresh lock."""
     mdir = os.path.join(output, MANIFEST_DIR)
     os.makedirs(mdir, exist_ok=True)
     path = os.path.join(mdir, ".maintenance.lock")
+    token = uuid.uuid4().hex
     while True:
         try:
             fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
-            os.write(fd, f"{os.getpid()} {time.time()}\n".encode())
+            os.write(fd, token.encode())
             os.close(fd)
-            return path
+            return path, token
         except FileExistsError:
             try:
                 age = time.time() - os.path.getmtime(path)
@@ -484,7 +492,49 @@ def _acquire_maintenance_lock(output: str, ttl_s: float) -> str:
                     f"maintenance lock held on {output} "
                     f"(age {age:.0f}s <= ttl {ttl_s:.0f}s); another "
                     "compactor is running")
-            os.remove(path)  # stale: crashed holder, take over
+            tomb = path + f".takeover-{token}"
+            try:
+                os.rename(path, tomb)  # atomic: one racer wins
+            except OSError:
+                continue  # lost the takeover race; re-examine
+            try:
+                os.remove(tomb)
+            except OSError:
+                pass
+
+
+def _start_lock_heartbeat(path: str, ttl_s: float):
+    """Daemon thread refreshing the lock's mtime so a LIVE compaction
+    outlasting ``ttl_s`` (a big table rewrite) is never mistaken for
+    a crashed holder. Returns the stop event."""
+    import threading
+
+    stop = threading.Event()
+
+    def beat():
+        while not stop.wait(max(1.0, min(60.0, ttl_s / 4))):
+            try:
+                os.utime(path)
+            except OSError:
+                return  # lock gone (released/taken over): stop beating
+
+    t = threading.Thread(target=beat, daemon=True,
+                         name="pdfspark-maintenance-lock-heartbeat")
+    t.start()
+    return stop
+
+
+def _release_maintenance_lock(path: str, token: str) -> None:
+    """Remove the lock only if WE still own it (token match): after a
+    TTL takeover the file belongs to someone else, and a blind remove
+    would strip the new holder's mutual exclusion."""
+    try:
+        with open(path, encoding="utf-8") as fh:
+            if fh.read().strip() != token:
+                return
+        os.remove(path)
+    except OSError:
+        pass
 
 
 def _compact_locked(spark, output, fmt, n_files, protocol,
@@ -495,9 +545,7 @@ def _compact_locked(spark, output, fmt, n_files, protocol,
         return None
     df = _union_snapshots(
         [_read_snapshot(spark, output, s, fmt) for s in snaps])
-    rename = protocol == "rename"
-    if protocol not in ("rename", "manifest-only"):
-        raise ValueError(f"unknown snapshot protocol: {protocol!r}")
+    rename = protocol == "rename"  # validated by compact_snapshots
     snap = f"snap-{time.time_ns()}-{uuid.uuid4().hex[:8]}"
     # carry the inputs' OWN #supersedes ids forward (transitively):
     # the compacted manifest becomes the single record of every id

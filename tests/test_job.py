@@ -849,3 +849,42 @@ def test_compaction_maintenance_lock(spark, tmp_path):
         S.compact_snapshots(spark, out, protocol="bogus")
     assert not os.path.exists(lock)
     assert S.compact_snapshots(spark, out) is not None
+
+
+def test_maintenance_lock_ownership_and_heartbeat(tmp_path):
+    """Lock internals (review findings): release is ownership-checked
+    (a foreign token's lock is never removed), stale takeover is an
+    atomic rename (a lost race falls through to the fresh-lock error),
+    and the heartbeat keeps a live holder's mtime fresh so a long
+    compaction is never mistaken for a crashed one."""
+    import time as _time
+
+    import pdfspark.sinks.snapshot as S
+
+    out = str(tmp_path / "tbl")
+    lock, token = S._acquire_maintenance_lock(out, ttl_s=3600)
+    # foreign-token release must NOT strip the holder's lock
+    S._release_maintenance_lock(lock, "not-the-token")
+    assert os.path.exists(lock)
+    # owner release removes it
+    S._release_maintenance_lock(lock, token)
+    assert not os.path.exists(lock)
+
+    # heartbeat refreshes mtime faster than the ttl
+    lock, token = S._acquire_maintenance_lock(out, ttl_s=4)
+    old_m = os.path.getmtime(lock)
+    os.utime(lock, (old_m - 10, old_m - 10))
+    stop = S._start_lock_heartbeat(lock, ttl_s=4)
+    try:
+        _time.sleep(1.6)
+        assert os.path.getmtime(lock) > old_m - 10
+    finally:
+        stop.set()
+        S._release_maintenance_lock(lock, token)
+
+    # fresh foreign lock: acquisition raises (no takeover)
+    with open(os.path.join(out, S.MANIFEST_DIR, ".maintenance.lock"),
+              "w") as fh:
+        fh.write("foreign")
+    with pytest.raises(ValueError, match="maintenance lock held"):
+        S._acquire_maintenance_lock(out, ttl_s=3600)

@@ -428,6 +428,66 @@ def _stream_dedup_report() -> dict:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def _decode_bytes_report() -> dict:
+    """Bytes-in → spans-out decode throughput — the north metric's
+    literal shape (documents/sec end-to-end extraction on raw
+    interleaved text+media PDFs). The 32 structural `%PDF` fixture
+    payloads (every codec slice: xref/object streams, filter chains,
+    encryption, images, rotated pages, encodings — incl. the
+    quarantine-by-design shapes) replicate K× with a base-first
+    repartition (the serial-replication artifact fix), then run the
+    full decode seam. min-over-repeats after a warm pass; reports
+    docs/s and per-doc decode CPU (wall × threads / docs). Caveat
+    recorded in the key name: fixture PDFs are ~4 KB structural
+    docs, so docs/s scales down with real page counts — per-doc CPU
+    is the portable number."""
+    import pyspark.sql.functions as F
+
+    from pdfspark.sources.binary_decode import decode_payloads, read_payloads
+
+    pdir = os.path.join(REPO, "fixtures", _sf_name(SF_DIR), "payloads_pdf")
+    if not os.path.isdir(pdir):
+        return {"skipped": f"no payloads_pdf under {pdir}"}
+    spark = build_session(master=f"local[{CPUS}]", shuffle_partitions=CPUS)
+    try:
+        base = read_payloads(spark, pdir).select("path", "length", "content")
+        n0 = base.count()
+        k = int(os.environ.get("PDFSPARK_BENCH_DECODE_K", "256"))
+        rep = (
+            base.repartition(64)
+            .crossJoin(spark.range(k).select(F.col("id").alias("rep")))
+            .select(F.concat_ws("#", "path", "rep").alias("path"),
+                    "length", "content")
+            .persist()
+        )
+        docs = rep.count()
+        best, ok = None, 0
+        for _ in range(3):
+            t0 = time.time()
+            ok = decode_payloads(rep).filter("status='ok'").count()
+            d = time.time() - t0
+            best = d if best is None else min(best, d)
+        rep.unpersist()
+        return {
+            "payload_files": n0,
+            "replication": k,
+            "docs": docs,
+            "ok_docs": ok,
+            "quarantined_by_design": docs - ok,
+            "wall_s_min": round(best, 3),
+            "docs_per_sec": round(docs / best, 1),
+            "per_doc_decode_cpu_ms": round(best * CPUS / docs * 1000, 2),
+            "note": "structural ~4KB fixture PDFs; per-doc CPU is the "
+                    "portable number",
+        }
+    finally:
+        spark.stop()
+
+
+def _sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
 def main() -> int:
     queries = E.queries()
     timings: dict[str, float] = {}
@@ -479,6 +539,9 @@ def main() -> int:
 
     if os.environ.get("PDFSPARK_BENCH_STREAM", "1") != "0":
         out["stream_dedup"] = _stream_dedup_report()
+
+    if os.environ.get("PDFSPARK_BENCH_DECODE", "1") != "0":
+        out["decode_bytes"] = _decode_bytes_report()
 
     if os.environ.get("PDFSPARK_BENCH_SCALING", "1") != "0":
         out["scaling"] = _scaling_report()

@@ -260,6 +260,22 @@ def main(argv=None) -> int:
              "S3 whose only atomic primitive is a single-object PUT)",
     )
     ap.add_argument(
+        "--stream-payloads", default=None, metavar="DIR",
+        help="streaming ingest mode: drain raw payload files arriving "
+             "in DIR through the checkpointed Structured Streaming "
+             "decode+fold (availableNow trigger — processes the "
+             "backlog and exits; re-run to pick up new files, or "
+             "schedule it). Output commits exactly-once per "
+             "micro-batch via deterministic snapshot ids; --metrics "
+             "lineage rides each commit. Requires --checkpoint.",
+    )
+    ap.add_argument("--checkpoint", default=None,
+                    help="checkpoint dir for --stream-payloads")
+    ap.add_argument(
+        "--max-files-per-trigger", type=int, default=None,
+        help="micro-batch size throttle for --stream-payloads",
+    )
+    ap.add_argument(
         "--compact", type=int, nargs="?", const=1, default=None,
         metavar="N_FILES",
         help="maintenance mode (no input): rewrite every committed "
@@ -296,13 +312,29 @@ def main(argv=None) -> int:
     )
 
     n_inputs = sum(x is not None for x in (args.input, args.payloads,
-                                           args.html))
+                                           args.html, args.stream_payloads))
     if args.compact is not None:
         if n_inputs:
             ap.error("--compact is a maintenance mode; no input allowed")
         return _run_compact_mode(spark, args)
     if n_inputs != 1:
-        ap.error("exactly one of --input / --payloads / --html is required")
+        ap.error("exactly one of --input / --payloads / --html / "
+                 "--stream-payloads is required")
+
+    if args.stream_payloads:
+        if not args.checkpoint:
+            ap.error("--stream-payloads requires --checkpoint")
+        if args.format != "parquet":
+            ap.error("--stream-payloads writes parquet snapshots only")
+        from pdfspark.streaming.extract_stream import extract_payload_stream
+
+        extract_payload_stream(
+            spark, args.stream_payloads, args.output, args.checkpoint,
+            max_files_per_trigger=args.max_files_per_trigger,
+            metrics_path=args.metrics,
+            snapshot_output=True,
+        )
+        return 0
 
     from pyspark.sql import functions as F
 

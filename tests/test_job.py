@@ -888,3 +888,59 @@ def test_maintenance_lock_ownership_and_heartbeat(tmp_path):
         fh.write("foreign")
     with pytest.raises(ValueError, match="maintenance lock held"):
         S._acquire_maintenance_lock(out, ttl_s=3600)
+
+
+def test_job_stream_payloads_mode(spark, fixture_dir, tmp_path):
+    """--stream-payloads via the CLI: drains the backlog through the
+    checkpointed streaming decode+fold with exactly-once snapshot
+    output; a re-run with no new files commits nothing; a new file
+    appears as exactly one more doc; --compact then folds the
+    per-batch snapshots."""
+    import shutil
+
+    from pdfspark.sinks.snapshot import committed_snapshots
+
+    src = os.path.join(fixture_dir, "payloads")
+    pdir = str(tmp_path / "arrivals")
+    os.makedirs(pdir)
+    names = sorted(os.listdir(src))
+    for n in names:
+        shutil.copy(os.path.join(src, n), pdir)
+    out, met, cp = (str(tmp_path / p) for p in ("out", "met", "cp"))
+
+    rc = main(["--stream-payloads", pdir, "--output", out,
+               "--metrics", met, "--checkpoint", cp,
+               "--max-files-per-trigger", str(max(1, len(names) // 3))])
+    assert rc == 0
+    o = _read_out(spark, out)
+    assert o.select("doc_id").distinct().count() == len(names)
+    n_snaps = len(committed_snapshots(out))
+    assert n_snaps >= 2  # throttled into multiple micro-batches
+    assert committed_snapshots(met) == committed_snapshots(out)
+
+    # idle re-run: nothing new, no new snapshots
+    rc = main(["--stream-payloads", pdir, "--output", out,
+               "--metrics", met, "--checkpoint", cp])
+    assert rc == 0
+    assert len(committed_snapshots(out)) == n_snaps
+
+    # late arrival processed exactly once
+    shutil.copy(os.path.join(src, names[0]),
+                os.path.join(pdir, "late_arrival.bin"))
+    rc = main(["--stream-payloads", pdir, "--output", out,
+               "--metrics", met, "--checkpoint", cp])
+    assert rc == 0
+    assert _read_out(spark, out).count() == len(names) + 1
+
+    # maintenance composes
+    rc = main(["--compact", "--output", out, "--metrics", met])
+    assert rc == 0
+    assert len(committed_snapshots(out)) == 1
+    assert _read_out(spark, out).count() == len(names) + 1
+
+    # guard rails
+    with pytest.raises(SystemExit):
+        main(["--stream-payloads", pdir, "--output", out])  # no checkpoint
+    with pytest.raises(SystemExit):
+        main(["--stream-payloads", pdir, "--input", "x",
+              "--output", out, "--checkpoint", cp])  # two inputs

@@ -332,3 +332,50 @@ def test_xycut_is_always_a_permutation(data):
         y0.append(min(b, d)); y1.append(max(b, d))
     order = xy_cut_order(x0, y0, x1, y1, list(range(n)))
     assert sorted(order) == list(range(n))
+
+
+@given(st.text(max_size=400))
+@settings(max_examples=250, deadline=None)
+def test_html_kernels_never_crash_on_arbitrary_text(doc):
+    """Poison-input property for BOTH HTML kernels (the same
+    executor-side contract the PDF mutation sweep pins): any unicode
+    garbage — unclosed tags, stray angle brackets, control chars —
+    must come back as a (possibly empty) result, never an exception,
+    because html.parser feeds directly from corpus bytes."""
+    from pdfspark.functions.domseg import extract_blocks
+    from pdfspark.operators.html_tables import parse_html_table
+
+    blocks = extract_blocks(doc)
+    assert isinstance(blocks, list)
+    rows = parse_html_table(1, doc)
+    assert isinstance(rows, list)
+
+
+@given(st.data())
+@settings(max_examples=120, deadline=None)
+def test_html_kernels_survive_mutated_markup(data):
+    """Structured-then-corrupted variant: take plausible table/page
+    markup and mutate it (truncate, delete a chunk, flip chars) —
+    kernels must still terminate with list results."""
+    from pdfspark.functions.domseg import extract_blocks
+    from pdfspark.operators.html_tables import parse_html_table
+
+    base = ("<html><head><title>t</title></head><body><nav>menu</nav>"
+            "<div id='main'><p>Some longer paragraph text here with "
+            "words.</p><table><tr><th>h1</th><th>h2</th></tr>"
+            "<tr><td>a</td><td>b</td></tr></table></div>"
+            "<footer>foot</footer></body></html>")
+    n = len(base)
+    choice = data.draw(st.integers(0, 2))
+    if choice == 0:
+        doc = base[: data.draw(st.integers(0, n))]
+    elif choice == 1:
+        i = data.draw(st.integers(0, n - 1))
+        j = data.draw(st.integers(i, min(n, i + 40)))
+        doc = base[:i] + base[j:]
+    else:
+        i = data.draw(st.integers(0, n - 1))
+        doc = base[:i] + data.draw(st.text(min_size=1, max_size=3)) \
+            + base[i + 1:]
+    assert isinstance(extract_blocks(doc), list)
+    assert isinstance(parse_html_table(7, doc), list)

@@ -38,6 +38,7 @@ def extract_payload_stream(
     max_files_per_trigger: int | None = None,
     metrics_path: str | None = None,
     snapshot_output: bool = False,
+    path_glob: str = "*.{bin,pdf}",
 ) -> None:
     """Drain all unprocessed payload files into the parquet sink;
     returns after the availableNow query terminates.
@@ -70,7 +71,10 @@ def extract_payload_stream(
         # a streaming source
         .schema("path string, modificationTime timestamp, "
                 "length long, content binary")
-        .option("pathGlobFilter", "*.bin")
+        # brace glob (Hadoop GlobFilter): raw %PDF corpora arrive as
+        # .pdf, the fixture stand-ins as .bin — a single-extension
+        # default silently ignored half the real arrivals
+        .option("pathGlobFilter", path_glob)
     )
     if max_files_per_trigger is not None:
         # NOT a truthiness test: an explicit 0 must reach Spark

@@ -540,3 +540,29 @@ def test_extract_stream_snapshot_output_exactly_once_and_compacts(
     shutil.copy(os.path.join(src, names[0]), extra)
     extract_payload_stream(spark, pdir, out, cp, **kw)
     assert S.read_committed(spark, out).count() == len(names) + 1
+
+
+def test_extract_stream_ingests_raw_pdf_arrivals(spark, tmp_path):
+    """Raw %PDF files (.pdf extension) arriving in the watch dir are
+    picked up by the default path glob and decode through the mini
+    codec — interleaved text+media spans with media_refs — while a
+    corrupt PDF quarantines as a row instead of killing the batch."""
+    import pdfspark.sinks.snapshot as S
+    from pdfspark.sources.pdf_mini import build_tiny_pdf
+    from pdfspark.streaming.extract_stream import extract_payload_stream
+
+    pdir = str(tmp_path / "arrivals")
+    os.makedirs(pdir)
+    with open(os.path.join(pdir, "doc-a.pdf"), "wb") as fh:
+        fh.write(build_tiny_pdf("doc-a", [["1. Intro", "Body text."]],
+                                compress=True))
+    with open(os.path.join(pdir, "doc-b.pdf"), "wb") as fh:
+        fh.write(b"%PDF-1.4\ngarbage only\n%%EOF\n")
+
+    out, cp = str(tmp_path / "out"), str(tmp_path / "cp")
+    extract_payload_stream(spark, pdir, out, cp, snapshot_output=True)
+    rows = {r.doc_id: r for r in S.read_committed(spark, out).collect()}
+    assert rows["doc-a"].status == "ok"
+    texts = [s.text for s in rows["doc-a"].spans]
+    assert any("Body text." in t for t in texts)
+    assert rows["doc-b"].status == "quarantined"

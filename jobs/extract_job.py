@@ -101,10 +101,11 @@ def _run_html_mode(spark, args) -> int:
 
     pages = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.html")
+        # brace glob: real page corpora mix .html and .htm
+        .option("pathGlobFilter", "*.{html,htm}")
         .load(args.html)
         .select(
-            F.regexp_extract(F.col("path"), r"([^/]+)\.html$", 1)
+            F.regexp_extract(F.col("path"), r"([^/]+)\.html?$", 1)
             .alias("doc_id"),
             # F4 quarantine, not a stage kill: bare decode() throws
             # MALFORMED_CHARACTER_CODING under Spark 4 ANSI on the

@@ -944,3 +944,20 @@ def test_job_stream_payloads_mode(spark, fixture_dir, tmp_path):
     with pytest.raises(SystemExit):
         main(["--stream-payloads", pdir, "--input", "x",
               "--output", out, "--checkpoint", cp])  # two inputs
+
+
+def test_job_html_mode_accepts_htm_extension(spark, tmp_path):
+    """Real page corpora mix .html and .htm; both land with clean
+    doc_ids (the old single-extension glob silently skipped .htm)."""
+    d = str(tmp_path / "pages")
+    os.makedirs(d)
+    for name in ("alpha.html", "bravo.htm"):
+        with open(os.path.join(d, name), "w") as fh:
+            fh.write("<html><body><p>Real paragraph text with many "
+                     "words in it for the stump.</p></body></html>")
+    out = str(tmp_path / "out")
+    rc = main(["--html", d, "--output", out])
+    assert rc == 0
+    ids = {r.doc_id for r in
+           _read_out(spark, out).select("doc_id").collect()}
+    assert ids == {"alpha", "bravo"}

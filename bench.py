@@ -70,10 +70,13 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _sf_name(sf_dir: str) -> str:
+    return os.path.basename(os.path.normpath(sf_dir))
+
+
 def _sf_value(sf_dir: str) -> float:
-    name = os.path.basename(os.path.normpath(sf_dir))
     try:
-        return float(name.replace("sf", ""))
+        return float(_sf_name(sf_dir).replace("sf", ""))
     except ValueError:
         return 0.1
 
@@ -452,7 +455,9 @@ def _decode_bytes_report() -> dict:
     try:
         base = read_payloads(spark, pdir).select("path", "length", "content")
         n0 = base.count()
-        k = int(os.environ.get("PDFSPARK_BENCH_DECODE_K", "256"))
+        if n0 == 0:
+            return {"skipped": f"no payload files under {pdir}"}
+        k = max(1, int(os.environ.get("PDFSPARK_BENCH_DECODE_K", "256")))
         rep = (
             base.repartition(64)
             .crossJoin(spark.range(k).select(F.col("id").alias("rep")))
@@ -482,10 +487,6 @@ def _decode_bytes_report() -> dict:
         }
     finally:
         spark.stop()
-
-
-def _sf_name(sf_dir: str) -> str:
-    return os.path.basename(os.path.normpath(sf_dir))
 
 
 def main() -> int:

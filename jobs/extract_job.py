@@ -120,6 +120,20 @@ def _run_html_mode(spark, args) -> int:
         )
     )
 
+    # doc_id = filename stem, so alpha.html + alpha.htm (or the same
+    # stem in two subdirs) would silently merge into one document —
+    # and --resume would then skip the late twin forever. Fail loudly
+    # with examples instead; the check projects only the path-derived
+    # doc_id, so no page content is read for it.
+    dup = (pages.groupBy("doc_id").count().filter(F.col("count") > 1)
+           .limit(5).collect())
+    if dup:
+        raise ValueError(
+            "duplicate doc_ids from colliding page filenames "
+            f"(stem maps .html/.htm and subdirs together): "
+            f"{[r.doc_id for r in dup]} — rename the files or split "
+            "the input directories")
+
     pages = _prepare_output(spark, args, pages)
 
     pages = pages.persist()
@@ -312,21 +326,31 @@ def main(argv=None) -> int:
         lineage_table,
     )
 
-    n_inputs = sum(x is not None for x in (args.input, args.payloads,
-                                           args.html, args.stream_payloads))
+    # truthiness, not `is not None`: an empty-string input (unset env
+    # var in a deployment script) must be a usage error here, not a
+    # fall-through into the batch branch's parquet-read of None
+    n_inputs = sum(bool(x) for x in (args.input, args.payloads,
+                                     args.html, args.stream_payloads))
     if args.compact is not None:
         if n_inputs:
             ap.error("--compact is a maintenance mode; no input allowed")
         return _run_compact_mode(spark, args)
     if n_inputs != 1:
         ap.error("exactly one of --input / --payloads / --html / "
-                 "--stream-payloads is required")
+                 "--stream-payloads is required (non-empty)")
 
     if args.stream_payloads:
         if not args.checkpoint:
             ap.error("--stream-payloads requires --checkpoint")
         if args.format != "parquet":
             ap.error("--stream-payloads writes parquet snapshots only")
+        if args.buckets > 0 or args.resume:
+            # no silent no-ops: bucketed streaming layout is not
+            # plumbed, and resume IS the checkpoint's job here
+            ap.error("--buckets/--resume do not apply to "
+                     "--stream-payloads (the checkpoint provides "
+                     "resume; bucket the table via --compact + "
+                     "sinks/bucketed instead)")
         from pdfspark.streaming.extract_stream import extract_payload_stream
 
         extract_payload_stream(
@@ -334,6 +358,7 @@ def main(argv=None) -> int:
             max_files_per_trigger=args.max_files_per_trigger,
             metrics_path=args.metrics,
             snapshot_output=True,
+            commit_protocol=args.commit_protocol,
         )
         return 0
 

@@ -39,6 +39,7 @@ def extract_payload_stream(
     metrics_path: str | None = None,
     snapshot_output: bool = False,
     path_glob: str = "*.{bin,pdf}",
+    commit_protocol: str = "rename",
 ) -> None:
     """Drain all unprocessed payload files into the parquet sink;
     returns after the availableNow query terminates.
@@ -174,6 +175,7 @@ def extract_payload_stream(
                                         F.lit(epoch_id).cast("long")),
                             metrics_path)]
                 commit_append(out_rows, out_path, aux=aux,
+                              protocol=commit_protocol,
                               snap_id=f"snap-epoch{epoch_id:09d}-{digest}")
             else:
                 out_rows.write.mode("append").parquet(out_path)
@@ -185,13 +187,23 @@ def extract_payload_stream(
             if write_metrics:
                 folded.unpersist()
 
-    if snapshot_output and metrics_path is not None:
+    if snapshot_output:
+        # the batch job's _prepare_output preamble, streaming form:
         # heal the data-manifested / aux-unmanifested crash window a
         # prior run may have left (the replay no-ops on the data side,
-        # so only this pass can republish the aux marker)
-        from pdfspark.sinks.snapshot import reconcile_aux
+        # so only this pass can republish the aux marker), then
+        # reclaim unmanifested crash debris — this IS the advertised
+        # scheduled-drain loop, so without the GC here a driver killed
+        # mid micro-batch leaks staging dirs forever
+        import os as _os
 
-        reconcile_aux(out_path, [metrics_path])
+        from pdfspark.sinks.snapshot import gc_orphans, reconcile_aux
+
+        if metrics_path is not None:
+            reconcile_aux(out_path, [metrics_path])
+        for tgt in [out_path] + ([metrics_path] if metrics_path else []):
+            if _os.path.isdir(tgt):
+                gc_orphans(tgt)
 
     q = (
         bin_stream.writeStream.foreachBatch(sink)

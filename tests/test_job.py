@@ -961,3 +961,34 @@ def test_job_html_mode_accepts_htm_extension(spark, tmp_path):
     ids = {r.doc_id for r in
            _read_out(spark, out).select("doc_id").collect()}
     assert ids == {"alpha", "bravo"}
+
+
+def test_job_html_mode_rejects_stem_collisions(spark, tmp_path):
+    """alpha.html + alpha.htm map to one doc_id; merging them would be
+    silent (and --resume would drop the late twin forever) — the job
+    must fail loudly instead."""
+    d = str(tmp_path / "pages")
+    os.makedirs(d)
+    for name in ("alpha.html", "alpha.htm"):
+        with open(os.path.join(d, name), "w") as fh:
+            fh.write("<html><body><p>text words here</p></body></html>")
+    with pytest.raises(ValueError, match="duplicate doc_ids"):
+        main(["--html", d, "--output", str(tmp_path / "out")])
+
+
+def test_job_stream_payloads_flag_guards(tmp_path):
+    """No silent no-ops on the stream surface: empty input string,
+    --buckets and --resume are usage errors."""
+    import pytest as _pytest
+
+    out = str(tmp_path / "out")
+    cp = str(tmp_path / "cp")
+    with _pytest.raises(SystemExit):
+        main(["--stream-payloads", "", "--checkpoint", cp,
+              "--output", out])
+    with _pytest.raises(SystemExit):
+        main(["--stream-payloads", str(tmp_path), "--checkpoint", cp,
+              "--output", out, "--buckets", "4"])
+    with _pytest.raises(SystemExit):
+        main(["--stream-payloads", str(tmp_path), "--checkpoint", cp,
+              "--output", out, "--resume"])

@@ -55,7 +55,9 @@ def extract_payload_stream(
     resume anti-join reconcile).
 
     ``snapshot_output=True`` upgrades the OUTPUT to exactly-once: each
-    micro-batch commits through the manifest-snapshot protocol under a
+    micro-batch commits through the manifest-snapshot protocol
+    (``commit_protocol``: "rename" or "manifest-only" — same semantics
+    as the batch sink) under a
     DETERMINISTIC id derived from (epoch, input-file list), so a
     crash-replayed batch finds its manifest and no-ops instead of
     appending twice (the idempotent-foreachBatch pattern). Lineage

@@ -992,3 +992,84 @@ def test_job_stream_payloads_flag_guards(tmp_path):
     with _pytest.raises(SystemExit):
         main(["--stream-payloads", str(tmp_path), "--checkpoint", cp,
               "--output", out, "--resume"])
+
+
+def test_snapshot_table_random_op_sequences_preserve_rows(spark, tmp_path):
+    """Model-based check over the storage layer: a seeded random
+    sequence of appends, compactions, crash-injected appends (die
+    before manifest), crash-injected compactions (die before publish
+    / after publish) and gc passes must keep read_committed exactly
+    equal to the Python-side model multiset after every SUCCESSFUL
+    operation — no op order may lose or double rows."""
+    import random
+
+    import pdfspark.sinks.snapshot as S
+
+    rng = random.Random(0x5EED5)
+    out = str(tmp_path / "tbl")
+    model: list[tuple] = []
+    seq = 0
+    real_publish = S._publish
+
+    def rows(n):
+        nonlocal seq
+        out_rows = [(f"d{seq}_{i}", seq * 100 + i) for i in range(n)]
+        seq += 1
+        return out_rows
+
+    for step in range(14):
+        op = rng.choice(["append", "append", "append", "compact",
+                         "crash_append", "crash_compact_pre",
+                         "crash_compact_post", "gc"])
+        if op == "append":
+            data = rows(rng.randint(1, 4))
+            S.commit_append(
+                spark.createDataFrame(data, "doc_id string, v int"), out)
+            model.extend(data)
+        elif op == "compact":
+            S.compact_snapshots(spark, out, min_snapshots=1)
+        elif op == "crash_append":
+            data = rows(2)
+            S._publish = lambda *a, **k: (_ for _ in ()).throw(
+                RuntimeError("die"))
+            try:
+                with pytest.raises(RuntimeError):
+                    S.commit_append(
+                        spark.createDataFrame(data,
+                                              "doc_id string, v int"), out)
+            finally:
+                S._publish = real_publish
+            # crashed before its manifest: must NOT appear in reads
+        elif op == "crash_compact_pre":
+            S._publish = lambda *a, **k: (_ for _ in ()).throw(
+                RuntimeError("die"))
+            try:
+                if S.committed_snapshots(out):
+                    with pytest.raises(RuntimeError):
+                        S.compact_snapshots(spark, out, min_snapshots=1)
+            finally:
+                S._publish = real_publish
+        elif op == "crash_compact_post":
+            real_cleanup = S._cleanup_superseded
+            calls = {"n": 0}
+
+            def crash_second(o):
+                calls["n"] += 1
+                if calls["n"] == 2:
+                    raise RuntimeError("die post publish")
+                return real_cleanup(o)
+
+            S._cleanup_superseded = crash_second
+            try:
+                if S.committed_snapshots(out):
+                    with pytest.raises(RuntimeError):
+                        S.compact_snapshots(spark, out, min_snapshots=1)
+            finally:
+                S._cleanup_superseded = real_cleanup
+        elif op == "gc":
+            if os.path.isdir(out):
+                S.gc_orphans(out, grace_s=0.0)
+        got = ([] if S.read_committed(spark, out) is None
+               else sorted((r.doc_id, r.v)
+                           for r in S.read_committed(spark, out).collect()))
+        assert got == sorted(model), f"divergence after step {step} ({op})"
